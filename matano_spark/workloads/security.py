@@ -1,0 +1,314 @@
+"""Security-lake workload — the reference's own operator surface
+re-expressed on the `events` stream table (`events` plays the role of an
+ECS-normalized log-source table; `customer`/`nation`/`region` play the
+enrichment dimensions).
+
+Operator coverage (SURVEY.md §2 IDs in each query docstring):
+  W1 hourly tumbling rollup, A1/A3 rule-match aggregation + threshold,
+  A4 context aggregation, A8 exact dedup, J1 enrichment broadcast
+  lookup, S8 per-record table routing, P1-P8 row transforms,
+  sessionization (W2 gap-based batch analog).
+
+The exact fixed-anchor alert dedup-window state machine (W2/W3 with
+`first_matched_at` anchoring) is in matano_spark.operators.alerts and
+covered by its own query + tests (not plain-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from matano_spark.workloads import query
+from matano_spark.workloads.util import dsum, sql_dsum, t
+
+ALERT_THRESHOLD = 5
+
+
+@query(
+    "w1_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def w1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: hourly tumbling partition window — every event assigned to
+    its ts_hour (ref: transformer/src/main.rs:961-965 partition key;
+    IcebergMetadataWriter.kt:60-65 hour partitioning). In the lake this
+    is the hidden `hours(ts)` partition; as a query it is a date_trunc
+    groupBy with map-side partial aggregation."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("ts_hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "a1_rule_match_aggregation",
+    oracle=f"""
+    SELECT user_id AS dedupe,
+           COUNT(*) AS match_count,
+           min(ts) AS first_matched_at,
+           max(ts) AS last_matched_at,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS match_ids,
+           COUNT(*) >= {ALERT_THRESHOLD} AS activated
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY user_id
+    """,
+)
+def a1_rule_match_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A3: group rule matches by dedupe key, collect match-id list,
+    activate when count >= threshold (ref: lake_writer/src/
+    matano_alerts.rs:92-136 grouping, :199-237 threshold activation).
+    The match-id list is emitted sorted+joined so the result is
+    order-insensitive."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return (
+        ev.groupBy(F.col("user_id").alias("dedupe"))
+        .agg(
+            F.count(F.lit(1)).alias("match_count"),
+            F.min("ts").alias("first_matched_at"),
+            F.max("ts").alias("last_matched_at"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("event_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("match_ids"),
+            (F.count(F.lit(1)) >= ALERT_THRESHOLD).alias("activated"),
+        )
+    )
+
+
+@query(
+    "a4_context_aggregation",
+    oracle="""
+    SELECT user_id AS alert_key,
+           COUNT(*) AS match_count,
+           string_agg(DISTINCT k, ',' ORDER BY k) AS ctx_k_values
+    FROM (
+      SELECT user_id,
+             lpad(regexp_extract(props, '"k": (\\d+)', 1), 3, '0') AS k
+      FROM events WHERE event_type = 'error'
+    )
+    GROUP BY user_id
+    """,
+)
+def a4_context_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: alert-context aggregation — flatten rule-match payloads to
+    key/value, merge distinct values per key into a context object
+    (ref: alert_writer/src/main.rs:345-400 VRL merge program). Values
+    zero-padded so lexicographic agg order is numeric-stable."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    k = F.lpad(F.regexp_extract(F.col("props"), '"k": (\\d+)', 1), 3, "0")
+    return (
+        ev.select(F.col("user_id").alias("alert_key"), k.alias("k"))
+        .groupBy("alert_key")
+        .agg(
+            F.count(F.lit(1)).alias("match_count"),
+            F.array_join(F.array_sort(F.collect_set("k")), ",").alias("ctx_k_values"),
+        )
+    )
+
+
+@query(
+    "a8_exact_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a8_exact_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/S16: exact dedup keeping the earliest row per key (ref:
+    IcebergMetadataWriter.kt:271-294 sequencer conditional insert).
+    Expressed as row_number-over-key rather than dropDuplicates so the
+    kept row is deterministic."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@query(
+    "j1_enrichment_lookup",
+    oracle=f"""
+    SELECT n_name, r_name,
+           COUNT(*) AS n_purchases,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE event_type = 'purchase'
+    GROUP BY n_name, r_name
+    """,
+)
+def j1_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: enrichment point lookup as a broadcast hash join (ref:
+    shared/src/functions.rs:108-255 get_enrichment_table_record;
+    avro_index.rs hash-index lookup). The reference's mmapped Avro
+    index is exactly a broadcast hash table in Spark; the `select`
+    projection arg becomes column pruning on the broadcast side."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "s8_table_routing",
+    oracle="""
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'web'
+                WHEN event_type IN ('purchase', 'signup') THEN 'commerce'
+                ELSE 'ops' END AS route_table,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s8_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: per-record table routing by an expression over the record
+    (ref: transformer/src/main.rs:864-917 select_table_from_payload).
+    In the ingest pipeline this drives a partitioned write / one
+    filtered stream per table; here surfaced as the routing projection
+    + per-table row accounting (rows_in = sum(rows_out), S17/S18
+    conservation check)."""
+    ev = t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type").isin("click", "view"), "web")
+        .when(F.col("event_type").isin("purchase", "signup"), "commerce")
+        .otherwise("ops")
+    )
+    return (
+        ev.groupBy(
+            route.alias("route_table"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "p_transform_normalize",
+    oracle="""
+    SELECT event_id,
+           ts,
+           'demo' AS module,
+           CASE event_type WHEN 'error' THEN 'failure' ELSE 'success' END AS event_outcome,
+           lower(event_type) AS event_action,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS props_k,
+           CASE WHEN value >= 15.0 THEN 'high' WHEN value >= 5.0 THEN 'medium'
+                ELSE 'low' END AS severity,
+           concat('user-', CAST(user_id AS VARCHAR)) AS user_name,
+           CAST(floor(value) AS BIGINT) AS value_int,
+           '8.5.0' AS ecs_version
+    FROM events
+    WHERE NOT (event_type = 'view' AND value < 1.0)
+    """,
+)
+def p_transform_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P8: the VRL row-transform surface as a static projection —
+    field assignment/rename (P1), row filter/abort (P3), conditional
+    logic (P4), JSON field extraction + fallible cast (P5/P7), constant
+    stamping like `.ecs.version = "8.5.0"` (footer, ref:
+    transformer/src/main.rs:276-282). This is the hand-written form of
+    what matano_spark.transform compiles from transform programs."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(~((F.col("event_type") == "view") & (F.col("value") < 1.0)))
+        .select(
+            "event_id",
+            "ts",
+            F.lit("demo").alias("module"),
+            F.when(F.col("event_type") == "error", "failure")
+            .otherwise("success")
+            .alias("event_outcome"),
+            F.lower("event_type").alias("event_action"),
+            F.regexp_extract(F.col("props"), '"k": (\\d+)', 1)
+            .cast("int")
+            .alias("props_k"),
+            F.when(F.col("value") >= 15.0, "high")
+            .when(F.col("value") >= 5.0, "medium")
+            .otherwise("low")
+            .alias("severity"),
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias(
+                "user_name"
+            ),
+            F.floor("value").cast("bigint").alias("value_int"),
+            F.lit("8.5.0").alias("ecs_version"),
+        )
+    )
+
+
+@query(
+    "w2_gap_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def w2_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (batch analog): sessionization via lag + cumulative sum —
+    a new session opens after a 30-minute silence. The streaming
+    equivalent is session_window(ts, gap); the reference's alert window
+    is the fixed-anchor variant implemented in operators.alerts."""
+    ev = t(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
