@@ -31,6 +31,11 @@ HEADLINE = [
     "w2_gap_sessions",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "dedup_embedding_near",
     "text_quality_score",
     "text_fingerprint",
 ]

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  brute-force cosine top-k — the exact baseline; cost |Q| x |N| folds,
+    distributed by partitioning the corpus side, queries broadcast.
+  LSH (sign-random-projection) — the scale path: deterministic +-1
+    hyperplanes bucket vectors by an 8-bit signature; search probes
+    only the query's bucket (recall traded for a ~2^bits fan-in cut).
+
+Dot products are sequential left-folds over the array (F.aggregate) in
+double precision — deterministic and bit-identical to the DuckDB
+oracle's list_reduce. No UDFs, no Python in the hot path; at cluster
+scale the corpus side partitions freely and the query side broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from matano_spark.operators.hashing import P
+
+LSH_PLANES = 8
+_MIX_J = 1_315_423_911
+_MIX_D = 2_654_435_761
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (deterministic)."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def plane_sign(j: int, d_col: Column) -> Column:
+    """Deterministic +-1 weight of hyperplane j at dimension d."""
+    mix = (F.lit(j * _MIX_J) + d_col * _MIX_D) % P
+    return F.when(mix % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(arr: Column, n_planes: int = LSH_PLANES) -> Column:
+    """Sign-random-projection bucket id in [0, 2^n_planes).
+
+    Bit j = 1 iff sum_d sign(j,d) * x[d] >= 0, evaluated as a
+    sequential fold over the array with the +-1 weight computed from
+    (j, d) by integer mixing — reproducible in any engine.
+    """
+    bucket: Column = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                as_double(arr),
+                F.sequence(F.lit(1), F.size(arr)),
+                lambda x, d: x * plane_sign(j, d.cast("bigint")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(0).cast("bigint")
+    return bucket
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force top-k: (query_id, neighbor_id, rank, cosine).
+
+    The query side is broadcast (it is small by construction); the
+    corpus streams through in place — no shuffle of the corpus until
+    the final per-query top-k, which is a partial top-k under AQE.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within candidates.
+
+    At 100 TB the bucket column is precomputed/persisted with the
+    table (partition or Z-order key) so a probe touches ~1/2^n_planes
+    of the corpus.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Near-duplicate vectors: same LSH bucket AND cosine >= threshold.
+
+    The bucket equi-join bounds the pair count to sum(bucket_size^2);
+    high-threshold duplicates nearly always share all plane signs, so
+    recall stays high while the join stays linear-ish.
+    """
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn("cosine", cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

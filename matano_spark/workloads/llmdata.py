@@ -297,7 +297,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .cache() here). At 100 TB the equivalent is a checkpointed
     # intermediate table — same plan shape.
     shingles = (
-        with_ws.select(
+        with_ws.filter(F.size(ws) >= 3)  # sequence() runs descending below n words
+        .select(
             "doc_id",
             F.explode(F.transform(idx, shingle)).alias("shingle"),
         )
@@ -329,3 +330,253 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.35)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH / SimHash near-dup + embedding similarity search.
+# Oracle SQL is generated from the same integer-hash definitions
+# (operators.hashing) so DuckDB reproduces Spark's values exactly.
+# ---------------------------------------------------------------------------
+
+from matano_spark.operators import dedup as D  # noqa: E402
+from matano_spark.operators import similarity as S  # noqa: E402
+from matano_spark.operators.hashing import (  # noqa: E402
+    MINHASH_A,
+    MINHASH_B,
+    P,
+    sql_poly_hash,
+)
+
+_SHINGLES_CTE = """
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      )
+    )
+"""
+
+
+def _sql_minhash_sigs() -> str:
+    h = sql_poly_hash("shingle")
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P}) AS m{i + 1}"
+        for i in range(D.NUM_MINHASHES)
+    )
+    return f"""
+    hashes AS (SELECT doc_id, {h} AS h FROM shingles),
+    sigs AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id)
+    """
+
+
+def _sql_minhash_bands() -> str:
+    n_bands = D.NUM_MINHASHES // D.BAND_SIZE
+    selects = []
+    for b in range(n_bands):
+        cols = " || ':' || ".join(
+            f"CAST(m{b * D.BAND_SIZE + j + 1} AS VARCHAR)"
+            for j in range(D.BAND_SIZE)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, {cols} AS band_key FROM sigs"
+        )
+    return "banded AS (" + " UNION ALL ".join(selects) + ")"
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_sql_minhash_sigs()},
+    {_sql_minhash_bands()},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT id_a, id_b, COUNT(*) AS n_common
+      FROM cands
+      JOIN shingles sa ON sa.doc_id = id_a
+      JOIN shingles sb ON sb.doc_id = id_b AND sa.shingle = sb.shingle
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.35
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection (see operators.dedup).
+
+    The approximate stage only *generates candidates*; survivors are
+    verified with exact Jaccard, so output quality does not depend on
+    the sketch. At 100 TB only the candidate pairs — a tiny fraction
+    of n² — reach the verification join.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, "doc_id", "text", threshold=0.35)
+
+
+def _sql_simhash() -> str:
+    h = sql_poly_hash("tok")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(D.SIMHASH_BITS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band_id,"
+        f" (simhash >> {shift}) & {(1 << width) - 1} AS chunk FROM fps"
+        for i, (shift, width) in enumerate(D.SIMHASH_BANDS)
+    )
+    return f"""
+    tokens AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    hashes AS (SELECT doc_id, {h} AS h FROM tokens),
+    bitsums AS (SELECT doc_id, {bit_sums} FROM hashes GROUP BY doc_id),
+    fps AS (SELECT doc_id, {fp} AS simhash FROM bitsums),
+    banded AS ({bands})
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_sql_simhash()}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) <= 1
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 30-bit sign-aggregated fingerprint, pigeonhole
+    banding (4 bands ⇒ distance-3 pairs always collide), bit_count
+    verification. All integer expressions — no UDF, engine-portable."""
+    docs = t(spark, sf_dir, "documents")
+    out = D.simhash_near_dups(docs, "doc_id", "text", max_hamming=1)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    )
+
+
+def _sql_lsh_bucket(arr: str) -> str:
+    terms = []
+    for j in range(S.LSH_PLANES):
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len({arr}) + 1), "
+            f"i -> CAST({arr}[i] AS DOUBLE) * "
+            f"(CASE WHEN (({j * S._MIX_J} + i * {S._MIX_D}) % {P}) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)"
+        )
+        terms.append(
+            f"CASE WHEN {proj} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.qvec', 'c.embedding')} AS cosine
+      FROM q JOIN embeddings c ON c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact ANN
+    baseline. Sequential-fold dot products (bit-identical to the
+    oracle); corpus side streams, query side broadcasts."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+          FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.qvec', 'c.embedding')} AS cosine
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-random-projection LSH buckets: the
+    scale path — a probe touches ~1/256 of the corpus. Recall vs the
+    brute-force baseline is asserted in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = S.lsh_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "dedup_embedding_near",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           {_sql_cosine('l.embedding', 'r.embedding')} AS cosine
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE {_sql_cosine('l.embedding', 'r.embedding')} >= 0.3
+    """,
+)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket equi-join bounds the
+    candidate count; cosine >= threshold verifies. The semantic-dedup stage
+    of a training-data pipeline."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.3)
