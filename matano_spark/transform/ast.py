@@ -1,0 +1,162 @@
+"""AST for the transform DSL.
+
+Expressions:
+  P("a.b.c")        — dotted path reference (missing ≡ null, like VRL)
+  L(3) / L("x")     — literal
+  Fn("to_int", x)   — scalar function call (see transform.functions)
+  python operators  — composed via Column arithmetic at compile time
+
+Steps (ref semantics: SURVEY.md §2.2 P1-P8):
+  Assign(path, expr)         — .a.b = expr            (P1)
+  Move(dst, src)             — .a = del(.b)           (P1)
+  Delete(path)               — del(.a.b)              (P2)
+  AbortIf(expr)              — abort when truthy      (P3 row filter)
+  When(cond, steps, orelse)  — if/else if chains      (P4)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Union
+
+
+class _ExprOps:
+    """Operator overloads so expressions compose like Columns:
+    P("a") == L(1), P("x") & ~P("y"), P("n") + 1 ..."""
+
+    def _bin(self, op: str, other: Any, swap: bool = False):
+        left, right = (other, self) if swap else (self, other)
+        return BinOp(op, left, right)
+
+    def __eq__(self, other):  # noqa: D105
+        return self._bin("==", other)
+
+    def __ne__(self, other):
+        return self._bin("!=", other)
+
+    def __gt__(self, other):
+        return self._bin(">", other)
+
+    def __ge__(self, other):
+        return self._bin(">=", other)
+
+    def __lt__(self, other):
+        return self._bin("<", other)
+
+    def __le__(self, other):
+        return self._bin("<=", other)
+
+    def __and__(self, other):
+        return self._bin("&", other)
+
+    def __or__(self, other):
+        return self._bin("|", other)
+
+    def __add__(self, other):
+        return self._bin("+", other)
+
+    def __radd__(self, other):
+        return self._bin("+", other, swap=True)
+
+    def __sub__(self, other):
+        return self._bin("-", other)
+
+    def __mul__(self, other):
+        return self._bin("*", other)
+
+    def __truediv__(self, other):
+        return self._bin("/", other)
+
+    def __mod__(self, other):
+        return self._bin("%", other)
+
+    def __invert__(self):
+        return UnaryOp("!", self)
+
+    def __hash__(self):
+        return id(self)
+
+
+@dataclass(frozen=True, eq=False)
+class P(_ExprOps):
+    """Dotted path reference into the row."""
+
+    path: str
+
+    @property
+    def parts(self) -> tuple[str, ...]:
+        return tuple(self.path.split("."))
+
+
+@dataclass(frozen=True, eq=False)
+class L(_ExprOps):
+    """Literal value."""
+
+    value: Any
+
+
+@dataclass(frozen=True, eq=False)
+class Fn(_ExprOps):
+    """Scalar function call by VRL name."""
+
+    name: str
+    args: tuple = ()
+    kwargs: dict = field(default_factory=dict)
+
+    def __init__(self, name: str, *args: Any, **kwargs: Any):
+        object.__setattr__(self, "name", name)
+        object.__setattr__(self, "args", tuple(args))
+        object.__setattr__(self, "kwargs", kwargs)
+
+
+@dataclass(frozen=True, eq=False)
+class BinOp(_ExprOps):
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True, eq=False)
+class UnaryOp(_ExprOps):
+    op: str
+    operand: Any
+
+
+Expr = Union[P, L, Fn, BinOp, UnaryOp, "Any"]  # also raw pyspark Column
+
+
+@dataclass(frozen=True)
+class Assign:
+    path: str
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class Move:
+    dst: str
+    src: str
+
+
+@dataclass(frozen=True)
+class Delete:
+    path: str
+
+
+@dataclass(frozen=True)
+class AbortIf:
+    cond: Expr
+
+
+@dataclass(frozen=True)
+class When:
+    cond: Expr
+    steps: tuple
+    orelse: tuple = ()
+
+    def __init__(self, cond: Expr, steps, orelse=()):
+        object.__setattr__(self, "cond", cond)
+        object.__setattr__(self, "steps", tuple(steps))
+        object.__setattr__(self, "orelse", tuple(orelse))
+
+
+Step = Union[Assign, Move, Delete, AbortIf, When]

@@ -1,0 +1,634 @@
+"""Scalar function library — the VRL surface actually used by the
+reference's 26 managed sources + 5 enrichments (SURVEY.md §2.3 table;
+counts from grep over data/managed/**/*.yml), each mapped to built-in
+Spark expressions (JVM-side, codegen'd — no Python UDFs).
+
+Every builder takes [(Column, DataType|None), ...] compiled args plus
+kwargs, and returns (Column, DataType) so the pipeline compiler can
+track the evolving row schema. Fallible VRL variants (`to_int!` vs
+`to_int`) map to try_* / null-on-error expressions — VRL's
+error-coalescing `??` is then plain F.coalesce.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from matano_spark.transform import grok as grok_mod
+
+Arg = tuple[Column, "T.DataType | None"]
+Builder = Callable[..., tuple[Column, T.DataType]]
+
+REGISTRY: dict[str, Builder] = {}
+
+
+def fn(name: str):
+    def deco(f: Builder) -> Builder:
+        REGISTRY[name] = f
+        return f
+
+    return deco
+
+
+def build_call(name: str, args: list[Arg], kwargs: dict[str, Any]):
+    if name not in REGISTRY:
+        raise KeyError(f"unknown transform function {name!r}")
+    return REGISTRY[name](args, kwargs)
+
+
+def _c(a: Arg) -> Column:
+    return a[0]
+
+
+def _t(a: Arg) -> T.DataType | None:
+    return a[1]
+
+
+# -- casts (to_int 330 / to_float / to_bool / to_string uses) ---------------
+
+
+@fn("to_int")
+def _to_int(args, kw):
+    return _c(args[0]).try_cast("bigint"), T.LongType()
+
+
+@fn("int")
+def _int(args, kw):
+    return _c(args[0]).cast("bigint"), T.LongType()
+
+
+@fn("to_float")
+def _to_float(args, kw):
+    return _c(args[0]).try_cast("double"), T.DoubleType()
+
+
+@fn("float")
+def _float(args, kw):
+    return _c(args[0]).cast("double"), T.DoubleType()
+
+
+@fn("to_bool")
+def _to_bool(args, kw):
+    c = _c(args[0])
+    if isinstance(_t(args[0]), T.StringType) or _t(args[0]) is None:
+        lowered = F.lower(c)
+        return (
+            F.when(lowered.isin("true", "t", "yes", "y", "1"), F.lit(True))
+            .when(lowered.isin("false", "f", "no", "n", "0"), F.lit(False))
+            .otherwise(c.try_cast("boolean")),
+            T.BooleanType(),
+        )
+    return c.try_cast("boolean"), T.BooleanType()
+
+
+@fn("to_string")
+def _to_string(args, kw):
+    return _c(args[0]).cast("string"), T.StringType()
+
+
+@fn("string")
+def _string(args, kw):
+    return _c(args[0]).cast("string"), T.StringType()
+
+
+# -- timestamps (to_timestamp 302 / parse_timestamp 32 uses) ----------------
+
+_STRF_TO_JAVA = [
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%f", "SSSSSS"),
+    ("%3f", "SSS"),
+    ("%z", "XX"),
+    ("%:z", "XXX"),
+    ("%Z", "zz"),
+    ("%b", "MMM"),
+    ("%B", "MMMM"),
+    ("%a", "EEE"),
+    ("%A", "EEEE"),
+    ("%e", "d"),
+    ("%j", "DDD"),
+    ("%T", "HH:mm:ss"),
+]
+
+
+def strftime_to_java(fmt: str) -> str:
+    out = fmt
+    for a, b in _STRF_TO_JAVA:
+        out = out.replace(a, b)
+    return out
+
+
+@fn("to_timestamp")
+def _to_timestamp(args, kw):
+    """Epoch seconds/millis/nanos (unit kwarg, default seconds) for
+    numerics; ISO-ish strings parse directly (ref: VRL to_timestamp;
+    transformer/src/avro.rs:52 micros precision)."""
+    c, t = args[0]
+    unit = kw.get("unit", "seconds")
+    if isinstance(t, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType)):
+        if unit == "seconds":
+            return F.timestamp_seconds(c), T.TimestampType()
+        if unit == "milliseconds":
+            return F.timestamp_millis(c.cast("bigint")), T.TimestampType()
+        if unit == "microseconds":
+            return F.timestamp_micros(c.cast("bigint")), T.TimestampType()
+        if unit == "nanoseconds":
+            return (
+                F.timestamp_micros((c.cast("bigint") / 1000).cast("bigint")),
+                T.TimestampType(),
+            )
+        raise ValueError(f"bad unit {unit}")
+    return F.try_to_timestamp(c), T.TimestampType()
+
+
+@fn("parse_timestamp")
+def _parse_timestamp(args, kw):
+    fmt = kw.get("format")
+    java = strftime_to_java(fmt) if fmt else None
+    c = _c(args[0])
+    if java:
+        return F.try_to_timestamp(c, F.lit(java)), T.TimestampType()
+    return F.try_to_timestamp(c), T.TimestampType()
+
+
+@fn("to_unix_timestamp")
+def _to_unix(args, kw):
+    unit = kw.get("unit", "seconds")
+    c = _c(args[0])
+    if unit == "seconds":
+        return c.cast("long") if False else F.unix_timestamp(c), T.LongType()
+    if unit == "milliseconds":
+        return (F.unix_micros(c) / 1000).cast("bigint"), T.LongType()
+    if unit == "microseconds":
+        return F.unix_micros(c), T.LongType()
+    raise ValueError(f"bad unit {unit}")
+
+
+@fn("now")
+def _now(args, kw):
+    return F.current_timestamp(), T.TimestampType()
+
+
+# -- strings ----------------------------------------------------------------
+
+
+@fn("downcase")
+def _downcase(args, kw):
+    return F.lower(_c(args[0])), T.StringType()
+
+
+@fn("upcase")
+def _upcase(args, kw):
+    return F.upper(_c(args[0])), T.StringType()
+
+
+@fn("strip_whitespace")
+def _strip(args, kw):
+    return F.trim(_c(args[0])), T.StringType()
+
+
+@fn("split")
+def _split(args, kw):
+    sep = kw.get("pattern") or _c(args[1])
+    limit = kw.get("limit", -1)
+    pat = sep if isinstance(sep, str) else None
+    if pat is None:
+        # Column separator: only literal columns supported
+        raise ValueError("split pattern must be a python string (regex)")
+    return F.split(_c(args[0]), pat, limit), T.ArrayType(T.StringType())
+
+
+@fn("replace")
+def _replace(args, kw):
+    c = _c(args[0])
+    pattern = kw["pattern"] if "pattern" in kw else None
+    with_ = kw.get("with", "")
+    if pattern is None:
+        raise ValueError("replace requires pattern=/with= kwargs")
+    if kw.get("regex", False):
+        return F.regexp_replace(c, pattern, with_), T.StringType()
+    return F.replace(c, F.lit(pattern), F.lit(with_)), T.StringType()
+
+
+@fn("slice")
+def _slice(args, kw):
+    c, t = args[0]
+    start = kw.get("start", 0)
+    end = kw.get("end")
+    if isinstance(t, T.ArrayType):
+        length = (end - start) if end is not None else (1 << 30)
+        return F.slice(c, start + 1, length), t
+    if end is not None:
+        return F.substring(c, start + 1, end - start), T.StringType()
+    return F.substring(c, start + 1, 1 << 30), T.StringType()
+
+
+@fn("contains")
+def _contains(args, kw):
+    if kw.get("case_sensitive", True):
+        return F.contains(_c(args[0]), _c(args[1])), T.BooleanType()
+    return (
+        F.contains(F.lower(_c(args[0])), F.lower(_c(args[1]))),
+        T.BooleanType(),
+    )
+
+
+@fn("starts_with")
+def _starts(args, kw):
+    return F.startswith(_c(args[0]), _c(args[1])), T.BooleanType()
+
+
+@fn("ends_with")
+def _ends(args, kw):
+    return F.endswith(_c(args[0]), _c(args[1])), T.BooleanType()
+
+
+@fn("match")
+def _match(args, kw):
+    return _c(args[0]).rlike(kw["pattern"]), T.BooleanType()
+
+
+@fn("match_any")
+def _match_any(args, kw):
+    pats = kw["patterns"]
+    out = F.lit(False)
+    for p in pats:
+        out = out | _c(args[0]).rlike(p)
+    return out, T.BooleanType()
+
+
+@fn("find")
+def _find(args, kw):
+    """VRL find: byte index of substring, -1 when absent."""
+    return (F.locate(kw["substring"], _c(args[0])) - 1).cast("bigint"), T.LongType()
+
+
+@fn("truncate")
+def _truncate(args, kw):
+    return F.substring(_c(args[0]), 1, kw["limit"]), T.StringType()
+
+
+@fn("is_nullish")
+def _is_nullish(args, kw):
+    """null / '' / '-' / whitespace-only (VRL is_nullish semantics)."""
+    c = _c(args[0])
+    s = c.cast("string")
+    return (
+        c.isNull() | (F.trim(s) == "") | (F.trim(s) == "-"),
+        T.BooleanType(),
+    )
+
+
+@fn("length")
+def _length(args, kw):
+    c, t = args[0]
+    if isinstance(t, (T.ArrayType, T.MapType)):
+        return F.size(c).cast("bigint"), T.LongType()
+    if isinstance(t, T.StructType):
+        return F.lit(len(t.fields)).cast("bigint"), T.LongType()
+    return F.length(c).cast("bigint"), T.LongType()
+
+
+# -- arrays -----------------------------------------------------------------
+
+
+@fn("push")
+def _push(args, kw):
+    arr, t = args[0]
+    v = _c(args[1])
+    et = t.elementType if isinstance(t, T.ArrayType) else (_t(args[1]) or T.StringType())
+    out_t = T.ArrayType(et)
+    safe = F.coalesce(arr, F.array().cast(out_t))
+    return F.concat(safe, F.array(v)), out_t
+
+
+@fn("append")
+def _append(args, kw):
+    a, ta = args[0]
+    b, _tb = args[1]
+    return F.concat(a, b), ta or T.ArrayType(T.StringType())
+
+
+@fn("unique")
+def _unique(args, kw):
+    return F.array_distinct(_c(args[0])), _t(args[0]) or T.ArrayType(T.StringType())
+
+
+@fn("flatten")
+def _flatten(args, kw):
+    c, t = args[0]
+    inner = (
+        t.elementType.elementType
+        if isinstance(t, T.ArrayType) and isinstance(t.elementType, T.ArrayType)
+        else T.StringType()
+    )
+    return F.flatten(c), T.ArrayType(inner)
+
+
+@fn("join")
+def _join(args, kw):
+    sep = kw.get("separator", "")
+    return F.array_join(_c(args[0]), sep), T.StringType()
+
+
+@fn("includes")
+def _includes(args, kw):
+    return F.array_contains(_c(args[0]), _c(args[1])), T.BooleanType()
+
+
+@fn("filter")
+def _filter(args, kw):
+    pred = kw["predicate"]  # python lambda Column -> Column
+    c, t = args[0]
+    return F.filter(c, pred), t or T.ArrayType(T.StringType())
+
+
+@fn("map_each")
+def _map_each(args, kw):
+    f = kw["fn"]
+    c, t = args[0]
+    return F.transform(c, f), t or T.ArrayType(T.StringType())
+
+
+@fn("compact")
+def _compact(args, kw):
+    """Array compact: drop nulls and empty strings (P6 footer
+    semantics, ref: transformer/src/main.rs:276-282; full-row compact
+    is null-uniform at rest — see SURVEY §7 'compact() semantics')."""
+    c, t = args[0]
+    return (
+        F.filter(c, lambda x: x.isNotNull() & (x.cast("string") != "")),
+        t or T.ArrayType(T.StringType()),
+    )
+
+
+@fn("get")
+def _get(args, kw):
+    c, t = args[0]
+    idx = kw.get("index")
+    if idx is not None:
+        et = t.elementType if isinstance(t, T.ArrayType) else T.StringType()
+        return F.element_at(c, idx + 1 if idx >= 0 else idx), et
+    path = kw.get("path")
+    out = c
+    dtype = t
+    for p in path:
+        out = out.getField(p)
+        if isinstance(dtype, T.StructType):
+            m = next((f for f in dtype.fields if f.name == p), None)
+            dtype = m.dataType if m else T.StringType()
+    return out, dtype or T.StringType()
+
+
+# -- json / kv / structured parsing ----------------------------------------
+
+
+@fn("encode_json")
+def _encode_json(args, kw):
+    return F.to_json(_c(args[0])), T.StringType()
+
+
+@fn("parse_json")
+def _parse_json(args, kw):
+    """With schema kwarg → typed struct (from_json); without → Spark 4
+    VariantType (semi-structured, ref VRL dynamic objects)."""
+    schema = kw.get("schema")
+    if schema is not None:
+        return F.from_json(_c(args[0]), schema), schema
+    return F.try_parse_json(_c(args[0])), T.VariantType()
+
+
+@fn("parse_key_value")
+def _parse_kv(args, kw):
+    pair = kw.get("field_delimiter", " ")
+    kv = kw.get("key_value_delimiter", "=")
+    return (
+        F.str_to_map(_c(args[0]), F.lit(pair), F.lit(kv)),
+        T.MapType(T.StringType(), T.StringType()),
+    )
+
+
+@fn("parse_csv")
+def _parse_csv(args, kw):
+    """CSV line → array<string> honoring double quotes."""
+    c = _c(args[0])
+    # split on commas not inside quotes, then strip quotes
+    parts = F.split(c, r',(?=(?:[^"]*"[^"]*")*[^"]*$)')
+    unq = F.transform(
+        parts, lambda x: F.regexp_replace(F.trim(x), r'^"(.*)"$', "$1")
+    )
+    return unq, T.ArrayType(T.StringType())
+
+
+@fn("parse_url")
+def _parse_url(args, kw):
+    c = _c(args[0])
+    t = T.StructType(
+        [
+            T.StructField("scheme", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("query", T.StringType()),
+            T.StructField("fragment", T.StringType()),
+        ]
+    )
+    return (
+        F.struct(
+            F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
+            F.parse_url(c, F.lit("HOST")).alias("host"),
+            F.parse_url(c, F.lit("PATH")).alias("path"),
+            F.parse_url(c, F.lit("QUERY")).alias("query"),
+            F.parse_url(c, F.lit("REF")).alias("fragment"),
+        ),
+        t,
+    )
+
+
+@fn("parse_grok")
+def _parse_grok(args, kw):
+    return grok_mod.parse_grok(_c(args[0]), kw["pattern"], kw.get("patterns"))
+
+
+@fn("parse_groks")
+def _parse_groks(args, kw):
+    """Try patterns in order; first whole-match wins (VRL parse_groks,
+    29 uses). Selection via the compiled regex as an rlike guard."""
+    c = _c(args[0])
+    out_col = None
+    out_type = None
+    for pattern in kw["patterns"]:
+        regex, _fields = grok_mod.translate(pattern, kw.get("custom"))
+        struct_col, struct_t = grok_mod.parse_grok(c, pattern, kw.get("custom"))
+        guard = c.rlike(regex)
+        if out_col is None:
+            out_col = F.when(guard, struct_col)
+            out_type = struct_t
+        else:
+            out_col = out_col.when(guard, struct_col)
+    return out_col, out_type
+
+
+@fn("parse_regex")
+def _parse_regex(args, kw):
+    """Named captures → struct (VRL parse_regex)."""
+    import re as _re
+
+    pattern = kw["pattern"]
+    c = _c(args[0])
+    names = _re.findall(r"\(\?P?<(\w+)>", pattern)
+    java_pat = pattern.replace("(?P<", "(?<")
+    cols = []
+    fields = []
+    for i, name in enumerate(names, start=1):
+        ext = F.regexp_extract(c, java_pat, i)
+        cols.append(F.when(ext != "", ext).alias(name))
+        fields.append(T.StructField(name, T.StringType()))
+    return F.struct(*cols), T.StructType(fields)
+
+
+@fn("parse_aws_vpc_flow_log")
+def _parse_vpcflow(args, kw):
+    """Space-separated VPC flow v2 record → typed struct (ref:
+    aws_vpcflow/log_source.yml:14-22 parse_aws_vpc_flow_log; '-' means
+    absent)."""
+    c = _c(args[0])
+    toks = F.split(c, " ")
+    spec = [
+        ("version", "bigint"),
+        ("account_id", "string"),
+        ("interface_id", "string"),
+        ("srcaddr", "string"),
+        ("dstaddr", "string"),
+        ("srcport", "bigint"),
+        ("dstport", "bigint"),
+        ("protocol", "bigint"),
+        ("packets", "bigint"),
+        ("bytes", "bigint"),
+        ("start", "bigint"),
+        ("end", "bigint"),
+        ("action", "string"),
+        ("log_status", "string"),
+    ]
+    cols = []
+    fields = []
+    for i, (name, typ) in enumerate(spec):
+        raw = F.element_at(toks, i + 1)
+        val = F.when(raw != "-", raw)
+        if typ != "string":
+            val = val.try_cast(typ)
+        cols.append(val.alias(name))
+        fields.append(
+            T.StructField(name, T.LongType() if typ == "bigint" else T.StringType())
+        )
+    return F.struct(*cols), T.StructType(fields)
+
+
+@fn("parse_user_agent")
+def _parse_ua(args, kw):
+    """Heuristic UA parse → {browser, os, device} (ref VRL
+    parse_user_agent, 10 uses; the reference links uap — this is a
+    regex approximation; a Pandas-UDF uap adapter can swap in where the
+    library is available)."""
+    c = _c(args[0])
+    browser = (
+        F.when(c.rlike("Edg[e/]"), "Edge")
+        .when(c.rlike("OPR/|Opera"), "Opera")
+        .when(c.rlike("Chrome/"), "Chrome")
+        .when(c.rlike("Firefox/"), "Firefox")
+        .when(c.rlike("Safari/") & ~c.rlike("Chrome"), "Safari")
+        .when(c.rlike("curl/"), "curl")
+        .when(c.rlike("aws-cli/"), "aws-cli")
+        .otherwise("Other")
+    )
+    os_ = (
+        F.when(c.rlike("Windows NT"), "Windows")
+        .when(c.rlike("Android"), "Android")
+        .when(c.rlike("iPhone|iPad|iOS"), "iOS")
+        .when(c.rlike("Mac OS X|Macintosh"), "macOS")
+        .when(c.rlike("Linux"), "Linux")
+        .otherwise("Other")
+    )
+    device = (
+        F.when(c.rlike("iPhone"), "iPhone")
+        .when(c.rlike("iPad"), "iPad")
+        .when(c.rlike("Android"), "Android")
+        .otherwise("Other")
+    )
+    t = T.StructType(
+        [
+            T.StructField("browser", T.StringType()),
+            T.StructField("os", T.StringType()),
+            T.StructField("device", T.StringType()),
+        ]
+    )
+    return F.struct(browser.alias("browser"), os_.alias("os"), device.alias("device")), t
+
+
+# -- net / misc -------------------------------------------------------------
+
+_IPV4_RE = (
+    r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+)
+
+
+@fn("is_ipv4")
+def _is_ipv4(args, kw):
+    return _c(args[0]).rlike(_IPV4_RE), T.BooleanType()
+
+
+@fn("is_ipv6")
+def _is_ipv6(args, kw):
+    return (
+        _c(args[0]).rlike(r"^[0-9a-fA-F:]{2,45}$") & _c(args[0]).contains(":"),
+        T.BooleanType(),
+    )
+
+
+@fn("bitwise_and")
+def _bitwise_and(args, kw):
+    """Custom matano VRL fn (ref: shared/src/functions.rs:33-106)."""
+    return _c(args[0]).bitwiseAND(_c(args[1])), T.LongType()
+
+
+@fn("decode_percent")
+def _decode_percent(args, kw):
+    return F.try_url_decode(_c(args[0])), T.StringType()
+
+
+@fn("round")
+def _round(args, kw):
+    return F.round(_c(args[0]), kw.get("precision", 0)), T.DoubleType()
+
+
+@fn("mod")
+def _mod(args, kw):
+    return F.pmod(_c(args[0]), _c(args[1])), T.LongType()
+
+
+@fn("merge")
+def _merge(args, kw):
+    """Shallow struct merge: right fields win (VRL merge; deep:true is
+    compile-time recursive application)."""
+    lc, lt = args[0]
+    rc, rt = args[1]
+    if not isinstance(lt, T.StructType) or not isinstance(rt, T.StructType):
+        raise ValueError("merge requires struct-typed args with known schema")
+    names = [f.name for f in lt.fields if f.name not in {g.name for g in rt.fields}]
+    cols = [lc.getField(n).alias(n) for n in names] + [
+        rc.getField(f.name).alias(f.name) for f in rt.fields
+    ]
+    fields = [f for f in lt.fields if f.name in names] + list(rt.fields)
+    return F.struct(*cols), T.StructType(fields)
+
+
+@fn("exists")
+def _exists(args, kw):
+    return _c(args[0]).isNotNull(), T.BooleanType()

@@ -312,3 +312,78 @@ def w2_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "vrl_transform_normalize",
+    oracle="""
+    SELECT event_id,
+           ts,
+           'demo' AS module,
+           CASE event_type WHEN 'error' THEN 'failure' ELSE 'success' END AS event_outcome,
+           lower(event_type) AS event_action,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS props_k,
+           CASE WHEN value >= 15.0 THEN 'high' WHEN value >= 5.0 THEN 'medium'
+                ELSE 'low' END AS severity,
+           concat('user-', CAST(user_id AS VARCHAR)) AS user_name,
+           CAST(floor(value) AS BIGINT) AS value_int,
+           '8.5.0' AS ecs_version
+    FROM events
+    WHERE NOT (event_type = 'view' AND value < 1.0)
+    """,
+)
+def vrl_transform_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same normalization as p_transform_normalize, but produced by
+    the transform-DSL *compiler* (matano_spark.transform) instead of
+    hand-written expressions — proving the compiled pipeline (P1-P8
+    steps + §2.3 scalar functions) is oracle-exact. The whole program
+    compiles to one Catalyst projection + one filter."""
+    from matano_spark.transform import (
+        AbortIf,
+        Assign,
+        Delete,
+        Fn,
+        L,
+        P,
+        When,
+        compile_pipeline,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    pipeline = compile_pipeline(
+        [
+            AbortIf((P("event_type") == L("view")) & (P("value") < L(1.0))),
+            Assign("module", L("demo")),
+            When(
+                P("event_type") == L("error"),
+                [Assign("event_outcome", L("failure"))],
+                [Assign("event_outcome", L("success"))],
+            ),
+            Assign("event_action", Fn("downcase", P("event_type"))),
+            Assign("pk", Fn("parse_regex", P("props"), pattern='"k": (?P<k>\\d+)')),
+            Assign("props_k", Fn("to_int", P("pk.k"))),
+            Delete("pk"),
+            When(
+                P("value") >= L(15.0),
+                [Assign("severity", L("high"))],
+                [
+                    When(
+                        P("value") >= L(5.0),
+                        [Assign("severity", L("medium"))],
+                        [Assign("severity", L("low"))],
+                    )
+                ],
+            ),
+            Assign(
+                "user_name",
+                F.concat(F.lit("user-"), F.col("user_id").cast("string")),
+            ),
+            Assign("value_int", F.floor(F.col("value")).cast("bigint")),
+            Assign("ecs_version", L("8.5.0")),
+            Delete("user_id"),
+            Delete("event_type"),
+            Delete("value"),
+            Delete("props"),
+        ]
+    )
+    return pipeline(ev)

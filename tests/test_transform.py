@@ -1,0 +1,249 @@
+"""Golden tests for the transform DSL (SURVEY.md §5: golden-output
+tests per function, expectations derived from VRL documented
+semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from matano_spark.transform import (
+    AbortIf,
+    Assign,
+    Delete,
+    Fn,
+    L,
+    Move,
+    P,
+    When,
+    compile_pipeline,
+)
+from matano_spark.transform import grok
+
+
+def row(df):
+    return df.collect()[0].asDict(recursive=True)
+
+
+def test_assign_creates_nested_structs(spark):
+    df = spark.createDataFrame([("x",)], ["raw"])
+    out = compile_pipeline(
+        [
+            Assign("event.action", L("login")),
+            Assign("event.outcome", L("failure")),
+            Assign("user.name", P("raw")),
+        ]
+    )(df)
+    r = row(out)
+    assert r["event"] == {"action": "login", "outcome": "failure"}
+    assert r["user"] == {"name": "x"}
+
+
+def test_move_and_delete(spark):
+    df = spark.createDataFrame([("a", "b")], ["keep", "temp"])
+    out = compile_pipeline(
+        [Move("renamed", "temp"), Delete("keep")]
+    )(df)
+    assert out.columns == ["renamed"]
+    assert row(out) == {"renamed": "b"}
+
+
+def test_abort_filters_rows(spark):
+    df = spark.createDataFrame([(1, "ok"), (2, "skip")], ["id", "st"])
+    out = compile_pipeline([AbortIf(P("st") == F.lit("skip"))])(df)
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_when_conditional_assign(spark):
+    df = spark.createDataFrame([(5,), (15,)], ["v"])
+    out = compile_pipeline(
+        [
+            When(
+                P("v") >= F.lit(10),
+                [Assign("sev", L("high"))],
+                [Assign("sev", L("low"))],
+            )
+        ]
+    )(df)
+    assert [(r.v, r.sev) for r in out.collect()] == [(5, "low"), (15, "high")]
+
+
+def test_missing_path_reads_null(spark):
+    df = spark.createDataFrame([("x",)], ["a"])
+    out = compile_pipeline([Assign("b", P("nope.deep.path"))])(df)
+    assert row(out)["b"] is None
+
+
+def test_casts_and_nullish(spark):
+    df = spark.createDataFrame([("42", "oops", "  ", "7.5")], ["i", "bad", "ws", "f"])
+    out = compile_pipeline(
+        [
+            Assign("vi", Fn("to_int", P("i"))),
+            Assign("vbad", Fn("to_int", P("bad"))),
+            Assign("vf", Fn("to_float", P("f"))),
+            Assign("nullish", Fn("is_nullish", P("ws"))),
+        ]
+    )(df)
+    r = row(out)
+    assert r["vi"] == 42 and r["vbad"] is None
+    assert r["vf"] == 7.5 and r["nullish"] is True
+
+
+def test_to_timestamp_units(spark):
+    df = spark.createDataFrame(
+        [(1714567890, 1714567890123, "2024-05-01T12:34:56Z")], ["s", "ms", "iso"]
+    )
+    out = compile_pipeline(
+        [
+            Assign("ts_s", Fn("to_timestamp", P("s"))),
+            Assign("ts_ms", Fn("to_timestamp", P("ms"), unit="milliseconds")),
+            Assign("ts_iso", Fn("to_timestamp", P("iso"))),
+        ]
+    )(df)
+    r = row(out)
+    assert r["ts_s"] == dt.datetime(2024, 5, 1, 12, 51, 30)
+    assert r["ts_ms"] == dt.datetime(2024, 5, 1, 12, 51, 30, 123000)
+    assert r["ts_iso"] == dt.datetime(2024, 5, 1, 12, 34, 56)
+
+
+def test_array_functions(spark):
+    df = spark.createDataFrame([("a,b,a,,c",)], ["csv"])
+    out = compile_pipeline(
+        [
+            Assign("arr", Fn("split", P("csv"), pattern=",")),
+            Assign("arr", Fn("compact", P("arr"))),
+            Assign("arr", Fn("unique", P("arr"))),
+            Assign("arr", Fn("push", P("arr"), L("z"))),
+            Assign("joined", Fn("join", P("arr"), separator="|")),
+            Assign("n", Fn("length", P("arr"))),
+            Assign("has_b", Fn("includes", P("arr"), L("b"))),
+        ]
+    )(df)
+    r = row(out)
+    assert r["arr"] == ["a", "b", "c", "z"]
+    assert r["joined"] == "a|b|c|z"
+    assert r["n"] == 4 and r["has_b"] is True
+
+
+def test_parse_key_value_and_url(spark):
+    df = spark.createDataFrame(
+        [("k1=v1 k2=v2", "https://example.com:8443/p/q?x=1#frag")], ["kv", "url"]
+    )
+    out = compile_pipeline(
+        [
+            Assign("m", Fn("parse_key_value", P("kv"))),
+            Assign("u", Fn("parse_url", P("url"))),
+        ]
+    )(df)
+    r = row(out)
+    assert r["m"] == {"k1": "v1", "k2": "v2"}
+    assert r["u"]["scheme"] == "https"
+    assert r["u"]["host"] == "example.com"
+    assert r["u"]["path"] == "/p/q"
+    assert r["u"]["query"] == "x=1"
+
+
+def test_grok_translate_and_parse(spark):
+    regex, fields = grok.translate("^%{IP:ip} %{WORD:verb} %{NUMBER:code}$")
+    assert [f for f, _ in fields] == ["ip", "verb", "code"]
+    df = spark.createDataFrame(
+        [("10.1.2.3 GET 200",), ("not a match",)], ["line"]
+    )
+    out = compile_pipeline(
+        [
+            Assign(
+                "g", Fn("parse_grok", P("line"), pattern="^%{IP:ip} %{WORD:verb} %{NUMBER:code}$")
+            )
+        ]
+    )(df)
+    rows = [r.asDict(recursive=True)["g"] for r in out.collect()]
+    assert rows[0] == {"ip": "10.1.2.3", "verb": "GET", "code": "200"}
+    assert rows[1] == {"ip": None, "verb": None, "code": None}
+
+
+def test_grok_dotted_fields_nest(spark):
+    df = spark.createDataFrame([("10.0.0.1",)], ["addr"])
+    out = compile_pipeline(
+        [Assign("g", Fn("parse_grok", P("addr"), pattern="^%{IP:source.ip}$"))]
+    )(df)
+    assert row(out)["g"] == {"source": {"ip": "10.0.0.1"}}
+
+
+def test_parse_vpcflow(spark):
+    line = "2 123456789012 eni-0a1b2c3d 10.0.0.1 10.0.0.2 443 49152 6 10 8400 1714567800 1714567860 ACCEPT OK"
+    df = spark.createDataFrame([(line,)], ["msg"])
+    out = compile_pipeline([Assign("v", Fn("parse_aws_vpc_flow_log", P("msg")))])(df)
+    v = row(out)["v"]
+    assert v["version"] == 2
+    assert v["srcaddr"] == "10.0.0.1"
+    assert v["dstport"] == 49152
+    assert v["bytes"] == 8400
+    assert v["action"] == "ACCEPT"
+
+
+def test_parse_user_agent(spark):
+    df = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36",),
+            ("curl/8.0.1",),
+        ],
+        ["ua"],
+    )
+    out = compile_pipeline([Assign("p", Fn("parse_user_agent", P("ua")))])(df)
+    rows = [r.asDict(recursive=True)["p"] for r in out.collect()]
+    assert rows[0] == {"browser": "Chrome", "os": "Windows", "device": "Other"}
+    assert rows[1]["browser"] == "curl"
+
+
+def test_misc_functions(spark):
+    df = spark.createDataFrame([("Hello World", 12, 10)], ["s", "a", "b"])
+    out = compile_pipeline(
+        [
+            Assign("lo", Fn("downcase", P("s"))),
+            Assign("and_", Fn("bitwise_and", P("a"), P("b"))),
+            Assign("pos", Fn("find", P("s"), substring="World")),
+            Assign("rep", Fn("replace", P("s"), pattern="l+", **{"with": "L", "regex": True})),
+            Assign("m", Fn("match", P("s"), pattern="^Hello")),
+        ]
+    )(df)
+    r = row(out)
+    assert r["lo"] == "hello world"
+    assert r["and_"] == 8
+    assert r["pos"] == 6
+    assert r["rep"] == "HeLo WorLd"
+    assert r["m"] is True
+
+
+def test_ecs_footer_style_pipeline(spark):
+    """Mini CloudTrail-style end-to-end slice (FIXTURES.md B1):
+    wrap/unwrap + grok + related.ip push + ecs.version stamp."""
+    df = spark.createDataFrame(
+        [("10.1.2.3", "GetObject", "s3.amazonaws.com", "2024-05-01T12:34:56Z")],
+        ["sourceIPAddress", "eventName", "eventSource", "eventTime"],
+    )
+    pipeline = compile_pipeline(
+        [
+            Assign("ts", Fn("to_timestamp", P("eventTime"))),
+            Assign("event.action", P("eventName")),
+            Assign("event.provider", P("eventSource")),
+            Assign("source.address", P("sourceIPAddress")),
+            When(
+                Fn("is_ipv4", P("sourceIPAddress")),
+                [Assign("source.ip", P("sourceIPAddress"))],
+            ),
+            Assign("related.ip", Fn("push", P("related.ip"), P("source.ip"))),
+            Delete("eventTime"),
+            Delete("eventName"),
+            Delete("eventSource"),
+            Delete("sourceIPAddress"),
+            Assign("ecs.version", L("8.5.0")),
+        ]
+    )
+    r = row(pipeline(df))
+    assert r["ts"] == dt.datetime(2024, 5, 1, 12, 34, 56)
+    assert r["event"] == {"action": "GetObject", "provider": "s3.amazonaws.com"}
+    assert r["source"] == {"address": "10.1.2.3", "ip": "10.1.2.3"}
+    assert r["related"] == {"ip": ["10.1.2.3"]}
+    assert r["ecs"] == {"version": "8.5.0"}
+    assert sorted(pipeline(df).columns) == ["ecs", "event", "related", "source", "ts"]
