@@ -1,0 +1,155 @@
+"""Streaming alert state machine: the batch fold of operators.alerts
+run continuously with keyed state (SURVEY.md W2/W3 Spark mapping:
+"flatMapGroupsWithState with event-time timeout = dedup window" —
+PySpark's applyInPandasWithState).
+
+State per (rule_name, dedupe): (anchor_us, count, activated) — the
+open alert. Each micro-batch folds its matches with the SAME
+recurrence as the batch operator (matano_alerts.rs:92-307 semantics)
+and emits upsert rows for every alert touched; downstream a
+`foreachBatch` MERGE keeps the alerts table current (J5 — the
+reference rewrites whole partitions; row-level upsert is the Spark
+equivalent, SURVEY §7 "alert partition rewrites").
+
+State eviction: a key whose window expired long ago only holds 3
+ints; timeouts evict idle keys so state stays bounded by the active
+key set, not history.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from matano_spark.operators.alerts import ALERT_SCHEMA, alert_id_for
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("anchor_us", T.LongType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("activated", T.BooleanType()),
+        T.StructField("created_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def make_fold(threshold: int, window_seconds: int):
+    window_us = window_seconds * 1_000_000
+
+    def fold(
+        key: Tuple[str, str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        rule_name, dedupe = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        anchor_us, count, activated, created_us, last_us = (
+            state.get if state.exists else (None, 0, False, None, None)
+        )
+        emitted: dict[int, dict[str, Any]] = {}
+
+        def snapshot():
+            emitted[anchor_us] = {
+                "rule_name": rule_name,
+                "dedupe": dedupe,
+                "alert_id": alert_id_for(rule_name, dedupe, anchor_us),
+                "first_matched_at": pd.Timestamp(anchor_us, unit="us"),
+                "last_matched_at": pd.Timestamp(last_us, unit="us"),
+                "match_count": count,
+                "activated": activated,
+                "created_at": (
+                    pd.Timestamp(created_us, unit="us") if created_us else None
+                ),
+            }
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "match_id"], kind="mergesort")
+            for t in pdf["ts"]:
+                t_us = int(pd.Timestamp(t).value // 1000)
+                if anchor_us is None or t_us - anchor_us >= window_us:
+                    anchor_us, count, activated, created_us = t_us, 0, False, None
+                count += 1
+                last_us = t_us
+                if not activated and count >= threshold:
+                    activated = True
+                    created_us = t_us
+                snapshot()
+        if anchor_us is not None:
+            state.update((anchor_us, count, activated, created_us, last_us))
+            state.setTimeoutDuration(window_seconds * 1000 * 4)
+        if emitted:
+            yield pd.DataFrame(list(emitted.values()))
+
+    return fold
+
+
+def streaming_alerts(
+    matches: DataFrame, threshold: int = 1, window_seconds: int = 3600
+) -> DataFrame:
+    """matches stream (rule_name, dedupe, ts, match_id) → alert upsert
+    stream (ALERT_SCHEMA). Output mode must be `update`."""
+    return (
+        matches.groupBy("rule_name", "dedupe")
+        .applyInPandasWithState(
+            make_fold(threshold, window_seconds),
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_streaming_alerts_to_dir(
+    matches: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: int = 1,
+    window_seconds: int = 3600,
+):
+    """Sink the alert upserts: per micro-batch, last-writer-wins MERGE
+    into a parquet state table keyed by alert_id (Iceberg MERGE INTO
+    where available — ref Enrichment.kt:305-324 J4 shape)."""
+    alerts = streaming_alerts(matches, threshold, window_seconds)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        new = batch
+        if os.path.exists(out_dir):
+            old = spark.read.parquet(out_dir)
+            merged = old.unionByName(new)
+        else:
+            merged = new
+        w = W.partitionBy("alert_id").orderBy(
+            F.desc("match_count"), F.desc("last_matched_at")
+        )
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        latest.persist()
+        latest.count()
+        latest.write.mode("overwrite").parquet(out_dir + ".tmp")
+        spark.read.parquet(out_dir + ".tmp").write.mode("overwrite").parquet(out_dir)
+        latest.unpersist()
+
+    return (
+        alerts.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

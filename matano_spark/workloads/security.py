@@ -387,3 +387,93 @@ def vrl_transform_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipeline(ev)
+
+
+@query(
+    "detections_rule_matches",
+    oracle="""
+    SELECT 'error_burst' AS rule_name,
+           md5('error_burst:' || CAST(event_id AS VARCHAR)) AS match_id,
+           CAST(user_id AS VARCHAR) AS dedupe,
+           'Error burst by user ' || CAST(user_id AS VARCHAR) AS title,
+           'high' AS severity,
+           ts
+    FROM events
+    WHERE event_type = 'error' AND value > 5.0
+    """,
+)
+def detections_rule_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 detections-as-code: a matano-style Python detect() module
+    runs unmodified through the Arrow-batched mapInPandas harness
+    (matano_spark.detections); the oracle is the equivalent relational
+    predicate — proving the Python path produces exactly the rows the
+    declarative path would. Match ids are deterministic digests."""
+    from matano_spark.detections import Detection, run_detections
+
+    det = Detection(
+        name="error_burst",
+        detect=lambda r: r.deepget("event_type") == "error"
+        and r.deepget("value", 0.0) > 5.0,
+        dedupe=lambda r: r.deepget("user_id"),
+        title=lambda r: f"Error burst by user {r.deepget('user_id')}",
+        severity="high",
+        threshold=ALERT_THRESHOLD,
+    )
+    ev = t(spark, sf_dir, "events")
+    out = run_detections(ev, [det], ts_col="ts", key_col="event_id")
+    return out.select("rule_name", "match_id", "dedupe", "title", "severity", "ts")
+
+
+@query(
+    "alert_state_machine",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT CAST(user_id AS VARCHAR) AS dedupe, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT dedupe, ts, rn, ts AS anchor FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m.dedupe, m.ts, m.rn,
+             CASE WHEN m.ts >= r.anchor + INTERVAL 3600 SECONDS
+                  THEN m.ts ELSE r.anchor END AS anchor
+      FROM m JOIN r ON m.dedupe = r.dedupe AND m.rn = r.rn + 1
+    ),
+    numbered AS (
+      SELECT dedupe, anchor, ts,
+             ROW_NUMBER() OVER (PARTITION BY dedupe, anchor ORDER BY ts, rn)
+               AS rn_in_alert
+      FROM r
+    )
+    SELECT 'error_burst' AS rule_name, dedupe,
+           md5('error_burst:' || dedupe || ':' ||
+               CAST(epoch_us(anchor) AS VARCHAR)) AS alert_id,
+           anchor AS first_matched_at,
+           max(ts) AS last_matched_at,
+           COUNT(*) AS match_count,
+           COUNT(*) >= 5 AS activated,
+           max(CASE WHEN rn_in_alert = 5 THEN ts END) AS created_at
+    FROM numbered GROUP BY dedupe, anchor
+    """,
+)
+def alert_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 fixed-anchor alert aggregation (ref: matano_alerts.rs:
+    92-307): matches within 3600s of an alert's FIRST match join it;
+    the next match after expiry opens a new alert; activation at the
+    5th match stamps created_at. Spark side is a per-key sequential
+    fold in applyInPandas (operators.alerts); the oracle replays the
+    identical recurrence with a recursive CTE — a full value-level
+    check of the state machine, not just row counts."""
+    from matano_spark.operators.alerts import aggregate_alerts
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    matches = ev.select(
+        F.lit("error_burst").alias("rule_name"),
+        F.col("user_id").cast("string").alias("dedupe"),
+        F.col("ts"),
+        F.col("event_id").cast("string").alias("match_id"),
+    )
+    return aggregate_alerts(
+        matches, threshold=ALERT_THRESHOLD, window_seconds=3600
+    )

@@ -1,0 +1,147 @@
+"""Streaming tests: ingest with quarantine conservation (S17) and the
+stateful alert machine across micro-batches (W2/W3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from matano_spark.streaming.alerting import run_streaming_alerts_to_dir
+from matano_spark.streaming.ingest import ingest_counts, run_ingest
+from matano_spark.transform import Assign, Fn, L, P, compile_pipeline
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="matano_spark_test_")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_time", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("src_ip", T.StringType()),
+    ]
+)
+
+
+def test_ingest_transform_partition_quarantine(spark, tmpdir):
+    src = tmpdir / "src"
+    src.mkdir()
+    rows = [
+        {"event_time": "2024-05-01T10:15:00Z", "action": "GetObject", "src_ip": "10.0.0.1"},
+        {"event_time": "2024-05-01T10:45:00Z", "action": "PutObject", "src_ip": "10.0.0.2"},
+        {"event_time": "2024-05-01T11:05:00Z", "action": "GetObject", "src_ip": "10.0.0.3"},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows[:2]:
+            f.write(json.dumps(r) + "\n")
+        f.write("this is not json at all{{{\n")  # → quarantine
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps(rows[2]) + "\n")
+
+    pipeline = compile_pipeline(
+        [
+            Assign("ts", Fn("to_timestamp", P("event_time"))),
+            Assign("event.action", P("action")),
+            Assign("source.ip", P("src_ip")),
+            Assign("ecs.version", L("8.5.0")),
+        ]
+    )
+    out_dir = str(tmpdir / "lake")
+    quar_dir = str(tmpdir / "quarantine")
+    q = run_ingest(
+        spark,
+        str(src),
+        EVENT_SCHEMA,
+        pipeline,
+        out_dir,
+        str(tmpdir / "ckpt"),
+        quar_dir,
+        log_source="test_source",
+    )
+    q.awaitTermination(120)
+
+    lake = spark.read.parquet(out_dir)
+    n_out, n_quar = ingest_counts(spark, out_dir, quar_dir)
+    assert (n_out, n_quar) == (3, 1)  # rows_in = rows_out + sidelined
+    # hour partitioning (W1): 10:15+10:45 in one partition, 11:05 in next
+    parts = {r.ts_hour for r in lake.select("ts_hour").collect()}
+    assert parts == {"2024-05-01-10", "2024-05-01-11"}
+    got = {r.asDict(recursive=True)["event"]["action"] for r in lake.collect()}
+    assert got == {"GetObject", "PutObject"}
+    quar = spark.read.parquet(quar_dir).collect()
+    assert quar[0].log_source == "test_source"
+    assert "not json" in quar[0].raw
+
+    # exactly-once: restart over the same directory → no new rows (S16)
+    q2 = run_ingest(
+        spark, str(src), EVENT_SCHEMA, pipeline, out_dir,
+        str(tmpdir / "ckpt"), quar_dir, log_source="test_source",
+    )
+    q2.awaitTermination(120)
+    assert ingest_counts(spark, out_dir, quar_dir) == (3, 1)
+
+
+def test_streaming_alerts_state_across_batches(spark, tmpdir):
+    """Matches arrive in two micro-batches; the alert anchored in batch
+    one must accumulate counts (not reset) in batch two."""
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    src = tmpdir / "matches"
+    src.mkdir()
+
+    def write_file(name, minutes):
+        with open(src / name, "w") as f:
+            for i, m in enumerate(minutes):
+                f.write(
+                    json.dumps(
+                        {
+                            "rule_name": "brute_force",
+                            "dedupe": "1.2.3.4",
+                            "ts": (t0 + dt.timedelta(minutes=m)).isoformat(),
+                            "match_id": f"{name}-{i}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    write_file("batch1.json", [0, 2, 5])
+    write_file("batch2.json", [9, 12])  # 5th match → activation
+
+    schema = T.StructType(
+        [
+            T.StructField("rule_name", T.StringType()),
+            T.StructField("dedupe", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("match_id", T.StringType()),
+        ]
+    )
+    matches = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .load(str(src))
+    )
+    out_dir = str(tmpdir / "alerts")
+    q = run_streaming_alerts_to_dir(
+        matches, out_dir, str(tmpdir / "ckpt"),
+        threshold=5, window_seconds=15 * 60,
+    )
+    q.awaitTermination(180)
+
+    alerts = [r.asDict() for r in spark.read.parquet(out_dir).collect()]
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a["match_count"] == 5
+    assert a["activated"] is True
+    assert a["first_matched_at"] == t0
+    assert a["created_at"] == t0 + dt.timedelta(minutes=12)
