@@ -1,0 +1,108 @@
+"""Enrichment tables: small dimension tables joined into the hot path
+(SURVEY.md §2.5 J1/J2/J4, §2.6 W5, §2.9 M5).
+
+The reference materializes each enrichment table as an mmapped Avro
+snapshot + JSON hash index and does per-row point lookups from VRL and
+Python (shared/src/functions.rs:108-255, avro_index.rs:44-156). In
+Spark that whole cycle is a **broadcast hash join**: the table is
+small by construction, the executor-local hash relation IS the index,
+and re-reading it per micro-batch IS the 3-minute sync (enrichment.ts:
+96-109) — Structured Streaming re-plans the broadcast every batch.
+
+Write modes (ref Enrichment.kt:336-366; MERGE SQL :305-324):
+  overwrite — replace the table wholesale (snapshot-style feeds)
+  append    — add rows
+  merge     — upsert by primary key (MERGE INTO on Iceberg; on the
+              parquet fallback: union + latest-wins window)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+class EnrichmentStore:
+    """Directory-backed enrichment tables (parquet fallback; with an
+    Iceberg catalog the same API maps to saveAsTable/MERGE INTO)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        primary_key: str | None = None,
+    ) -> None:
+        path = self._path(name)
+        if mode == "overwrite" or not os.path.exists(path):
+            df.write.mode("overwrite").parquet(path + ".tmp")
+            self.spark.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
+            return
+        if mode == "append":
+            df.write.mode("append").parquet(path)
+            return
+        if mode == "merge":
+            if not primary_key:
+                raise ValueError("merge mode requires primary_key")
+            # MERGE INTO ... WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT
+            # (ref Enrichment.kt:314-321) — latest-wins emulation: new
+            # rows rank above old for the same key.
+            old = self.read(name).withColumn("__gen", F.lit(0))
+            new = df.withColumn("__gen", F.lit(1))
+            w = W.partitionBy(primary_key).orderBy(F.desc("__gen"))
+            merged = (
+                old.unionByName(new, allowMissingColumns=True)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__gen")
+            )
+            merged.persist()
+            merged.count()
+            merged.write.mode("overwrite").parquet(path + ".tmp")
+            self.spark.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
+            merged.unpersist()
+            return
+        raise ValueError(f"unknown write mode {mode!r}")
+
+
+def enrich(
+    df: DataFrame,
+    enrichment: DataFrame,
+    on: dict[str, str],
+    select: list[str] | None = None,
+    target: str = "enrichment",
+) -> DataFrame:
+    """get_enrichment_table_record as a relational operator (J1).
+
+    on: {event_column: enrichment_column} equality keys (the bare
+    string / single-pair lookup forms, functions.rs:216-250).
+    select: projected enrichment columns (:113-124 → Catalyst column
+    pruning on the broadcast side). The looked-up record lands as one
+    struct column `target` — null on miss, like the VRL fn."""
+    proj = enrichment
+    if select:
+        proj = proj.select(*set(list(on.values()) + select))
+    keep = select or [c for c in proj.columns if c not in on.values()]
+    packed = proj.select(
+        *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(on.values())],
+        F.struct(*[F.col(c) for c in keep]).alias(target),
+    )
+    cond: Column | None = None
+    for i, ev_col in enumerate(on.keys()):
+        c = df[ev_col] == packed[f"__k_{i}"]
+        cond = c if cond is None else (cond & c)
+    out = df.join(F.broadcast(packed), cond, "left")
+    return out.drop(*[f"__k_{i}" for i in range(len(on))])

@@ -580,3 +580,32 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a training-data pipeline."""
     emb = t(spark, sf_dir, "embeddings")
     return S.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.3)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 4096 AS INTEGER) AS width,
+           CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 4096 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: wrap a payload as the binary
+    modality struct, run the Arrow-batched (stub) decode kernel, emit
+    per-item features (operators.multimodal). The deterministic fake
+    decoder makes even the Python decode stage oracle-checkable; a real
+    imaging decode drops into the same mapInPandas slot."""
+    from matano_spark.operators.multimodal import (
+        attach_binary_column,
+        decode_image_features,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    media = attach_binary_column(payload, "doc_id", "payload", "text/plain")
+    return decode_image_features(media, fake=True)

@@ -1,0 +1,92 @@
+"""Maintenance (M1/M4), multimodal plumbing, and remote cache (A6)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from matano_spark.detections.cache import LocalRemoteCache
+from matano_spark.operators.maintenance import (
+    compact_parquet_dir,
+    maintenance_sql,
+    register_flattened_view,
+)
+from matano_spark.operators.multimodal import (
+    attach_binary_column,
+    decode_image_features,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="matano_spark_mm_")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_parquet_dir_binpack(spark, tmpdir):
+    path = str(tmpdir / "t")
+    df = spark.range(0, 10000).withColumn("v", F.rand(seed=1))
+    df.repartition(16).write.mode("overwrite").parquet(path)
+    n_files = len(glob.glob(path + "/*.parquet"))
+    assert n_files >= 16
+    before, after = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert before >= 16 and after == 1
+    assert spark.read.parquet(path).count() == 10000  # no data loss
+
+
+def test_maintenance_sql_shape():
+    sqls = maintenance_sql("matano.zeek_dns")
+    assert any("rewrite_data_files" in s for s in sqls)
+    assert any("expire_snapshots" in s for s in sqls)
+    assert any("rewrite_manifests" in s for s in sqls)
+
+
+def test_flattened_view_runs(spark):
+    df = spark.createDataFrame([(1, ("a", 2))], "id long, s struct<x:string, y:long>")
+    df.createOrReplaceTempView("mm_table")
+    sql = register_flattened_view(spark, "mm_table")
+    assert "s.x AS s_x" in sql
+    got = spark.table("mm_table_view").collect()[0].asDict()
+    assert got == {"id": 1, "s_x": "a", "s_y": 2}
+
+
+def test_multimodal_stub_pipeline(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes")), (2, bytearray(b"other"))],
+        "doc_id long, payload binary",
+    )
+    media = attach_binary_column(df, "doc_id", "payload", "image/png")
+    assert [f.name for f in media.schema["media"].dataType.fields] == ["data", "meta"]
+
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        decode_image_features(media, fake=False).collect()
+
+    feats = decode_image_features(media, fake=True)
+    rows = {r.id: r.asDict() for r in feats.collect()}
+    assert rows[1]["n_bytes"] == 16
+    assert rows[1]["mime"] == "image/png"
+    assert 0 <= rows[1]["width"] < 4096
+    # determinism
+    again = {r.id: r.asDict() for r in decode_image_features(media, fake=True).collect()}
+    assert again == rows
+
+
+def test_remote_cache_semantics():
+    now = [1000.0]
+    cache = LocalRemoteCache("bruteforce", ttl_seconds=60, clock=lambda: now[0])
+    assert cache.increment_counter("ip:1.2.3.4") == 1
+    assert cache.increment_counter("ip:1.2.3.4", 4) == 5
+    assert cache.add_to_string_set("users", "alice", "bob") == {"alice", "bob"}
+    assert cache.add_to_string_set("users", "bob", "carol") == {"alice", "bob", "carol"}
+    cache.set("k", "v", ttl=10)
+    assert cache.get("k") == "v"
+    now[0] += 11
+    assert cache.get("k", "gone") == "gone"  # TTL expiry
+    now[0] += 60
+    assert cache.increment_counter("ip:1.2.3.4") == 1  # counter expired

@@ -1,0 +1,102 @@
+"""Schema system tests (SURVEY §1.3 resolution pipeline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from matano_spark.schema import (
+    create_table_ddl,
+    fields_to_structtype,
+    flatten_columns,
+    flattened_view_sql,
+    merge_schemas,
+    resolve_schema,
+    structtype_to_fields,
+)
+
+
+def test_fields_to_structtype_dialect():
+    st = fields_to_structtype(
+        {
+            "ts": "timestamp",
+            "n": "long",
+            "tags": "list<string>",
+            "nested": {"a": "string", "b": {"c": "double"}},
+            "answers": {
+                "type": "list",
+                "element": {"type": "struct", "fields": {"ttl": "long"}},
+            },
+        }
+    )
+    assert st["ts"].dataType == T.TimestampType()
+    assert st["tags"].dataType == T.ArrayType(T.StringType())
+    assert st["nested"].dataType["b"].dataType["c"].dataType == T.DoubleType()
+    assert st["answers"].dataType == T.ArrayType(
+        T.StructType([T.StructField("ttl", T.LongType())])
+    )
+    # round-trip
+    assert fields_to_structtype(structtype_to_fields(st)) == st
+
+
+def test_resolve_schema_subset_and_defaults():
+    st = resolve_schema(
+        ["source.ip", "source.port", "event.action", "destination.geo.city_name"]
+    )
+    names = [f.name for f in st.fields]
+    assert names[0] == "ts"  # ts sorted first
+    assert set(names) == {"ts", "labels", "tags", "source", "event", "destination"}
+    src = st["source"].dataType
+    assert {f.name for f in src.fields} == {"ip", "port"}
+    dest_geo = st["destination"].dataType["geo"].dataType
+    assert [f.name for f in dest_geo.fields] == ["city_name"]
+
+
+def test_resolve_schema_custom_fields_merge_and_conflict():
+    st = resolve_schema(
+        ["user.name"],
+        custom_fields={"zeek": {"session_id": "string", "dns": {"trans_id": "long"}}},
+    )
+    assert st["zeek"].dataType["dns"].dataType["trans_id"].dataType == T.LongType()
+    with pytest.raises(ValueError, match="conflict"):
+        resolve_schema(["user.name"], custom_fields={"user": {"x": "string"}})
+
+
+def test_merge_schemas_evolution():
+    a = resolve_schema(["source.ip"])
+    b = resolve_schema(["source.port", "event.action"], add_defaults=False)
+    m = merge_schemas(a, b)
+    assert {f.name for f in m["source"].dataType.fields} == {"ip", "port"}
+    assert "event" in [f.name for f in m.fields]
+
+
+def test_ddl_and_flattened_view(spark):
+    st = resolve_schema(["source.ip", "event.action"])
+    ddl = create_table_ddl("matano.zeek_dns", st)
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (hours(ts))" in ddl
+    assert "zstd" in ddl
+
+    view_sql = flattened_view_sql("zeek_dns", st)
+    assert "source.ip AS source_ip" in view_sql
+    assert "event.action AS event_action" in view_sql
+
+    df = spark.createDataFrame(
+        [(("1.2.3.4",), ("login",))],
+        T.StructType(
+            [
+                T.StructField(
+                    "source", T.StructType([T.StructField("ip", T.StringType())])
+                ),
+                T.StructField(
+                    "event", T.StructType([T.StructField("action", T.StringType())])
+                ),
+            ]
+        ),
+    )
+    flat = flatten_columns(df)
+    assert flat.columns == ["source_ip", "event_action"]
+    assert flat.collect()[0].asDict() == {
+        "source_ip": "1.2.3.4",
+        "event_action": "login",
+    }
