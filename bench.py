@@ -29,6 +29,9 @@ HEADLINE = [
     "a1_rule_match_aggregation",
     "j1_enrichment_lookup",
     "w2_gap_sessions",
+    "vrl_transform_normalize",
+    "detections_rule_matches",
+    "alert_state_machine",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

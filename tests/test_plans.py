@@ -1,0 +1,69 @@
+"""Physical-plan regression tests — the scale contract (100 TB):
+filters must reach the parquet scan, dimension joins must broadcast
+(never sort-merge), and corpus-side relations must not be broadcast.
+A silent planner regression here is a cluster-scale outage, so the
+properties are pinned."""
+
+from __future__ import annotations
+
+import pytest
+
+from matano_spark.workloads import load_registry
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    reg = load_registry()
+
+    def plan_of(name: str) -> str:
+        df = reg[name].fn(spark, SF_SMALL)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_filters_push_to_scan(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+    p = plans("q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "GreaterThan(l_shipdate" in p
+
+    p = plans("alert_state_machine")
+    assert "EqualTo(event_type,error)" in p
+
+
+def test_dim_joins_broadcast_never_sortmerge(plans):
+    for name in (
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "j1_enrichment_lookup",
+        "q18_large_orders",
+    ):
+        p = plans(name)
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+
+def test_topk_uses_partial_topk_not_global_sort(plans):
+    # LIMIT over ORDER BY must plan as TakeOrderedAndProject
+    p = plans("q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(plans):
+    p = plans("sim_cosine_topk")
+    # query side (vec_id < 10) broadcast; corpus side streamed
+    assert "BroadcastNestedLoopJoin BuildRight" in p or "BroadcastNestedLoopJoin BuildLeft" in p
+    assert "LessThan(vec_id,10)" in p
+
+
+def test_column_pruning_reaches_scan(plans):
+    # q1 projects 7 of 11 lineitem columns; ReadSchema must not include
+    # the unused ones
+    p = plans("q1_pricing_summary")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
