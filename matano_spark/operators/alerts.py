@@ -60,44 +60,90 @@ def aggregate_alerts(
 
     matches: columns (rule_name, dedupe, ts, match_id). Returns one row
     per alert with ALERT_SCHEMA.
-    """
 
-    def fold(pdf):
+    Execution shape: repartition by key + sortWithinPartitions + ONE
+    mapInPandas pass per partition, carrying the open-alert state
+    across Arrow batch boundaries. This beats per-group applyInPandas
+    by an order of magnitude when keys are many and groups are small
+    (one pandas frame per ~10k-row batch instead of one per key), and
+    it is the same single-scan shape a 1000-executor run wants.
+    """
+    window_us = window_seconds * 1_000_000
+
+    def fold_partition(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        out = []
-        anchor = None
-        cur = None
-        for ts in zip(pdf[ts_col], pdf["rule_name"], pdf["dedupe"]):
-            t, rule, key = ts
-            if anchor is None or (t - anchor).total_seconds() >= window_seconds:
-                if cur is not None:
-                    out.append(cur)
-                anchor = t
-                first_us = int(pd.Timestamp(t).value // 1000)
-                cur = {
-                    "rule_name": rule,
-                    "dedupe": key,
-                    "alert_id": alert_id_for(rule, key, first_us),
-                    "first_matched_at": t,
-                    "last_matched_at": t,
-                    "match_count": 1,
-                    "activated": 1 >= threshold,
-                    "created_at": t if 1 >= threshold else None,
-                }
-            else:
-                cur["match_count"] += 1
-                cur["last_matched_at"] = t
-                if not cur["activated"] and cur["match_count"] >= threshold:
-                    cur["activated"] = True
-                    cur["created_at"] = t
-        if cur is not None:
-            out.append(cur)
-        return pd.DataFrame(out, columns=[f.name for f in ALERT_SCHEMA.fields])
+        out_cols = [f.name for f in ALERT_SCHEMA.fields]
+        state: dict | None = None  # open alert of the current key
+        cur_key: tuple | None = None
+        pending: list[dict] = []
+
+        def close():
+            nonlocal state
+            if state is not None:
+                pending.append(state)
+                state = None
+
+        for pdf in batches:
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for rule, key, t_us in zip(
+                pdf["rule_name"], pdf["dedupe"], ts_us
+            ):
+                k = (rule, key)
+                if k != cur_key:
+                    close()
+                    cur_key = k
+                t_us = int(t_us)
+                if state is None or t_us - state["_anchor_us"] >= window_us:
+                    close()
+                    state = {
+                        "rule_name": rule,
+                        "dedupe": key,
+                        "alert_id": alert_id_for(rule, key, t_us),
+                        "first_matched_at": pd.Timestamp(t_us * 1000),
+                        "last_matched_at": pd.Timestamp(t_us * 1000),
+                        "match_count": 1,
+                        "activated": 1 >= threshold,
+                        "created_at": (
+                            pd.Timestamp(t_us * 1000) if 1 >= threshold else None
+                        ),
+                        "_anchor_us": t_us,
+                    }
+                else:
+                    state["match_count"] += 1
+                    state["last_matched_at"] = pd.Timestamp(t_us * 1000)
+                    if (
+                        not state["activated"]
+                        and state["match_count"] >= threshold
+                    ):
+                        state["activated"] = True
+                        state["created_at"] = pd.Timestamp(t_us * 1000)
+            if len(pending) >= 10_000:
+                yield pd.DataFrame(pending, columns=out_cols)
+                pending.clear()
+        close()
+        if pending:
+            yield pd.DataFrame(pending, columns=out_cols)
+        else:
+            # typed empty frame — untyped empties infer float64 and fail
+            # the Arrow cast to timestamp
+            dtypes = {
+                "rule_name": "object",
+                "dedupe": "object",
+                "alert_id": "object",
+                "first_matched_at": "datetime64[ns]",
+                "last_matched_at": "datetime64[ns]",
+                "match_count": "int64",
+                "activated": "bool",
+                "created_at": "datetime64[ns]",
+            }
+            yield pd.DataFrame(
+                {c: pd.Series(dtype=dtypes[c]) for c in out_cols}
+            )
 
     return (
         matches.select("rule_name", "dedupe", ts_col, id_col)
-        .groupBy("rule_name", "dedupe")
-        .applyInPandas(lambda pdf: fold(pdf), ALERT_SCHEMA)
+        .repartition("rule_name", "dedupe")
+        .sortWithinPartitions("rule_name", "dedupe", ts_col, id_col)
+        .mapInPandas(fold_partition, ALERT_SCHEMA)
     )

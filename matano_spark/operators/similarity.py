@@ -43,6 +43,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine() with the per-row norms hoisted OUT of the pair join —
+    O(n) norm folds instead of O(pairs); bit-identical result (same
+    ops in the same order, just evaluated once per row)."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def plane_sign(j: int, d_col: Column) -> Column:
     """Deterministic +-1 weight of hyperplane j at dimension d."""
     mix = (F.lit(j * _MIX_J) + d_col * _MIX_D) % P
@@ -85,14 +96,23 @@ def cosine_topk(
     the final per-query top-k, which is a partial top-k under AQE.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -120,17 +140,24 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -156,6 +183,7 @@ def embedding_near_dups(
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
+        norm(F.col(vec_col)).alias("vnorm"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
@@ -165,7 +193,15 @@ def embedding_near_dups(
             (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .withColumn("cosine", cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col(f"l.{vec_col}"),
+                F.col(f"r.{vec_col}"),
+                F.col("l.vnorm"),
+                F.col("r.vnorm"),
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
