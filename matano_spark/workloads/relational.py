@@ -438,3 +438,128 @@ def setops_active_not_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     part_c = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
     return open_c.subtract(part_c)  # EXCEPT DISTINCT semantics
+
+
+@query(
+    "setops_repeat_buyers",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def setops_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT: customers ordering in both years."""
+    orders = t(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey AS pk, {sql_davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l_extendedprice')} AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: correlated aggregate decorrelated into a
+    self-aggregation join — revenue of below-half-average-quantity
+    line items. The per-part average reuses the lineitem shuffle key
+    (l_partkey) so AQE can co-locate both sides."""
+    li = t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_prospects_anti_join",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_prospects_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: scalar-subquery threshold + anti join
+    (customers above average balance with no orders before 1996)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+            ),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "quantile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           quantile_cont(l_quantity, 0.5) AS med_qty,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + distinct counts (the
+    'delegated to Athena' analytics surface, SURVEY §2.4 note). Both
+    engines use linear interpolation over the sorted values, so even
+    these match bit-for-bit. At 100 TB the approximate forms
+    (approx_percentile / approx_count_distinct) swap in per-call."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.percentile("l_quantity", 0.5).alias("med_qty"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+    )

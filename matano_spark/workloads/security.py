@@ -477,3 +477,33 @@ def alert_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_alerts(
         matches, threshold=ALERT_THRESHOLD, window_seconds=3600
     )
+
+
+@query(
+    "w3_threshold_windows",
+    oracle="""
+    SELECT user_id,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900)
+                AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_errors
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def w3_threshold_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (stateless form): threshold-in-tumbling-window alerting —
+    the brute-force-detection shape (N failures / 15 min) as a pure
+    windowed aggregate; the stateful fixed-anchor form lives in
+    alert_state_machine. window() is expressed via epoch floor so the
+    oracle is exact."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    win = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col("ts")) / 900)).cast("bigint") * 900
+    )
+    return (
+        ev.groupBy(F.col("user_id"), win.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= 2)
+    )
