@@ -1,0 +1,130 @@
+"""Log-source configuration loader (SURVEY.md §1.3 steps 1-3).
+
+A log source is a directory:
+    log_source.yml          — name, ingest options, source-level
+                              transform (VRL text), schema.ecs_field_names
+    tables/<table>.yml      — per-table schema + transform
+
+Reference semantics reproduced (infra/lib/log-source.ts):
+- managed + user configs deep-merge, managed transform PREPENDED
+  (:19-41,295-309)
+- log-source transform and table transform CONCATENATE (:430-449)
+- resolved schema = resolveSchema(ecs_field_names, custom fields)
+  with ts/labels/tags defaults, ts sorted first (:457-458)
+
+`build_table` compiles the concatenated program with the transform
+parser and returns (StructType, pipeline, ingest options) — everything
+the streaming ingest job needs for the table.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import yaml
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from matano_spark.schema.resolve import resolve_schema
+from matano_spark.transform.parser import parse_program
+
+
+def _deep_merge(dst: dict, src: dict) -> dict:
+    for k, v in src.items():
+        if k in dst and isinstance(dst[k], dict) and isinstance(v, dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
+
+
+@dataclass
+class TableDef:
+    log_source: str
+    name: str
+    schema: T.StructType
+    transform_src: str
+    pipeline: Callable[[DataFrame], DataFrame]
+    ingest: dict[str, Any] = field(default_factory=dict)
+
+
+def merge_configs(managed: dict, user: dict) -> dict:
+    """Managed+user deep merge; transforms concatenate with the
+    managed program FIRST (log-source.ts:19-41)."""
+    managed_tf = (managed.get("transform") or "").strip()
+    user_tf = (user.get("transform") or "").strip()
+    out = _deep_merge({k: v for k, v in managed.items() if k != "transform"}, {
+        k: v for k, v in user.items() if k != "transform"
+    })
+    combined = "\n".join(x for x in (managed_tf, user_tf) if x)
+    if combined:
+        out["transform"] = combined
+    return out
+
+
+def load_log_source(path: str, user_overrides: dict | None = None) -> list[TableDef]:
+    """Load a log-source directory into compiled TableDefs."""
+    with open(os.path.join(path, "log_source.yml")) as f:
+        source_cfg = yaml.safe_load(f) or {}
+    if user_overrides:
+        source_cfg = merge_configs(source_cfg, user_overrides)
+    name = source_cfg.get("name") or os.path.basename(path.rstrip("/"))
+
+    tables_dir = os.path.join(path, "tables")
+    table_files = (
+        sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []
+    )
+    if not table_files:
+        table_files = ["default"]
+
+    defs: list[TableDef] = []
+    for tf in table_files:
+        if tf == "default" and not os.path.isdir(tables_dir):
+            table_cfg: dict = {}
+            tname = "default"
+        else:
+            with open(os.path.join(tables_dir, tf)) as f:
+                table_cfg = yaml.safe_load(f) or {}
+            tname = table_cfg.get("name") or os.path.splitext(tf)[0]
+        defs.append(build_table(name, tname, source_cfg, table_cfg))
+    return defs
+
+
+def build_table(
+    source_name: str, table_name: str, source_cfg: dict, table_cfg: dict
+) -> TableDef:
+    src_schema = source_cfg.get("schema") or {}
+    tbl_schema = table_cfg.get("schema") or {}
+    ecs_names = list(
+        dict.fromkeys(
+            (src_schema.get("ecs_field_names") or [])
+            + (tbl_schema.get("ecs_field_names") or [])
+        )
+    )
+    custom = {}
+    for fields in (src_schema.get("fields"), tbl_schema.get("fields")):
+        if fields:
+            _deep_merge(custom, fields)
+    schema = resolve_schema(ecs_names, custom or None)
+
+    # transforms concatenate: log-source first, then table
+    # (log-source.ts:430-449)
+    parts = [
+        (source_cfg.get("transform") or "").strip(),
+        (table_cfg.get("transform") or "").strip(),
+    ]
+    transform_src = "\n".join(p for p in parts if p)
+    from matano_spark.transform.compiler import compile_pipeline
+
+    pipeline = compile_pipeline(parse_program(transform_src))
+    return TableDef(
+        log_source=source_name,
+        name=table_name,
+        schema=schema,
+        transform_src=transform_src,
+        pipeline=pipeline,
+        ingest=source_cfg.get("ingest") or {},
+    )

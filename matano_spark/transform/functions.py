@@ -632,3 +632,36 @@ def _merge(args, kw):
 @fn("exists")
 def _exists(args, kw):
     return _c(args[0]).isNotNull(), T.BooleanType()
+
+
+@fn("coalesce")
+def _coalesce(args, kw):
+    """VRL `??` error/null coalescing: fallible exprs compile to
+    null-on-error try_* forms, so `a ?? b` is plain COALESCE."""
+    t = next((_t(a) for a in args if _t(a) is not None), T.StringType())
+    return F.coalesce(*[_c(a) for a in args]), t
+
+
+@fn("concat_or_add")
+def _concat_or_add(args, kw):
+    """VRL `+`: string concatenation when either side is a string,
+    numeric addition otherwise (resolved statically from schema)."""
+    lt, rt = _t(args[0]), _t(args[1])
+    if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
+        return F.concat(_c(args[0]).cast("string"), _c(args[1]).cast("string")), T.StringType()
+    return _c(args[0]) + _c(args[1]), lt or rt or T.DoubleType()
+
+
+@fn("floor")
+def _floor(args, kw):
+    return F.floor(_c(args[0])), T.LongType()
+
+
+@fn("ceil")
+def _ceil(args, kw):
+    return F.ceil(_c(args[0])), T.LongType()
+
+
+@fn("abs")
+def _abs(args, kw):
+    return F.abs(_c(args[0])), _t(args[0]) or T.DoubleType()

@@ -1,0 +1,299 @@
+"""Parser: VRL-style transform program text → transform-DSL steps.
+
+The reference's per-table transforms are VRL source strings embedded in
+YAML (e.g. data/managed/log_sources/*/log_source.yml). This parser
+covers the practical subset those programs use so matano-style config
+can run here with the program text intact:
+
+  .a.b = expr                  assignment (path creation)
+  .a = del(.b.c)               move
+  del(.a.b)                    delete
+  abort                        skip row (inside if: conditional skip)
+  if cond { steps } else if cond { steps } else { steps }
+  fn(args..., name: value)     scalar calls (transform.functions)
+  fn!(...)                     fallible marker (same builder; try_*)
+  expr ?? expr                 error/null coalesce
+  literals                     "str", 'str', 123, 1.5, true, false, null
+  operators                    == != < <= > >= && || ! + - * / %
+  string concat                "a" + .field
+
+Deliberately out of scope (compile-time rewrites in this engine, or
+unused by managed sources): closures `|k, v|`, `%`-metadata paths,
+dynamic path indexing `.a[.b]`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from matano_spark.transform import ast
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<float>\d+\.\d+)
+  | (?P<int>\d+)
+  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||[=<>!+\-*/%(),{}:;])
+  | (?P<path>\.[A-Za-z_][\w.]*|\.)
+  | (?P<name>[A-Za-z_][\w]*!?)
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {"if", "else", "abort", "true", "false", "null", "del"}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    out: list[Tok] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"bad character {src[pos]!r} at {pos}")
+        kind = m.lastgroup
+        text = m.group()
+        if kind != "ws":
+            out.append(Tok(kind, text, pos))
+        pos = m.end()
+    out.append(Tok("eof", "", pos))
+    return out
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    # -- program ------------------------------------------------------
+    def parse_program(self) -> list[ast.Step]:
+        steps: list[ast.Step] = []
+        while self.peek().kind != "eof" and self.peek().text != "}":
+            steps.append(self.parse_step())
+            while self.accept(";"):
+                pass
+        return steps
+
+    def parse_step(self) -> ast.Step:
+        t = self.peek()
+        if t.text == "if":
+            return self.parse_if()
+        if t.text == "abort":
+            self.next()
+            return ast.AbortIf(ast.L(True))
+        if t.text == "del":
+            self.next()
+            self.expect("(")
+            path = self.expect_path()
+            self.expect(")")
+            return ast.Delete(path)
+        if t.kind == "path":
+            path = self.next().text.lstrip(".")
+            self.expect("=")
+            # move form: .a = del(.b)
+            if self.peek().text == "del":
+                save = self.i
+                self.next()
+                if self.accept("("):
+                    src = self.expect_path()
+                    self.expect(")")
+                    if self.peek().text not in ("??",) and not self._is_expr_continuation():
+                        return ast.Move(path, src)
+                self.i = save
+            return ast.Assign(path, self.parse_expr())
+        raise SyntaxError(f"unexpected {t.text!r} at {t.pos}")
+
+    def _is_expr_continuation(self) -> bool:
+        return self.peek().text in ("+", "-", "*", "/", "%", "==", "!=",
+                                     "<", "<=", ">", ">=", "&&", "||")
+
+    def parse_if(self) -> ast.When:
+        self.expect("if")
+        cond = self.parse_expr()
+        self.expect("{")
+        steps = self.parse_program()
+        self.expect("}")
+        orelse: tuple = ()
+        if self.accept("else"):
+            if self.peek().text == "if":
+                orelse = (self.parse_if(),)
+            else:
+                self.expect("{")
+                orelse = tuple(self.parse_program())
+                self.expect("}")
+        # `abort` inside an if means conditional row skip
+        steps2 = tuple(
+            ast.AbortIf(cond) if isinstance(s, ast.AbortIf) else s for s in steps
+        )
+        if steps2 and all(isinstance(s, ast.AbortIf) for s in steps2):
+            return steps2[0]
+        return ast.When(cond, steps2, orelse)
+
+    def expect_path(self) -> str:
+        t = self.next()
+        if t.kind != "path":
+            raise SyntaxError(f"expected path, got {t.text!r} at {t.pos}")
+        return t.text.lstrip(".")
+
+    # -- expressions (precedence climbing) -----------------------------
+    def parse_expr(self) -> Any:
+        return self.parse_coalesce()
+
+    def parse_coalesce(self) -> Any:
+        left = self.parse_or()
+        while self.accept("??"):
+            right = self.parse_or()
+            left = ast.Fn("coalesce", left, right)
+        return left
+
+    def parse_or(self) -> Any:
+        left = self.parse_and()
+        while self.accept("||"):
+            left = ast.BinOp("|", left, self.parse_and())
+        return left
+
+    def parse_and(self) -> Any:
+        left = self.parse_cmp()
+        while self.accept("&&"):
+            left = ast.BinOp("&", left, self.parse_cmp())
+        return left
+
+    def parse_cmp(self) -> Any:
+        left = self.parse_add()
+        while self.peek().text in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next().text
+            left = ast.BinOp(op, left, self.parse_add())
+        return left
+
+    def parse_add(self) -> Any:
+        left = self.parse_mul()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            right = self.parse_mul()
+            left = ast.Fn("concat_or_add", left, right) if op == "+" else ast.BinOp(
+                "-", left, right
+            )
+        return left
+
+    def parse_mul(self) -> Any:
+        left = self.parse_unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            left = ast.BinOp(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self) -> Any:
+        if self.accept("!"):
+            return ast.UnaryOp("!", self.parse_unary())
+        if self.accept("-"):
+            operand = self.parse_unary()
+            return ast.BinOp("-", ast.L(0), operand)
+        return self.parse_atom()
+
+    def parse_atom(self) -> Any:
+        t = self.next()
+        if t.kind == "string":
+            return ast.L(_unquote(t.text))
+        if t.kind == "int":
+            return ast.L(int(t.text))
+        if t.kind == "float":
+            return ast.L(float(t.text))
+        if t.kind == "path":
+            return ast.P(t.text.lstrip("."))
+        if t.text == "(":
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.kind == "name":
+            name = t.text
+            if name == "true":
+                return ast.L(True)
+            if name == "false":
+                return ast.L(False)
+            if name == "null":
+                return ast.L(None)
+            if name == "del":
+                # expression-position del(.p): read + delete — the
+                # compiler's Move handles statement form; in expression
+                # position we read the value (delete folded separately)
+                self.expect("(")
+                p = self.expect_path()
+                self.expect(")")
+                return ast.P(p)
+            fallible = name.endswith("!")
+            fn_name = name.rstrip("!")
+            self.expect("(")
+            args: list[Any] = []
+            kwargs: dict[str, Any] = {}
+            while not self.accept(")"):
+                if args or kwargs:
+                    self.expect(",")
+                # named arg?  name ':' expr
+                if (
+                    self.peek().kind == "name"
+                    and self.toks[self.i + 1].text == ":"
+                ):
+                    key = self.next().text
+                    self.expect(":")
+                    val = self.parse_expr()
+                    kwargs[key] = _lit_value(val)
+                else:
+                    args.append(self.parse_expr())
+            _ = fallible  # fallible and infallible map to the same builder
+            return ast.Fn(fn_name, *args, **kwargs)
+        raise SyntaxError(f"unexpected {t.text!r} at {t.pos}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace('\\"', '"').replace("\\'", "'").replace("\\n", "\n").replace(
+        "\\\\", "\\"
+    )
+
+
+def _lit_value(e: Any) -> Any:
+    """Named args carry python values (patterns, units, separators)."""
+    if isinstance(e, ast.L):
+        return e.value
+    return e
+
+
+def parse_program(src: str) -> list[ast.Step]:
+    return Parser(src).parse_program()
+
+
+def compile_vrl(src: str):
+    """VRL-ish text → DataFrame transformation."""
+    from matano_spark.transform.compiler import compile_pipeline
+
+    return compile_pipeline(parse_program(src))

@@ -507,3 +507,51 @@ def w3_threshold_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_errors"))
         .filter(F.col("n_errors") >= 2)
     )
+
+
+_VRL_NORMALIZE_SRC = r"""
+if .event_type == "view" && .value < 1.0 { abort }
+.module = "demo"
+if .event_type == "error" { .event_outcome = "failure" }
+else { .event_outcome = "success" }
+.event_action = downcase(.event_type)
+.pk = parse_regex(.props, pattern: '"k": (?P<k>\d+)')
+.props_k = to_int(.pk.k)
+del(.pk)
+if .value >= 15.0 { .severity = "high" }
+else if .value >= 5.0 { .severity = "medium" }
+else { .severity = "low" }
+.user_name = "user-" + to_string(.user_id)
+.value_int = to_int(floor(.value))
+.ecs_version = "8.5.0"
+del(.user_id); del(.event_type); del(.value); del(.props)
+"""
+
+
+@query(
+    "vrl_text_normalize",
+    oracle="""
+    SELECT event_id,
+           ts,
+           'demo' AS module,
+           CASE event_type WHEN 'error' THEN 'failure' ELSE 'success' END AS event_outcome,
+           lower(event_type) AS event_action,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS props_k,
+           CASE WHEN value >= 15.0 THEN 'high' WHEN value >= 5.0 THEN 'medium'
+                ELSE 'low' END AS severity,
+           concat('user-', CAST(user_id AS VARCHAR)) AS user_name,
+           CAST(floor(value) AS BIGINT) AS value_int,
+           '8.5.0' AS ecs_version
+    FROM events
+    WHERE NOT (event_type = 'view' AND value < 1.0)
+    """,
+)
+def vrl_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same normalization a third time — now from VRL-style program
+    TEXT through the parser (transform.parser) and compiler, proving a
+    matano log_source.yml transform string runs verbatim and stays
+    oracle-exact. Text → AST → one Catalyst projection."""
+    from matano_spark.transform.parser import compile_vrl
+
+    ev = t(spark, sf_dir, "events")
+    return compile_vrl(_VRL_NORMALIZE_SRC)(ev)

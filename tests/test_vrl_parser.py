@@ -1,0 +1,136 @@
+"""VRL-text parser + config loader tests: matano-style program text
+and log_source.yml directories compile and run."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from matano_spark.schema.config import load_log_source, merge_configs
+from matano_spark.transform.parser import compile_vrl, parse_program
+from matano_spark.transform import ast
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="matano_spark_vrl_")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def row(df):
+    return df.collect()[0].asDict(recursive=True)
+
+
+def test_parse_assignment_and_move():
+    steps = parse_program('.event.action = "login"\n.user = del(.raw_user)')
+    assert steps[0] == ast.Assign("event.action", ast.L("login")) or (
+        isinstance(steps[0], ast.Assign) and steps[0].path == "event.action"
+    )
+    assert isinstance(steps[1], ast.Move)
+    assert steps[1].dst == "user" and steps[1].src == "raw_user"
+
+
+def test_vrl_program_end_to_end(spark):
+    src = """
+    .ts = to_timestamp!(.event_time)
+    .event.action = downcase(.action)
+    .size = to_int(.size_str) ?? 0
+    if .status == "fail" { .event.outcome = "failure" }
+    else { .event.outcome = "success" }
+    if .action == "SKIPME" { abort }
+    del(.event_time); del(.action); del(.status); del(.size_str)
+    .ecs.version = "8.5.0"
+    """
+    df = spark.createDataFrame(
+        [
+            ("2024-05-01T10:00:00Z", "LOGIN", "fail", "42"),
+            ("2024-05-01T11:00:00Z", "SKIPME", "ok", "x"),
+        ],
+        ["event_time", "action", "status", "size_str"],
+    )
+    out = compile_vrl(src)(df)
+    rows = [r.asDict(recursive=True) for r in out.collect()]
+    assert len(rows) == 1  # SKIPME row aborted
+    r = rows[0]
+    assert r["ts"] == dt.datetime(2024, 5, 1, 10, 0, 0)
+    assert r["event"] == {"action": "login", "outcome": "failure"}
+    assert r["size"] == 42
+    assert r["ecs"] == {"version": "8.5.0"}
+    assert set(out.columns) == {"ts", "event", "size", "ecs"}
+
+
+def test_vrl_named_args_and_concat(spark):
+    src = """
+    .g = parse_grok(.line, pattern: "^%{IP:ip} %{WORD:verb}$")
+    .label = "verb=" + .g.verb
+    .ok = match(.line, pattern: "GET")
+    """
+    df = spark.createDataFrame([("10.0.0.1 GET",)], ["line"])
+    r = row(compile_vrl(src)(df))
+    assert r["g"] == {"ip": "10.0.0.1", "verb": "GET"}
+    assert r["label"] == "verb=GET"
+    assert r["ok"] is True
+
+
+def test_coalesce_on_fallible_cast(spark):
+    src = '.n = to_int(.v) ?? -1'
+    df = spark.createDataFrame([("12",), ("oops",)], ["v"])
+    out = compile_vrl(src)(df)
+    assert sorted(r.n for r in out.collect()) == [-1, 12]
+
+
+def test_merge_configs_prepends_managed_transform():
+    managed = {"transform": '.a = 1', "ingest": {"x": 1}}
+    user = {"transform": '.b = 2', "ingest": {"y": 2}}
+    merged = merge_configs(managed, user)
+    assert merged["transform"].index(".a") < merged["transform"].index(".b")
+    assert merged["ingest"] == {"x": 1, "y": 2}
+
+
+def test_load_log_source_directory(spark, tmpdir):
+    (tmpdir / "tables").mkdir()
+    (tmpdir / "log_source.yml").write_text(
+        """
+name: demo_source
+schema:
+  ecs_field_names: [source.ip, event.action]
+transform: |
+  .ts = to_timestamp!(.t)
+"""
+    )
+    (tmpdir / "tables" / "main.yml").write_text(
+        """
+name: main
+schema:
+  ecs_field_names: [user.name]
+  fields:
+    demo:
+      code: string
+transform: |
+  .event.action = downcase(.verb)
+  .user.name = .who
+  .demo.code = "d1"
+  del(.t); del(.verb); del(.who)
+"""
+    )
+    defs = load_log_source(str(tmpdir))
+    assert len(defs) == 1
+    td = defs[0]
+    assert td.log_source == "demo_source" and td.name == "main"
+    names = [f.name for f in td.schema.fields]
+    assert names[0] == "ts"
+    assert {"source", "event", "user", "demo"} <= set(names)
+
+    df = spark.createDataFrame(
+        [("2024-05-01T10:00:00Z", "GET", "alice")], ["t", "verb", "who"]
+    )
+    r = row(td.pipeline(df))
+    assert r["event"]["action"] == "get"
+    assert r["user"] == {"name": "alice"}
+    assert r["demo"] == {"code": "d1"}
+    assert r["ts"] == dt.datetime(2024, 5, 1, 10, 0)
