@@ -36,17 +36,17 @@ def _field_type(spec: Any) -> T.DataType:
             return T.ArrayType(_field_type(spec[5:-1]))
         raise ValueError(f"unknown type {spec!r}")
     if isinstance(spec, dict):
+        # A dict is a TYPESPEC only in these unambiguous shapes;
+        # otherwise it is a nested field map (which may itself contain
+        # a field literally named "type", e.g. ECS event.type).
         kind = spec.get("type")
-        if kind == "list":
+        if kind == "list" and "element" in spec:
             return T.ArrayType(_field_type(spec["element"]))
-        if kind == "struct" or (kind is None and "fields" not in spec):
-            fields = spec.get("fields", spec if kind is None else {})
-            return fields_to_structtype(fields)
         if kind == "struct" and "fields" in spec:
             return fields_to_structtype(spec["fields"])
-        if kind in _SCALARS:
+        if isinstance(kind, str) and kind in _SCALARS and len(spec) == 1:
             return _SCALARS[kind]()
-        raise ValueError(f"unknown type spec {spec!r}")
+        return fields_to_structtype(spec)
     raise TypeError(f"bad field spec {spec!r}")
 
 

@@ -77,6 +77,25 @@ class _ExprOps:
         return id(self)
 
 
+def split_path(path: str) -> tuple[str, ...]:
+    """Split a dotted path honoring quoted segments: `a."id.orig_h".b`
+    → ("a", "id.orig_h", "b") — VRL quotes segments whose names
+    contain dots (zeek keys like id.orig_h)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_q = False
+    for ch in path:
+        if ch == '"':
+            in_q = not in_q
+        elif ch == "." and not in_q:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return tuple(p for p in parts if p != "")
+
+
 @dataclass(frozen=True, eq=False)
 class P(_ExprOps):
     """Dotted path reference into the row."""
@@ -85,7 +104,7 @@ class P(_ExprOps):
 
     @property
     def parts(self) -> tuple[str, ...]:
-        return tuple(self.path.split("."))
+        return split_path(self.path)
 
 
 @dataclass(frozen=True, eq=False)

@@ -34,7 +34,11 @@ class _RowState:
     plus the (evolving) struct schema used to resolve path reads."""
 
     def __init__(self, df: DataFrame):
-        self.cols: dict[str, Column] = {name: F.col(name) for name in df.columns}
+        # backtick-escape so literally-dotted column names (zeek's
+        # id.orig_h) resolve as single columns, not nested paths
+        self.cols: dict[str, Column] = {
+            name: F.col(f"`{name}`") for name in df.columns
+        }
         self.schema: dict[str, T.DataType] = {
             f.name: f.dataType for f in df.schema.fields
         }
@@ -243,15 +247,15 @@ class Compiler:
     def step(self, step: ast.Step, cond: Column | None) -> None:
         s = self.state
         if isinstance(step, ast.Assign):
-            parts = tuple(step.path.split("."))
+            parts = ast.split_path(step.path)
             value, vtype = self.expr(step.expr)
             if cond is not None:
                 old = s.get(parts)
                 value = F.when(cond, value).otherwise(old)
             s.set(parts, value, vtype)
         elif isinstance(step, ast.Move):
-            dst = tuple(step.dst.split("."))
-            src = tuple(step.src.split("."))
+            dst = ast.split_path(step.dst)
+            src = ast.split_path(step.src)
             value = s.get(src)
             vtype = s.get_type(src) or T.StringType()
             if cond is not None:
@@ -262,7 +266,7 @@ class Compiler:
         elif isinstance(step, ast.Delete):
             if cond is not None:
                 raise ValueError("Delete inside When is not supported; assign null")
-            s.delete(tuple(step.path.split(".")))
+            s.delete(ast.split_path(step.path))
         elif isinstance(step, ast.AbortIf):
             c, _ = self.expr(step.cond)
             if cond is not None:

@@ -37,7 +37,7 @@ _TOKEN_RE = re.compile(
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
   | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||[=<>!+\-*/%(),{}:;])
-  | (?P<path>\.[A-Za-z_][\w.]*|\.)
+  | (?P<path>\.(?:"[^"]+"|[A-Za-z_]\w*)(?:\.(?:"[^"]+"|[A-Za-z_]\w*))*|\.)
   | (?P<name>[A-Za-z_][\w]*!?)
     """,
     re.VERBOSE,

@@ -1,0 +1,118 @@
+"""End-to-end tests for the shipped log-source packs (FIXTURES B2-B4):
+config directory → resolved schema + compiled VRL-text pipeline →
+normalized rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from matano_spark.schema.config import load_log_source
+from matano_spark.schema.resolve import fields_to_structtype
+from matano_spark.sources import readers
+
+ROOT = Path(__file__).resolve().parents[1] / "data" / "log_sources"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="matano_spark_ls_")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+ZEEK_DNS = {
+    "ts": 1714567890.123,
+    "uid": "CHhAvVGS1DHFjwGM9",
+    "id.orig_h": "192.168.1.10",
+    "id.orig_p": 54321,
+    "id.resp_h": "8.8.8.8",
+    "id.resp_p": 53,
+    "proto": "udp",
+    "trans_id": 1234,
+    "query": "example.com",
+    "qtype_name": "A",
+    "rcode_name": "NOERROR",
+    "answers": ["93.184.216.34"],
+    "rejected": False,
+}
+
+
+def test_zeek_dns_pack(spark, tmpdir):
+    defs = {d.name: d for d in load_log_source(str(ROOT / "zeek"))}
+    td = defs["dns"]
+    input_schema = fields_to_structtype(td.ingest["input_fields"])
+
+    p = tmpdir / "dns.log"
+    p.write_text(json.dumps(ZEEK_DNS) + "\n")
+    raw = spark.read.schema(input_schema).json(str(p))
+    out = td.pipeline(raw)
+    r = out.collect()[0].asDict(recursive=True)
+
+    assert r["ts"] == dt.datetime(2024, 5, 1, 12, 51, 30, 123000)
+    assert r["source"] == {"ip": "192.168.1.10", "port": 54321}
+    assert r["destination"] == {"ip": "8.8.8.8", "port": 53}
+    assert r["network"] == {"transport": "udp"}
+    assert r["dns"]["question"] == {"name": "example.com", "type": "A"}
+    assert r["dns"]["resolved_ip"] == ["93.184.216.34"]
+    assert r["zeek"] == {
+        "session_id": "CHhAvVGS1DHFjwGM9",
+        "dns": {"trans_id": 1234, "rejected": False},
+    }
+    assert r["related"] == {"ip": ["192.168.1.10", "8.8.8.8"]}
+    # resolved schema covers the produced tree
+    declared = {f.name for f in td.schema.fields}
+    assert {"ts", "source", "destination", "dns", "network", "zeek", "related"} <= declared
+
+
+def test_vpcflow_pack(spark, tmpdir):
+    defs = {d.name: d for d in load_log_source(str(ROOT / "aws_vpcflow"))}
+    td = defs["default"]
+    p = tmpdir / "flow.log"
+    p.write_text(
+        "version account-id interface-id srcaddr dstaddr srcport dstport "
+        "protocol packets bytes start end action log-status\n"
+        "2 123456789012 eni-0a1b2c3d 10.0.0.1 10.0.0.2 443 49152 6 10 8400 "
+        "1714567800 1714567860 ACCEPT OK\n"
+    )
+    raw = spark.read.text(str(p)).withColumnRenamed("value", "message")
+    out = td.pipeline(raw)
+    rows = [r.asDict(recursive=True) for r in out.collect()]
+    assert len(rows) == 1  # header aborted
+    r = rows[0]
+    assert r["ts"] == dt.datetime(2024, 5, 1, 12, 50, 0)
+    assert r["source"] == {"ip": "10.0.0.1", "port": 443}
+    assert r["destination"] == {"ip": "10.0.0.2", "port": 49152}
+    assert r["network"] == {"bytes": 8400, "packets": 10}
+    assert r["aws"]["vpcflow"]["action"] == "ACCEPT"
+    assert r["event"]["category"] == ["network"]
+    assert r["event"]["original"].startswith("2 123456789012")
+    assert r["cloud"] == {"account": {"id": "123456789012"}}
+
+
+def test_s3inventory_pack(spark, tmpdir):
+    defs = {d.name: d for d in load_log_source(str(ROOT / "aws_s3inventory"))}
+    td = defs["default"]
+    p = tmpdir / "inv.csv"
+    p.write_text(
+        'my-bucket,path/to/object.txt,1024,2024-05-01T00:00:00.000Z,'
+        "d41d8cd98f00b204e9800998ecf8427e\n"
+    )
+    raw = readers.read_csv_with_headers(
+        spark, str(p), td.ingest["csv_headers"]
+    )
+    out = td.pipeline(raw)
+    r = out.collect()[0].asDict(recursive=True)
+    assert r["file"]["path"] == "path/to/object.txt"
+    assert r["file"]["size"] == 1024
+    assert r["file"]["hash"] == {"md5": "d41d8cd98f00b204e9800998ecf8427e"}
+    assert r["related"] == {"hash": ["d41d8cd98f00b204e9800998ecf8427e"]}
+    assert r["cloud"] == {"provider": "aws"}
+    assert r["aws"]["s3inventory"]["bucket"] == "my-bucket"
+    assert r["ts"] == dt.datetime(2024, 5, 1, 0, 0, 0)
