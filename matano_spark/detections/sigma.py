@@ -1,0 +1,171 @@
+"""Sigma rule → Column expression compiler (SURVEY.md §2.7: "Sigma
+rules compile to boolean column expressions"; the reference converts
+Sigma to Python detections via pySigma — README.md:37).
+
+Supported subset (the common shape of public Sigma rules):
+  detection:
+    <selection-name>:            # map → AND of field predicates
+      field: value               # equality
+      field|contains: v          # substring
+      field|startswith: v
+      field|endswith: v
+      field|re: regex
+      field|gt/gte/lt/lte: n     # numeric compare
+      field: [v1, v2]            # any-of (OR)
+    condition: selection1 and not selection2 | 1 of them | all of them
+
+Field names are dotted ECS paths resolved against the DataFrame
+schema (missing → null → predicate false). Compiling to Column
+expressions keeps detection evaluation inside whole-stage codegen —
+the fast path; Python `detect()` modules remain the escape hatch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _field_col(df: DataFrame, dotted: str) -> Column:
+    from pyspark.sql import types as T
+
+    parts = dotted.split(".")
+    dtype: Any = df.schema
+    col = None
+    for p in parts:
+        if not isinstance(dtype, (T.StructType,)):
+            return F.lit(None)
+        match = next((f for f in dtype.fields if f.name == p), None)
+        if match is None:
+            return F.lit(None)
+        col = F.col(f"`{p}`") if col is None else col.getField(p)
+        dtype = match.dataType
+    return col if col is not None else F.lit(None)
+
+
+def _predicate(col: Column, modifier: str | None, value: Any) -> Column:
+    if isinstance(value, list):
+        preds = [_predicate(col, modifier, v) for v in value]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+    if modifier is None:
+        if value is None:
+            return col.isNull()
+        return col == F.lit(value)
+    if modifier == "contains":
+        return col.contains(str(value))
+    if modifier == "startswith":
+        return col.startswith(str(value))
+    if modifier == "endswith":
+        return col.endswith(str(value))
+    if modifier == "re":
+        return col.rlike(str(value))
+    if modifier == "gt":
+        return col > F.lit(value)
+    if modifier == "gte":
+        return col >= F.lit(value)
+    if modifier == "lt":
+        return col < F.lit(value)
+    if modifier == "lte":
+        return col <= F.lit(value)
+    raise ValueError(f"unsupported sigma modifier {modifier!r}")
+
+
+def _selection_expr(df: DataFrame, sel: dict[str, Any]) -> Column:
+    preds = []
+    for key, value in sel.items():
+        if "|" in key:
+            field, modifier = key.split("|", 1)
+        else:
+            field, modifier = key, None
+        preds.append(
+            F.coalesce(_predicate(_field_col(df, field), modifier, value), F.lit(False))
+        )
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+_COND_TOKEN = re.compile(r"\(|\)|\band\b|\bor\b|\bnot\b|1 of them|all of them|[\w*]+")
+
+
+def compile_sigma(df: DataFrame, rule: dict[str, Any]) -> Column:
+    """Sigma rule dict (yaml.safe_load of a rule file) → boolean Column."""
+    detection = rule["detection"]
+    condition = detection.get("condition", "selection")
+    selections = {
+        name: _selection_expr(df, sel)
+        for name, sel in detection.items()
+        if name != "condition" and isinstance(sel, dict)
+    }
+    if not selections:
+        raise ValueError("sigma rule has no selections")
+
+    tokens = _COND_TOKEN.findall(condition)
+
+    def any_of() -> Column:
+        out = None
+        for c in selections.values():
+            out = c if out is None else (out | c)
+        return out
+
+    def all_of() -> Column:
+        out = None
+        for c in selections.values():
+            out = c if out is None else (out & c)
+        return out
+
+    pos = 0
+
+    def parse_or() -> Column:
+        nonlocal pos
+        left = parse_and()
+        while pos < len(tokens) and tokens[pos] == "or":
+            pos += 1
+            left = left | parse_and()
+        return left
+
+    def parse_and() -> Column:
+        nonlocal pos
+        left = parse_not()
+        while pos < len(tokens) and tokens[pos] == "and":
+            pos += 1
+            left = left & parse_not()
+        return left
+
+    def parse_not() -> Column:
+        nonlocal pos
+        if pos < len(tokens) and tokens[pos] == "not":
+            pos += 1
+            return ~parse_not()
+        return parse_atom()
+
+    def parse_atom() -> Column:
+        nonlocal pos
+        tok = tokens[pos]
+        pos += 1
+        if tok == "(":
+            e = parse_or()
+            pos += 1  # ')'
+            return e
+        if tok == "1 of them":
+            return any_of()
+        if tok == "all of them":
+            return all_of()
+        if tok in selections:
+            return selections[tok]
+        raise ValueError(f"unknown selection {tok!r} in condition")
+
+    return parse_or()
+
+
+def sigma_filter(df: DataFrame, rule: dict[str, Any]) -> DataFrame:
+    """Rows matching the rule (the detection pre-filter / full
+    detection when the rule is pure predicate)."""
+    return df.filter(compile_sigma(df, rule))

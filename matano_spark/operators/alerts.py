@@ -147,3 +147,68 @@ def aggregate_alerts(
         .sortWithinPartitions("rule_name", "dedupe", ts_col, id_col)
         .mapInPandas(fold_partition, ALERT_SCHEMA)
     )
+
+
+def aggregate_context(
+    matches: DataFrame,
+    alert_key_cols: list[str],
+    context_cols: list[str],
+) -> DataFrame:
+    """A4 alert-context aggregation (ref: alert_writer/src/main.rs:
+    54-64 flattener, :345-400 VRL merge program): per alert, each
+    context field's distinct values merge into a sorted list; the
+    context lands as map<field, array<string>> + match_count.
+
+    Shape: explode to (alert_key, field, value) → collect_set →
+    map_from_entries — two shuffles on the alert key, all built-in.
+    """
+    from pyspark.sql import functions as F
+
+    kv = None
+    for c in context_cols:
+        part = matches.select(
+            *alert_key_cols,
+            F.lit(c).alias("ctx_key"),
+            F.col(c).cast("string").alias("ctx_value"),
+        )
+        kv = part if kv is None else kv.unionByName(part)
+    per_key = (
+        kv.filter(F.col("ctx_value").isNotNull())
+        .groupBy(*alert_key_cols, "ctx_key")
+        .agg(F.array_sort(F.collect_set("ctx_value")).alias("vals"))
+    )
+    counts = matches.groupBy(*alert_key_cols).agg(
+        F.count(F.lit(1)).alias("match_count")
+    )
+    ctx = per_key.groupBy(*alert_key_cols).agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ctx_key"), F.col("vals")))
+            )
+        ).alias("context")
+    )
+    return ctx.join(counts, alert_key_cols)
+
+
+def context_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """A5 context CDC (ref: alert_writer/src/main.rs:400+): per alert,
+    which context fields changed between two aggregation generations —
+    the payload the forwarder delivers. Returns rows with
+    changed = map<field, array<string>> of NEW values for fields whose
+    value set changed or appeared."""
+    from pyspark.sql import functions as F
+
+    o = old.select(*key_cols, F.col("context").alias("old_ctx"))
+    n = new.select(*key_cols, F.col("context").alias("new_ctx"))
+    joined = n.join(o, key_cols, "left")
+    changed = F.map_filter(
+        F.col("new_ctx"),
+        lambda k, v: F.col("old_ctx").isNull()
+        | ~F.array_contains(F.map_keys(F.col("old_ctx")), k)
+        | (F.element_at(F.col("old_ctx"), k) != v),
+    )
+    return joined.select(
+        *key_cols, changed.alias("changed")
+    ).filter(F.size(F.map_keys(F.col("changed"))) > 0)

@@ -555,3 +555,32 @@ def vrl_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return compile_vrl(_VRL_NORMALIZE_SRC)(ev)
+
+
+@query(
+    "sigma_rule_filter",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE (event_type = 'error' AND value >= 10.0)
+       OR (event_type = 'signup' AND props LIKE '%"k": 9%')
+    """,
+)
+def sigma_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 Sigma support: a Sigma rule dict compiles to a boolean
+    Column expression (detections.sigma) — detection evaluation stays
+    in whole-stage codegen. Oracle is the equivalent SQL predicate."""
+    from matano_spark.detections.sigma import sigma_filter
+
+    rule = {
+        "title": "noisy errors or suspicious signups",
+        "detection": {
+            "errors": {"event_type": "error", "value|gte": 10.0},
+            "signups": {"event_type": "signup", "props|contains": '"k": 9'},
+            "condition": "errors or signups",
+        },
+    }
+    ev = t(spark, sf_dir, "events")
+    return sigma_filter(ev, rule).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
