@@ -665,3 +665,47 @@ def _ceil(args, kw):
 @fn("abs")
 def _abs(args, kw):
     return F.abs(_c(args[0])), _t(args[0]) or T.DoubleType()
+
+
+@fn("map_values")
+def _map_values(args, kw):
+    """Transform map values with a lambda (VRL map_values, 56 uses;
+    `recursive: true` over structs is a compile-time rewrite — the
+    compiler applies the lambda per struct leaf since struct shape is
+    static)."""
+    f = kw["fn"]
+    c, t = args[0]
+    if isinstance(t, T.MapType):
+        return F.transform_values(c, lambda k, v: f(v)), t
+    raise ValueError("map_values requires a map-typed column; for structs "
+                     "apply per-field at compile time")
+
+
+@fn("map_keys")
+def _map_keys(args, kw):
+    f = kw["fn"]
+    c, t = args[0]
+    if isinstance(t, T.MapType):
+        return F.transform_keys(c, lambda k, v: f(k)), t
+    raise ValueError("map_keys requires a map-typed column")
+
+
+@fn("object_keys")
+def _object_keys(args, kw):
+    c, t = args[0]
+    if isinstance(t, T.MapType):
+        return F.map_keys(c), T.ArrayType(t.keyType)
+    if isinstance(t, T.StructType):
+        return (
+            F.array(*[F.lit(f.name) for f in t.fields]),
+            T.ArrayType(T.StringType()),
+        )
+    raise ValueError("object_keys requires map or struct")
+
+
+@fn("object_values")
+def _object_values(args, kw):
+    c, t = args[0]
+    if isinstance(t, T.MapType):
+        return F.map_values(c), T.ArrayType(t.valueType)
+    raise ValueError("object_values requires a map-typed column")

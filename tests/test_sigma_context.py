@@ -111,3 +111,50 @@ def test_context_aggregation_and_diff(spark):
     assert set(diff) == {"a1", "a3"}  # a2 unchanged → no CDC row
     assert diff["a1"]["src_ip"] == ["10.0.0.1", "10.0.0.2"]
     assert diff["a3"]["user"] == ["eve"]
+
+
+def test_alert_delivery_ledger(spark, tmp_path):
+    from matano_spark.streaming.delivery import DeliveryLedger, deliver_batch
+
+    alerts = spark.createDataFrame(
+        [
+            ("a1", "bf", "1.2.3.4", 5, True, "2024-05-01 12:00:00", "2024-05-01 12:12:00"),
+            ("a2", "bf", "5.6.7.8", 2, False, "2024-05-01 12:00:00", None),
+        ],
+        "alert_id string, rule_name string, dedupe string, match_count long, "
+        "activated boolean, first_matched_at string, created_at string",
+    ).withColumn("first_matched_at", F.col("first_matched_at").cast("timestamp")) \
+     .withColumn("created_at", F.col("created_at").cast("timestamp"))
+
+    sent: list[tuple[str, dict]] = []
+    ledger = DeliveryLedger(spark, str(tmp_path / "ledger"))
+    n = deliver_batch(alerts, ["slack", "email"], ledger, lambda d, p: sent.append((d, p)))
+    # only the ACTIVATED alert delivers, once per destination
+    assert n == 2
+    assert {d for d, _ in sent} == {"slack", "email"}
+    assert all(p["alert_id"] == "a1" for _, p in sent)
+
+    # second batch with the same alert → deduped, zero deliveries
+    sent.clear()
+    n2 = deliver_batch(alerts, ["slack", "email"], ledger, lambda d, p: sent.append((d, p)))
+    assert n2 == 0 and sent == []
+
+
+def test_map_value_functions(spark):
+    from matano_spark.transform import Assign, Fn, P, compile_pipeline
+
+    df = spark.createDataFrame(
+        [("k1=1 k2=2",)], ["kv"]
+    )
+    out = compile_pipeline(
+        [
+            Assign("m", Fn("parse_key_value", P("kv"))),
+            Assign("m", Fn("map_values", P("m"), fn=lambda v: F.concat(v, F.lit("0")))),
+            Assign("ks", Fn("object_keys", P("m"))),
+            Assign("vs", Fn("object_values", P("m"))),
+        ]
+    )(df)
+    r = out.collect()[0].asDict(recursive=True)
+    assert r["m"] == {"k1": "10", "k2": "20"}
+    assert sorted(r["ks"]) == ["k1", "k2"]
+    assert sorted(r["vs"]) == ["10", "20"]
