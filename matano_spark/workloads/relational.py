@@ -563,3 +563,97 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.95).alias("p95_price"),
         F.percentile("l_extendedprice", 0.99).alias("p99_price"),
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bidirectional nation-pair trade volume — the
+    same dimension table joined twice under different roles."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    cn = t(spark, sf_dir, "nation").alias("cn")
+    sn = t(spark, sf_dir, "nation").alias("sn")
+    pair = (
+        (F.col("cn.n_name") == "NATION_1") & (F.col("sn.n_name") == "NATION_2")
+    ) | ((F.col("cn.n_name") == "NATION_2") & (F.col("sn.n_name") == "NATION_1"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cn), F.col("cn.n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(sn), F.col("sn.n_nationkey") == F.col("s_nationkey"))
+        .filter(pair)
+        .groupBy(
+            F.col("cn.n_name").alias("cust_nation"),
+            F.col("sn.n_name").alias("supp_nation"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q19_disjunctive_filters",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size <= 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_type LIKE 'PROMO%' AND p_size <= 10
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: disjunctive multi-table predicates — the OR
+    spans both join sides so it evaluates post-join; per-branch
+    single-side conjuncts are still pushdown candidates for Catalyst."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            F.col("p_type").startswith("PROMO")
+            & (F.col("p_size") <= 10)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
