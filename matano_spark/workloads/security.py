@@ -584,3 +584,33 @@ def sigma_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigma_filter(ev, rule).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "variant_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path (SURVEY §2.3 parse_json → VariantType on
+    Spark 4): props parses once to a variant, fields extract with
+    variant_get — the engine's answer to VRL's schemaless objects when
+    a declared schema is not available. Aggregation over the extracted
+    field proves end-to-end typing."""
+    ev = t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
