@@ -107,9 +107,14 @@ def run_detections(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in MATCH_SCHEMA.fields}
-            records = pdf.to_dict("records")
-            for rec in records:
-                record = DeepDict(rec)
+            # column-zip iteration beats DataFrame.to_dict('records')
+            # ~2-3x on wide frames; the original-event JSON serializes
+            # lazily, at most once per row across all detections.
+            cols = list(pdf.columns)
+            series = [pdf[c] for c in cols]
+            for vals in zip(*series):
+                record = DeepDict(zip(cols, vals))
+                original = None
                 for det in dets:
                     try:
                         hit = bool(det.detect(record))
@@ -117,13 +122,12 @@ def run_detections(
                         hit = False  # failing detection skips the record
                     if not hit:
                         continue
-                    key = (
-                        str(record.get(key_col))
-                        if key_col
-                        else json.dumps(
-                            {k: str(record.get(k)) for k in fields}, sort_keys=True
+                    if original is None:
+                        original = json.dumps(
+                            {k: str(record.get(k)) for k in fields},
+                            sort_keys=True,
                         )
-                    )
+                    key = str(record.get(key_col)) if key_col else original
                     dedupe = _safe_call(det.dedupe, record)
                     title = _safe_call(det.title, record, det.name)
                     match_id = hashlib.md5(
@@ -138,11 +142,7 @@ def run_detections(
                     out["severity"].append(det.severity)
                     out["ts"].append(record.get(ts_col))
                     out["event_key"].append(key)
-                    out["original_event"].append(
-                        json.dumps(
-                            {k: str(record.get(k)) for k in fields}, sort_keys=True
-                        )
-                    )
+                    out["original_event"].append(original)
             pdf_out = pd.DataFrame(out)
             # Empty batches infer float64 for ts; pin the Arrow-compatible
             # dtype explicitly.

@@ -1,0 +1,80 @@
+"""Full detection→alert→delivery lifecycle (SURVEY.md §3.2) on the B7
+brute-force fixture: ECS-shaped auth events → Python detection →
+fixed-anchor state machine → context aggregation → deduped delivery."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from matano_spark.detections import Detection, run_detections
+from matano_spark.operators.alerts import aggregate_alerts, aggregate_context
+from matano_spark.streaming.delivery import DeliveryLedger, deliver_batch
+
+T0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+
+def test_brute_force_lifecycle(spark, tmp_path):
+    # auth_events fixture (B7): 5 failures from one IP inside 15 min
+    # (activates), 1 failure from another IP (does not), successes
+    # interleaved (no matches)
+    rows = []
+    for i, m in enumerate((0, 2, 5, 9, 12)):
+        rows.append((i, T0 + dt.timedelta(minutes=m), ["authentication"],
+                     "failure", "alice", "1.2.3.4"))
+    rows.append((10, T0 + dt.timedelta(minutes=3), ["authentication"],
+                 "success", "alice", "1.2.3.4"))
+    rows.append((11, T0 + dt.timedelta(minutes=4), ["authentication"],
+                 "failure", "bob", "9.9.9.9"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, category array<string>, "
+        "outcome string, user string, src_ip string",
+    )
+
+    # detection runs unmodified matano-style hooks (example/detections/
+    # login_brute_force_by_ip shape)
+    det = Detection(
+        name="login_brute_force_by_ip",
+        detect=lambda r: "authentication" in (r.deepget("category") or [])
+        and r.deepget("outcome") == "failure",
+        title=lambda r: f"Multiple failed logins from {r.deepget('user')} - {r.deepget('src_ip')}",
+        dedupe=lambda r: r.deepget("src_ip"),
+        severity="high",
+        threshold=5,
+        deduplication_window_minutes=15,
+    )
+    matches = run_detections(events, [det], key_col="event_id")
+    assert matches.count() == 6  # successes never match
+
+    alerts = aggregate_alerts(
+        matches,
+        threshold=det.threshold,
+        window_seconds=det.deduplication_window_minutes * 60,
+    )
+    by_key = {r.dedupe: r.asDict() for r in alerts.collect()}
+    assert by_key["1.2.3.4"]["activated"] is True
+    assert by_key["1.2.3.4"]["match_count"] == 5
+    assert by_key["1.2.3.4"]["created_at"] == T0 + dt.timedelta(minutes=12)
+    assert by_key["9.9.9.9"]["activated"] is False
+
+    # context aggregation joins alert ids onto matches by key
+    enriched = matches.join(
+        alerts.select("dedupe", "alert_id"), "dedupe"
+    )
+    ctx = aggregate_context(enriched, ["alert_id"], ["dedupe", "title"])
+    ctx_row = {
+        r.alert_id: r.asDict(recursive=True)
+        for r in ctx.collect()
+    }[by_key["1.2.3.4"]["alert_id"]]
+    assert ctx_row["context"]["dedupe"] == ["1.2.3.4"]
+    assert ctx_row["match_count"] == 5
+
+    # delivery: only the activated alert goes out, exactly once per dest
+    sent = []
+    ledger = DeliveryLedger(spark, str(tmp_path / "ledger"))
+    n = deliver_batch(alerts, ["slack"], ledger, lambda d, p: sent.append(p))
+    assert n == 1
+    assert sent[0]["dedupe"] == "1.2.3.4"
+    assert deliver_batch(alerts, ["slack"], ledger, lambda d, p: sent.append(p)) == 0
