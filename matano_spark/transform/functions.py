@@ -709,3 +709,46 @@ def _object_values(args, kw):
     if isinstance(t, T.MapType):
         return F.map_values(c), T.ArrayType(t.valueType)
     raise ValueError("object_values requires a map-typed column")
+
+
+def compact_expr(col: Column, dtype: T.DataType) -> Column:
+    """Recursive VRL compact(.) semantics (P6, footer
+    transformer/src/main.rs:276-282): empty strings and empty arrays
+    become null; a struct whose members are all null becomes null.
+    Schema-static rewrite — no UDF."""
+    if isinstance(dtype, T.StringType):
+        return F.when(col == "", F.lit(None)).otherwise(col)
+    if isinstance(dtype, T.ArrayType):
+        cleaned = F.filter(
+            col,
+            lambda x: x.isNotNull()
+            & (
+                x.cast("string") != ""
+                if isinstance(dtype.elementType, T.StringType)
+                else F.lit(True)
+            ),
+        )
+        return F.when(F.size(cleaned) > 0, cleaned)
+    if isinstance(dtype, T.StructType):
+        members = [
+            compact_expr(col.getField(f.name), f.dataType).alias(f.name)
+            for f in dtype.fields
+        ]
+        rebuilt = F.struct(*members)
+        any_set = None
+        for f in dtype.fields:
+            flag = compact_expr(col.getField(f.name), f.dataType).isNotNull()
+            any_set = flag if any_set is None else (any_set | flag)
+        return F.when(any_set, rebuilt)
+    return col
+
+
+def compact_rows(df):
+    """Apply compact() to every column of a DataFrame (the transform
+    footer `. = compact(.)`)."""
+    return df.select(
+        *[
+            compact_expr(F.col(f"`{f.name}`"), f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+    )

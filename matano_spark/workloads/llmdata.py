@@ -609,3 +609,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
     media = attach_binary_column(payload, "doc_id", "payload", "text/plain")
     return decode_image_features(media, fake=True)
+
+
+def _oracle_of(name: str) -> str:
+    from matano_spark.workloads import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+@query(
+    "doc_pipeline_corpus_stats",
+    oracle=None,  # composed below after all parts are registered
+)
+def doc_pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline as ONE composition of the
+    verified stages: exact-dedup keep-list → quality filter (>= 0.5) →
+    language routing → corpus stats per predicted language. Both sides
+    compose the SAME building blocks (the Spark DataFrames and their
+    oracle SQL), so the composite is verified against the composed
+    oracle."""
+    from matano_spark.workloads import REGISTRY
+
+    quality = REGISTRY["text_quality_score"].fn(spark, sf_dir)
+    lang = REGISTRY["text_lang_id"].fn(spark, sf_dir)
+    tokens = REGISTRY["text_token_stats"].fn(spark, sf_dir)
+    keepers = (
+        REGISTRY["dedup_exact"].fn(spark, sf_dir)
+        .select(F.col("keeper_doc_id").alias("doc_id"))
+    )
+    return (
+        quality.filter(F.col("quality_score") >= 0.5)
+        .join(keepers, "doc_id", "left_semi")
+        .join(lang.select("doc_id", "predicted_lang"), "doc_id")
+        .join(tokens.select("doc_id", "ws_tokens"), "doc_id")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+# Compose the oracle from the registered parts (registration order puts
+# the parts above this query in the module).
+from matano_spark.workloads import REGISTRY as _REG  # noqa: E402
+
+_REG["doc_pipeline_corpus_stats"].oracle = f"""
+    WITH quality AS ({_oracle_of("text_quality_score")}),
+    lang AS ({_oracle_of("text_lang_id")}),
+    tokens AS ({_oracle_of("text_token_stats")}),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT predicted_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           min(q.doc_id) AS min_doc_id
+    FROM quality q
+    JOIN lang USING (doc_id)
+    JOIN tokens USING (doc_id)
+    WHERE q.quality_score >= 0.5
+      AND q.doc_id IN (SELECT doc_id FROM keepers)
+    GROUP BY predicted_lang
+"""

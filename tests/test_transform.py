@@ -247,3 +247,18 @@ def test_ecs_footer_style_pipeline(spark):
     assert r["related"] == {"ip": ["10.1.2.3"]}
     assert r["ecs"] == {"version": "8.5.0"}
     assert sorted(pipeline(df).columns) == ["ecs", "event", "related", "source", "ts"]
+
+
+def test_compact_rows_recursive(spark):
+    from matano_spark.transform.functions import compact_rows
+
+    df = spark.createDataFrame(
+        [
+            ("", ["a", "", None], ("", None)),
+            ("x", [], ("y", "z")),
+        ],
+        "s string, arr array<string>, st struct<a:string, b:string>",
+    )
+    rows = [r.asDict(recursive=True) for r in compact_rows(df).collect()]
+    assert rows[0] == {"s": None, "arr": ["a"], "st": None}  # all-empty struct → null
+    assert rows[1] == {"s": "x", "arr": None, "st": {"a": "y", "b": "z"}}
