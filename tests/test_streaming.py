@@ -99,7 +99,7 @@ def test_streaming_alerts_state_across_batches(spark, tmpdir):
     src = tmpdir / "matches"
     src.mkdir()
 
-    def write_file(name, minutes):
+    def write_file(name, minutes, mtime):
         with open(src / name, "w") as f:
             for i, m in enumerate(minutes):
                 f.write(
@@ -113,9 +113,14 @@ def test_streaming_alerts_state_across_batches(spark, tmpdir):
                     )
                     + "\n"
                 )
+        # FileStreamSource orders batches by mtime — same-second mtimes
+        # can flip batch order and scramble the state timeline
+        import os
 
-    write_file("batch1.json", [0, 2, 5])
-    write_file("batch2.json", [9, 12])  # 5th match → activation
+        os.utime(src / name, (mtime, mtime))
+
+    write_file("batch1.json", [0, 2, 5], 1_700_000_000)
+    write_file("batch2.json", [9, 12], 1_700_000_100)  # 5th match → activation
 
     schema = T.StructType(
         [
