@@ -212,3 +212,42 @@ def context_diff(
     return joined.select(
         *key_cols, changed.alias("changed")
     ).filter(F.size(F.map_keys(F.col("changed"))) > 0)
+
+
+def alert_rows(matches: DataFrame, alerts: DataFrame) -> DataFrame:
+    """Synthesize matano_alerts-shaped rows (FIXTURES.md B7; ref:
+    detection/common.py:310-345 rule-match synthesis +
+    data/managed/log_sources/matano_alerts schema): one row per rule
+    match carrying the nested matano.alert struct with the alert-level
+    state (id, activated, first_matched_at, created) joined in by
+    (rule_name, dedupe) for the window containing the match ts."""
+    from pyspark.sql import functions as F
+
+    m = matches.alias("m")
+    a = alerts.alias("a")
+    joined = m.join(
+        a,
+        (F.col("m.rule_name") == F.col("a.rule_name"))
+        & (F.col("m.dedupe") == F.col("a.dedupe"))
+        & (F.col("m.ts") >= F.col("a.first_matched_at"))
+        & (F.col("m.ts") <= F.col("a.last_matched_at")),
+    )
+    alert_struct = F.struct(
+        F.col("a.alert_id").alias("id"),
+        F.col("m.title").alias("title"),
+        F.col("m.severity").alias("severity"),
+        F.col("m.dedupe").alias("dedupe"),
+        F.col("a.activated").alias("activated"),
+        F.col("a.created_at").alias("created"),
+        F.col("a.first_matched_at").alias("first_matched_at"),
+        F.col("m.ts").alias("original_timestamp"),
+        F.col("m.original_event").alias("original_event"),
+        F.struct(
+            F.col("m.rule_name").alias("name"),
+            F.struct(F.col("m.match_id").alias("id")).alias("match"),
+        ).alias("rule"),
+    )
+    return joined.select(
+        F.col("m.ts").alias("ts"),
+        F.struct(alert_struct.alias("alert")).alias("matano"),
+    )

@@ -78,3 +78,34 @@ def test_brute_force_lifecycle(spark, tmp_path):
     assert n == 1
     assert sent[0]["dedupe"] == "1.2.3.4"
     assert deliver_batch(alerts, ["slack"], ledger, lambda d, p: sent.append(p)) == 0
+
+
+def test_matano_alerts_row_shape(spark):
+    """B7 expected row shape: nested matano.alert struct with stable
+    alert id across all matches of one alert."""
+    from matano_spark.operators.alerts import alert_rows
+
+    rows = [(i, T0 + dt.timedelta(minutes=m), ["authentication"], "failure",
+             "alice", "1.2.3.4") for i, m in enumerate((0, 2, 5, 9, 12))]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, category array<string>, "
+        "outcome string, user string, src_ip string",
+    )
+    det = Detection(
+        name="login_brute_force_by_ip",
+        detect=lambda r: r.deepget("outcome") == "failure",
+        dedupe=lambda r: r.deepget("src_ip"),
+        severity="high",
+    )
+    matches = run_detections(events, [det], key_col="event_id")
+    alerts = aggregate_alerts(matches, threshold=5, window_seconds=900)
+    out = alert_rows(matches, alerts).collect()
+    assert len(out) == 5
+    dicts = [r.asDict(recursive=True)["matano"]["alert"] for r in out]
+    assert len({d["id"] for d in dicts}) == 1  # one stable alert id
+    assert all(d["activated"] for d in dicts)
+    assert all(d["rule"]["name"] == "login_brute_force_by_ip" for d in dicts)
+    assert all(d["first_matched_at"] == T0 for d in dicts)
+    assert len({d["rule"]["match"]["id"] for d in dicts}) == 5  # per-match ids
+    assert all(d["created"] == T0 + dt.timedelta(minutes=12) for d in dicts)
