@@ -393,7 +393,15 @@ def _get(args, kw):
 
 @fn("encode_json")
 def _encode_json(args, kw):
-    return F.to_json(_c(args[0])), T.StringType()
+    c, t = args[0]
+    if isinstance(t, (T.StructType, T.ArrayType, T.MapType, T.VariantType)):
+        return F.to_json(c), T.StringType()
+    if isinstance(t, T.StringType) or t is None:
+        # scalar string → JSON string literal: encode via a 1-element
+        # array and strip the brackets (keeps escaping exact)
+        j = F.to_json(F.array(c))
+        return j.substr(F.lit(2), F.length(j) - 2), T.StringType()
+    return c.cast("string"), T.StringType()
 
 
 @fn("parse_json")

@@ -262,3 +262,55 @@ def test_compact_rows_recursive(spark):
     rows = [r.asDict(recursive=True) for r in compact_rows(df).collect()]
     assert rows[0] == {"s": None, "arr": ["a"], "st": None}  # all-empty struct → null
     assert rows[1] == {"s": "x", "arr": None, "st": {"a": "y", "b": "z"}}
+
+
+def test_remaining_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("05/01/2024 12:30:45", "2024-05-01T10:00:00Z",
+          'a,"b,c",d', "[[1,2],[3]]", "hello")],
+        ["fmt_ts", "iso", "csvline", "nested", "s"],
+    )
+    out = compile_pipeline(
+        [
+            Assign("p1", Fn("parse_timestamp", P("fmt_ts"), format="%m/%d/%Y %H:%M:%S")),
+            Assign("unix_s", Fn("to_unix_timestamp", Fn("parse_timestamp", P("iso")))),
+            Assign("m_any", Fn("match_any", P("s"), patterns=["^x", "ell"])),
+            Assign("trunc", Fn("truncate", P("s"), limit=3)),
+            Assign("csv", Fn("parse_csv", P("csvline"))),
+            Assign("j", Fn("encode_json", P("csvline"))),
+            Assign("sliced", Fn("slice", P("s"), start=1, end=4)),
+            Assign("ua_exists", Fn("exists", P("s"))),
+        ]
+    )(df)
+    r = row(out)
+    assert r["p1"] == dt.datetime(2024, 5, 1, 12, 30, 45)
+    assert r["unix_s"] == 1714557600
+    assert r["m_any"] is True
+    assert r["trunc"] == "hel"
+    assert r["csv"] == ["a", "b,c", "d"]
+    assert r["j"] == '"a,\\"b,c\\",d"'
+    assert r["sliced"] == "ell"
+    assert r["ua_exists"] is True
+
+
+def test_merge_and_flatten_and_parse_json(spark):
+    from pyspark.sql import types as TT
+
+    df = spark.createDataFrame(
+        [((1, "x"), ("y", 2.0), '{"a": {"b": 5}}')],
+        "s1 struct<i:long, s:string>, s2 struct<s:string, d:double>, js string",
+    )
+    schema = TT.StructType(
+        [TT.StructField("a", TT.StructType([TT.StructField("b", TT.LongType())]))]
+    )
+    out = compile_pipeline(
+        [
+            Assign("merged", Fn("merge", P("s1"), P("s2"))),
+            Assign("parsed", Fn("parse_json", P("js"), schema=schema)),
+            Assign("b_val", P("parsed.a.b")),
+        ]
+    )(df)
+    r = row(out)
+    assert r["merged"] == {"i": 1, "s": "y", "d": 2.0}  # right side wins on s
+    assert r["parsed"] == {"a": {"b": 5}}
+    assert r["b_val"] == 5
