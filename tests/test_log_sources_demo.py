@@ -116,3 +116,61 @@ def test_s3inventory_pack(spark, tmpdir):
     assert r["cloud"] == {"provider": "aws"}
     assert r["aws"]["s3inventory"]["bucket"] == "my-bucket"
     assert r["ts"] == dt.datetime(2024, 5, 1, 0, 0, 0)
+
+
+def test_cloudtrail_pack(spark, tmpdir):
+    import gzip
+
+    defs = {d.name: d for d in load_log_source(str(ROOT / "aws_cloudtrail"))}
+    td = defs["default"]
+    input_schema = fields_to_structtype(td.ingest["input_fields"])
+
+    record = {
+        "eventVersion": "1.08",
+        "eventTime": "2024-05-01T12:34:56Z",
+        "eventSource": "s3.amazonaws.com",
+        "eventName": "GetObject",
+        "awsRegion": "us-east-1",
+        "sourceIPAddress": "10.1.2.3",
+        "userAgent": "aws-cli/2.0",
+        "requestID": "r-1",
+        "eventID": "e-1",
+        "eventType": "AwsApiCall",
+        "readOnly": True,
+        "userIdentity": {
+            "type": "IAMUser",
+            "principalId": "AIDAEXAMPLE",
+            "userName": "alice",
+            "accountId": "123456789012",
+            "arn": "arn:aws:iam::123456789012:user/alice",
+        },
+    }
+    with gzip.open(tmpdir / "trail.json.gz", "wt") as f:
+        f.write(json.dumps({"Records": [record]}))
+
+    lines = readers.read_lines_sniffed(spark, str(tmpdir / "*.gz"))
+    routed = readers.route_by_path(
+        lines, td.ingest["route_rules"], default="default"
+    ).filter(F.col("resolved_table") == "default")
+    records = readers.expand_records(
+        routed.withColumnRenamed("value", "json"),
+        "json",
+        td.ingest["expand_records_field"],
+        input_schema,
+    )
+    r = td.pipeline(records).collect()[0].asDict(recursive=True)
+
+    assert r["ts"] == dt.datetime(2024, 5, 1, 12, 34, 56)
+    assert r["event"] == {
+        "provider": "s3.amazonaws.com", "action": "GetObject",
+        "id": "e-1", "kind": "event",
+    }
+    assert r["cloud"] == {
+        "region": "us-east-1", "provider": "aws",
+        "account": {"id": "123456789012"},
+    }
+    assert r["source"] == {"address": "10.1.2.3", "ip": "10.1.2.3"}
+    assert r["user"] == {"name": "alice", "id": "AIDAEXAMPLE"}
+    assert r["related"] == {"ip": ["10.1.2.3"], "user": ["alice"]}
+    assert r["aws"]["cloudtrail"]["user_identity"]["type"] == "IAMUser"
+    assert r["aws"]["cloudtrail"]["read_only"] is True
