@@ -760,3 +760,42 @@ def compact_rows(df):
             for f in df.schema.fields
         ]
     )
+
+
+def _ipv4_to_long(c: Column) -> Column:
+    o = F.split(c, r"\.")
+    return (
+        F.element_at(o, 1).cast("bigint") * 16777216
+        + F.element_at(o, 2).cast("bigint") * 65536
+        + F.element_at(o, 3).cast("bigint") * 256
+        + F.element_at(o, 4).cast("bigint")
+    )
+
+
+@fn("ip_to_long")
+def _ip_to_long(args, kw):
+    """Dotted-quad IPv4 → numeric (VRL ip_pton analog for the v4
+    case; enables range joins against threat-intel CIDR tables)."""
+    c = _c(args[0])
+    valid = c.rlike(_IPV4_RE)
+    return F.when(valid, _ipv4_to_long(c)), T.LongType()
+
+
+@fn("ip_cidr_contains")
+def _ip_cidr_contains(args, kw):
+    """VRL ip_cidr_contains(cidr, ip) for IPv4: pure integer/bit
+    expressions — mask = ~(2^(32-prefix) - 1); match when
+    (ip & mask) == (base & mask). Null/invalid inputs → false."""
+    cidr = kw.get("cidr")
+    ip_col = _c(args[0])
+    if cidr is None:
+        raise ValueError("ip_cidr_contains requires cidr= kwarg")
+    base_str, prefix_str = cidr.split("/")
+    prefix = int(prefix_str)
+    mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix)) - 1)
+    import ipaddress
+
+    base = int(ipaddress.IPv4Address(base_str)) & mask
+    valid = ip_col.rlike(_IPV4_RE)
+    hit = (_ipv4_to_long(ip_col).bitwiseAND(F.lit(mask)) == F.lit(base))
+    return F.coalesce(F.when(valid, hit), F.lit(False)), T.BooleanType()

@@ -314,3 +314,22 @@ def test_merge_and_flatten_and_parse_json(spark):
     assert r["merged"] == {"i": 1, "s": "y", "d": 2.0}  # right side wins on s
     assert r["parsed"] == {"a": {"b": 5}}
     assert r["b_val"] == 5
+
+
+def test_ip_functions(spark):
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.200.0.1",), ("192.168.1.5",), ("not-an-ip",)],
+        ["ip"],
+    )
+    out = compile_pipeline(
+        [
+            Assign("n", Fn("ip_to_long", P("ip"))),
+            Assign("in_10_8", Fn("ip_cidr_contains", P("ip"), cidr="10.0.0.0/8")),
+            Assign("in_10_1_16", Fn("ip_cidr_contains", P("ip"), cidr="10.1.0.0/16")),
+        ]
+    )(df)
+    rows = {r.ip: (r.n, r.in_10_8, r.in_10_1_16) for r in out.collect()}
+    assert rows["10.1.2.3"] == (10 * 16777216 + 1 * 65536 + 2 * 256 + 3, True, True)
+    assert rows["10.200.0.1"][1:] == (True, False)
+    assert rows["192.168.1.5"][1:] == (False, False)
+    assert rows["not-an-ip"] == (None, False, False)
