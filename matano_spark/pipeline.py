@@ -1,0 +1,99 @@
+"""One-call log-source pipeline: config directory → raw objects →
+normalized, schema-resolved, hour-partitioned lake tables (+ a
+quarantine channel).
+
+This is the batch composition of the engine's pieces (the streaming
+form is streaming.ingest): sources.readers handle decompression/
+framing/routing/expansion per the pack's `ingest` options, the
+VRL-text transform compiles per table, schema.cast sidelines rows
+that cannot coerce to the resolved schema, and lake.LakeTable lands
+hour-partitioned output. Mirrors the reference's §3.1 lifecycle with
+one DAG per table instead of four Lambdas.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matano_spark.lake import LakeTable
+from matano_spark.schema.cast import apply_schema
+from matano_spark.schema.config import TableDef, load_log_source
+from matano_spark.schema.resolve import fields_to_structtype
+from matano_spark.sources import readers
+
+
+def _read_raw(spark: SparkSession, td: TableDef, raw_path: str) -> DataFrame:
+    fmt = td.ingest.get("format", "json")
+    if fmt == "csv":
+        return readers.read_csv_with_headers(
+            spark, raw_path, td.ingest["csv_headers"]
+        )
+    # text/json lines with magic-byte-safe decompression
+    lines = readers.read_lines_sniffed(spark, raw_path)
+    if td.ingest.get("route_rules"):
+        lines = readers.route_by_path(
+            lines, [tuple(r) for r in td.ingest["route_rules"]], default="default"
+        ).filter(F.col("resolved_table") == td.name if td.name != "default"
+                 else F.col("resolved_table") == "default")
+    if fmt == "text":
+        return lines.withColumnRenamed("value", "message").drop(
+            "resolved_table", "_file"
+        )
+    payload = lines.withColumnRenamed("value", "json")
+    expand = td.ingest.get("expand_records_field")
+    input_schema = (
+        fields_to_structtype(td.ingest["input_fields"])
+        if td.ingest.get("input_fields")
+        else None
+    )
+    if expand:
+        return readers.expand_records(payload, "json", expand, input_schema)
+    if input_schema is not None:
+        return payload.select(
+            F.from_json("json", input_schema).alias("r")
+        ).select("r.*")
+    return payload
+
+
+def run_log_source(
+    spark: SparkSession,
+    config_dir: str,
+    raw_path: str,
+    lake_root: str,
+    quarantine_root: str | None = None,
+) -> dict[str, LakeTable]:
+    """Process raw objects for every table of a log source pack.
+
+    Returns {table_name: LakeTable} of the landed tables. Rows that
+    fail schema resolution land under quarantine_root with their
+    mismatching field names (S17 conservation: rows_in = rows_out +
+    sidelined)."""
+    out: dict[str, LakeTable] = {}
+    for td in load_log_source(config_dir):
+        raw = _read_raw(spark, td, raw_path)
+        normalized = td.pipeline(raw)
+        # project to declared columns only (resolved schema governs the
+        # lake); extra working columns are dropped
+        declared = [f.name for f in td.schema.fields if f.name in normalized.columns]
+        good, bad = apply_schema(
+            normalized.select(*declared),
+            type(td.schema)([f for f in td.schema.fields if f.name in declared]),
+        )
+        table = LakeTable(
+            spark,
+            f"{td.log_source}_{td.name}",
+            os.path.join(lake_root, td.log_source, td.name),
+            use_iceberg=False,
+        )
+        table.append(good)
+        if quarantine_root is not None:
+            n_bad = bad.count()
+            if n_bad:
+                bad.withColumn("log_source", F.lit(td.log_source)).write.mode(
+                    "append"
+                ).parquet(os.path.join(quarantine_root, td.log_source))
+        out[td.name] = table
+    return out
