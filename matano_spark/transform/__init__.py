@@ -16,6 +16,7 @@ from matano_spark.transform.ast import (  # noqa: F401
     AbortIf,
     Assign,
     Delete,
+    Enrich,
     Move,
     When,
     P,

@@ -178,4 +178,24 @@ class When:
         object.__setattr__(self, "orelse", tuple(orelse))
 
 
-Step = Union[Assign, Move, Delete, AbortIf, When]
+Step = Union[Assign, Move, Delete, AbortIf, When, "Enrich"]
+
+
+@dataclass(frozen=True, eq=False)
+class Enrich:
+    """get_enrichment_table_record as a pipeline step (ref:
+    shared/src/functions.rs:108-255): look up `on` equality keys in an
+    enrichment DataFrame and bind the (projected) record struct at
+    `target` — null on miss. Compiles to a broadcast left join between
+    two projection stages."""
+
+    target: str
+    table: Any  # enrichment DataFrame
+    on: dict  # {row path: enrichment column}
+    select: tuple = ()
+
+    def __init__(self, target: str, table: Any, on: dict, select=()):
+        object.__setattr__(self, "target", target)
+        object.__setattr__(self, "table", table)
+        object.__setattr__(self, "on", dict(on))
+        object.__setattr__(self, "select", tuple(select))

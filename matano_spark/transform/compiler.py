@@ -287,20 +287,64 @@ class Compiler:
 def compile_pipeline(steps: Iterable[ast.Step]):
     """Compile steps into a DataFrame -> DataFrame transformation.
 
-    One filter() (all aborts) + one select() (all writes). The
-    program compiles per input schema — the analog of the reference's
+    One filter() (all aborts) + one select() (all writes) per stage;
+    Enrich steps split the program into stages joined by broadcast
+    lookups (VRL's get_enrichment_table_record boundary). The program
+    compiles per input schema — the analog of the reference's
     per-(source, schema) VRL program cache.
     """
     steps = tuple(steps)
+    stages: list[tuple] = []
+    cur: list = []
+    for s in steps:
+        if isinstance(s, ast.Enrich):
+            stages.append(("steps", tuple(cur)))
+            cur = []
+            stages.append(("enrich", s))
+        else:
+            cur.append(s)
+    stages.append(("steps", tuple(cur)))
 
-    def apply(df: DataFrame) -> DataFrame:
+    def apply_steps(df: DataFrame, stage_steps) -> DataFrame:
         state = _RowState(df)
-        Compiler(state).run(steps)
+        Compiler(state).run(stage_steps)
         out = df
         for f in state.filters:
             out = out.filter(f)
         return out.select(
             *[col.alias(name) for name, col in state.cols.items()]
         )
+
+    def apply_enrich(df: DataFrame, step: ast.Enrich) -> DataFrame:
+        from matano_spark.operators.enrichment import enrich
+
+        # row paths may be nested — materialize join keys as columns
+        keyed = df
+        tmp_keys = {}
+        for i, row_path in enumerate(step.on):
+            tmp = f"__ek_{i}"
+            state = _RowState(df)
+            keyed = keyed.withColumn(
+                tmp, state.get(tuple(ast.split_path(row_path)))
+            )
+            tmp_keys[tmp] = step.on[row_path]
+        out = enrich(
+            keyed,
+            step.table,
+            on=tmp_keys,
+            select=list(step.select) or None,
+            target=step.target,
+        )
+        return out.drop(*tmp_keys.keys())
+
+    def apply(df: DataFrame) -> DataFrame:
+        out = df
+        for kind, payload in stages:
+            if kind == "steps":
+                if payload:
+                    out = apply_steps(out, payload)
+            else:
+                out = apply_enrich(out, payload)
+        return out
 
     return apply

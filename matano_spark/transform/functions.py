@@ -799,3 +799,28 @@ def _ip_cidr_contains(args, kw):
     valid = ip_col.rlike(_IPV4_RE)
     hit = (_ipv4_to_long(ip_col).bitwiseAND(F.lit(mask)) == F.lit(base))
     return F.coalesce(F.when(valid, hit), F.lit(False)), T.BooleanType()
+
+
+@fn("md5")
+def _md5(args, kw):
+    return F.md5(_c(args[0]).cast("string")), T.StringType()
+
+
+@fn("sha1")
+def _sha1(args, kw):
+    return F.sha1(_c(args[0]).cast("string").cast("binary")), T.StringType()
+
+
+@fn("sha2")
+def _sha2(args, kw):
+    bits = kw.get("variant", 256)
+    return (
+        F.sha2(_c(args[0]).cast("string").cast("binary"), bits),
+        T.StringType(),
+    )
+
+
+@fn("format_timestamp")
+def _format_timestamp(args, kw):
+    fmt = strftime_to_java(kw.get("format", "%Y-%m-%dT%H:%M:%SZ"))
+    return F.date_format(_c(args[0]), fmt), T.StringType()

@@ -333,3 +333,52 @@ def test_ip_functions(spark):
     assert rows["10.200.0.1"][1:] == (True, False)
     assert rows["192.168.1.5"][1:] == (False, False)
     assert rows["not-an-ip"] == (None, False, False)
+
+
+def test_enrich_step_mid_pipeline(spark):
+    """get_enrichment_table_record inside a transform program (J1 in
+    the DSL): lookup joins between projection stages; post-join steps
+    read the bound record."""
+    from matano_spark.transform import Enrich
+
+    kev = spark.createDataFrame(
+        [("CVE-2021-44228", "Apache", "Log4j")], ["cve_id", "vendor", "product"]
+    )
+    df = spark.createDataFrame(
+        [("h1", "cve-2021-44228"), ("h2", "cve-0000-0000")], ["host", "raw_cve"]
+    )
+    pipeline = compile_pipeline(
+        [
+            Assign("vuln.id", Fn("upcase", P("raw_cve"))),
+            Delete("raw_cve"),
+            Enrich("kev", kev, on={"vuln.id": "cve_id"}, select=("vendor", "product")),
+            Assign("known_exploited", Fn("exists", P("kev"))),
+            When(
+                P("known_exploited"),
+                [Assign("severity", L("critical"))],
+                [Assign("severity", L("unknown"))],
+            ),
+        ]
+    )
+    rows = {r["host"]: r.asDict(recursive=True) for r in pipeline(df).collect()}
+    assert rows["h1"]["kev"] == {"vendor": "Apache", "product": "Log4j"}
+    assert rows["h1"]["severity"] == "critical"
+    assert rows["h2"]["kev"] is None
+    assert rows["h2"]["severity"] == "unknown"
+
+
+def test_hash_and_format_functions(spark):
+    df = spark.createDataFrame([("abc", dt.datetime(2024, 5, 1, 12, 30))], ["s", "t"])
+    out = compile_pipeline(
+        [
+            Assign("h_md5", Fn("md5", P("s"))),
+            Assign("h_sha1", Fn("sha1", P("s"))),
+            Assign("h_sha256", Fn("sha2", P("s"))),
+            Assign("fmt", Fn("format_timestamp", P("t"), format="%Y/%m/%d %H:%M")),
+        ]
+    )(df)
+    r = row(out)
+    assert r["h_md5"] == "900150983cd24fb0d6963f7d28e17f72"
+    assert r["h_sha1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert r["h_sha256"].startswith("ba7816bf8f01cfea")
+    assert r["fmt"] == "2024/05/01 12:30"
