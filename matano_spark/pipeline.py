@@ -64,17 +64,18 @@ def run_log_source(
     raw_path: str,
     lake_root: str,
     quarantine_root: str | None = None,
-) -> dict[str, LakeTable]:
+) -> dict[str, "TableResult"]:
     """Process raw objects for every table of a log source pack.
 
-    Returns {table_name: LakeTable} of the landed tables. Rows that
-    fail schema resolution land under quarantine_root with their
-    mismatching field names (S17 conservation: rows_in = rows_out +
-    sidelined)."""
-    out: dict[str, LakeTable] = {}
+    Returns {table_name: TableResult} with the landed LakeTable and
+    the matano_log-style row accounting (ref: per-service structured
+    counters, transformer/src/main.rs:1119-1158): rows_in ==
+    rows_out + rows_sidelined always holds (S17 conservation)."""
+    out: dict[str, TableResult] = {}
     for td in load_log_source(config_dir):
         raw = _read_raw(spark, td, raw_path)
-        normalized = td.pipeline(raw)
+        normalized = td.pipeline(raw).persist()
+        rows_transformed = normalized.count()
         # project to declared columns only (resolved schema governs the
         # lake); extra working columns are dropped
         declared = [f.name for f in td.schema.fields if f.name in normalized.columns]
@@ -89,11 +90,39 @@ def run_log_source(
             use_iceberg=False,
         )
         table.append(good)
-        if quarantine_root is not None:
-            n_bad = bad.count()
-            if n_bad:
-                bad.withColumn("log_source", F.lit(td.log_source)).write.mode(
-                    "append"
-                ).parquet(os.path.join(quarantine_root, td.log_source))
-        out[td.name] = table
+        n_bad = bad.count()
+        if quarantine_root is not None and n_bad:
+            bad.withColumn("log_source", F.lit(td.log_source)).write.mode(
+                "append"
+            ).parquet(os.path.join(quarantine_root, td.log_source))
+        normalized.unpersist()
+        out[td.name] = TableResult(
+            table=table,
+            rows_in=rows_transformed,
+            rows_out=rows_transformed - n_bad,
+            rows_sidelined=n_bad,
+        )
     return out
+
+
+class TableResult:
+    """Landed table + conservation counters (rows_in = rows_out +
+    rows_sidelined). Duck-typed to LakeTable for reads."""
+
+    def __init__(self, table: LakeTable, rows_in: int, rows_out: int, rows_sidelined: int):
+        self.table = table
+        self.rows_in = rows_in
+        self.rows_out = rows_out
+        self.rows_sidelined = rows_sidelined
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    def as_log(self) -> dict:
+        """The matano_log JSON shape: one structured counters record."""
+        return {
+            "table": self.table.name,
+            "rows_in": self.rows_in,
+            "rows_out": self.rows_out,
+            "rows_sidelined": self.rows_sidelined,
+        }

@@ -66,6 +66,9 @@ def test_run_cloudtrail_pack_to_lake(spark, tmpdir):
         str(tmpdir / "lake"),
         quarantine_root=str(tmpdir / "quarantine"),
     )
+    res = tables["default"]
+    assert res.rows_in == res.rows_out + res.rows_sidelined == 3
+    assert res.as_log()["rows_sidelined"] == 0
     lake = tables["default"].read()
     lake.createOrReplaceTempView("ct")
     rows = spark.sql(
