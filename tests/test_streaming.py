@@ -150,3 +150,79 @@ def test_streaming_alerts_state_across_batches(spark, tmpdir):
     assert a["activated"] is True
     assert a["first_matched_at"] == t0
     assert a["created_at"] == t0 + dt.timedelta(minutes=12)
+
+
+def test_streaming_detections_to_alerts_chain(spark, tmpdir):
+    """§3.2 fully streaming: events stream → Python detections
+    (mapInPandas on the stream) → stateful alert machine → merged
+    alert state. The same Detection object drives batch and stream."""
+    from matano_spark.detections import Detection, run_detections
+    from matano_spark.streaming.alerting import run_streaming_alerts_to_dir
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    src = tmpdir / "events"
+    src.mkdir()
+
+    def write_events(name, rows, mtime):
+        with open(src / name, "w") as f:
+            for i, (m, outcome, ip) in enumerate(rows):
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": f"{name}-{i}",
+                            "ts": (t0 + dt.timedelta(minutes=m)).isoformat(),
+                            "outcome": outcome,
+                            "src_ip": ip,
+                        }
+                    )
+                    + "\n"
+                )
+        import os
+
+        os.utime(src / name, (mtime, mtime))
+
+    write_events(
+        "e1.json",
+        [(0, "failure", "1.2.3.4"), (2, "failure", "1.2.3.4"), (3, "success", "1.2.3.4")],
+        1_700_000_000,
+    )
+    write_events(
+        "e2.json",
+        [(5, "failure", "1.2.3.4"), (9, "failure", "1.2.3.4"), (12, "failure", "1.2.3.4")],
+        1_700_000_100,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("outcome", T.StringType()),
+            T.StructField("src_ip", T.StringType()),
+        ]
+    )
+    events = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    det = Detection(
+        name="bf",
+        detect=lambda r: r.deepget("outcome") == "failure",
+        dedupe=lambda r: r.deepget("src_ip"),
+        severity="high",
+    )
+    matches = run_detections(events, [det], key_col="event_id")
+    out_dir = str(tmpdir / "alerts")
+    q = run_streaming_alerts_to_dir(
+        matches, out_dir, str(tmpdir / "ck"), threshold=5, window_seconds=900
+    )
+    q.awaitTermination(240)
+
+    alerts = [r.asDict() for r in spark.read.parquet(out_dir).collect()]
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a["match_count"] == 5  # success row never matched
+    assert a["activated"] is True
+    assert a["first_matched_at"] == t0
+    assert a["created_at"] == t0 + dt.timedelta(minutes=12)
