@@ -657,3 +657,34 @@ def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "q11_supplier_concentration",
+    oracle=f"""
+    WITH per_supp AS (
+      SELECT s_nationkey, s_suppkey,
+             {sql_dsum('s_acctbal')} AS bal
+      FROM supplier GROUP BY s_nationkey, s_suppkey
+    ),
+    tot AS (SELECT {sql_dsum('s_acctbal')} AS total FROM supplier)
+    SELECT s_nationkey, s_suppkey, bal,
+           bal / total AS share
+    FROM per_supp, tot
+    WHERE bal / total > 0.02
+    """,
+)
+def q11_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: share-of-global-total via a broadcast scalar
+    aggregate — suppliers holding > 2% of total account balance."""
+    supp = t(spark, sf_dir, "supplier")
+    per_supp = supp.groupBy("s_nationkey", "s_suppkey").agg(
+        dsum("s_acctbal").alias("bal")
+    )
+    tot = supp.agg(dsum("s_acctbal").alias("total"))
+    return (
+        per_supp.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("bal") / F.col("total"))
+        .filter(F.col("share") > 0.02)
+        .select("s_nationkey", "s_suppkey", "bal", "share")
+    )

@@ -614,3 +614,46 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_signup) AS n_signed_up,
+           COUNT(CASE WHEN first_purchase > first_signup THEN 1 END)
+             AS n_converted,
+           CAST(COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS DOUBLE)
+             / COUNT(first_signup) AS conversion_rate
+    FROM per_user
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/funnel analysis: users whose first purchase follows
+    their first signup — conditional-min aggregation, one shuffle on
+    user_id, no self-join (the scalable funnel shape; an N-step funnel
+    extends with more conditional mins)."""
+    ev = t(spark, sf_dir, "events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first_signup.alias("first_signup"),
+        first_purchase.alias("first_purchase"),
+    )
+    converted = F.count(
+        F.when(F.col("first_purchase") > F.col("first_signup"), F.lit(1))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        converted.alias("n_converted"),
+        (converted.cast("double") / F.count("first_signup")).alias(
+            "conversion_rate"
+        ),
+    )
