@@ -671,3 +671,38 @@ _REG["doc_pipeline_corpus_stats"].oracle = f"""
       AND q.doc_id IN (SELECT doc_id FROM keepers)
     GROUP BY predicted_lang
 """
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH bigrams AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-20 word bigrams — the vocabulary/
+    collocation profiling stage of a data pipeline. Explode → count →
+    partial top-k; ties broken lexicographically for determinism."""
+    docs = t(spark, sf_dir, "documents")
+    ws = F.col("__ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - 2)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+    )
+    return (
+        docs.select(F.split(F.col("text"), " ").alias("__ws"))
+        .filter(F.size(ws) >= 2)
+        .select(F.explode(F.transform(idx, mk)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )

@@ -657,3 +657,56 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@query(
+    "events_weekly_retention",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    ),
+    base AS (SELECT min(week) AS w0 FROM weekly)
+    SELECT w.week - b.w0 AS week_offset,
+           COUNT(DISTINCT w.user_id) AS active_users,
+           COUNT(DISTINCT CASE WHEN w0u.user_id IS NOT NULL
+                 THEN w.user_id END) AS retained_from_week0
+    FROM weekly w
+    CROSS JOIN base b
+    LEFT JOIN (SELECT weekly.user_id FROM weekly, base
+               WHERE week = w0) w0u
+      ON w0u.user_id = w.user_id
+    GROUP BY w.week - b.w0
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: per week offset, active users and how many of
+    them were already active in week 0 — distinct-user semi-state via
+    a broadcast of the (small) week-0 cohort."""
+    ev = t(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 604800)).cast("bigint").alias("week"),
+        )
+        .distinct()
+    )
+    w0 = weekly.agg(F.min("week").alias("w0"))
+    cohort = (
+        weekly.crossJoin(F.broadcast(w0))
+        .filter(F.col("week") == F.col("w0"))
+        .select(F.col("user_id").alias("c_user"))
+        .distinct()
+    )
+    return (
+        weekly.crossJoin(F.broadcast(w0))
+        .join(F.broadcast(cohort), weekly.user_id == cohort.c_user, "left")
+        .groupBy((F.col("week") - F.col("w0")).alias("week_offset"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.countDistinct(
+                F.when(F.col("c_user").isNotNull(), F.col("user_id"))
+            ).alias("retained_from_week0"),
+        )
+    )
