@@ -76,13 +76,20 @@ def run_log_source(
         raw = _read_raw(spark, td, raw_path)
         normalized = td.pipeline(raw).persist()
         rows_transformed = normalized.count()
-        # project to declared columns only (resolved schema governs the
-        # lake); extra working columns are dropped
-        declared = [f.name for f in td.schema.fields if f.name in normalized.columns]
-        good, bad = apply_schema(
-            normalized.select(*declared),
-            type(td.schema)([f for f in td.schema.fields if f.name in declared]),
+        # project to the FULL resolved schema (the resolved schema IS the
+        # table schema, batch content notwithstanding): declared fields the
+        # transform never assigned land as typed nulls, extra working
+        # columns are dropped
+        present = set(normalized.columns)
+        projected = normalized.select(
+            *[
+                F.col(f"`{f.name}`")
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in td.schema.fields
+            ]
         )
+        good, bad = apply_schema(projected, td.schema)
         table = LakeTable(
             spark,
             f"{td.log_source}_{td.name}",

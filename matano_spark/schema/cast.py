@@ -22,6 +22,10 @@ def _coerce(col: Column, src: T.DataType | None, dst: T.DataType) -> tuple[Colum
     if isinstance(dst, T.StructType):
         src_fields = {f.name: f.dataType for f in src.fields} if isinstance(src, T.StructType) else {}
         cols, flags = [], []
+        # non-struct value (e.g. a string) sitting where a struct is
+        # declared is a schema mismatch, not a silent all-null struct
+        if src is not None and not isinstance(src, T.StructType):
+            flags.append(F.coalesce(col.isNotNull(), F.lit(False)))
         for f in dst.fields:
             child = col.getField(f.name) if f.name in src_fields else F.lit(None)
             c, fl = _coerce(child, src_fields.get(f.name), f.dataType)
@@ -29,6 +33,9 @@ def _coerce(col: Column, src: T.DataType | None, dst: T.DataType) -> tuple[Colum
             flags.extend(fl)
         return F.struct(*cols), flags
     if isinstance(dst, T.ArrayType):
+        if src is not None and not isinstance(src, T.ArrayType):
+            # non-array value where an array is declared: quarantine
+            return F.lit(None).cast(dst), [F.coalesce(col.isNotNull(), F.lit(False))]
         if src is not None and isinstance(src, T.ArrayType):
             inner_src = src.elementType
             if inner_src.simpleString() == dst.elementType.simpleString():
@@ -45,6 +52,8 @@ def _coerce(col: Column, src: T.DataType | None, dst: T.DataType) -> tuple[Colum
             return out, [F.coalesce(flag, F.lit(False))]
         return F.lit(None).cast(dst), []
     out = col.try_cast(dst.simpleString())
+    if src is None:  # absent column — nothing to mismatch on
+        return out, []
     flag = col.isNotNull() & out.isNull()
     return out, [F.coalesce(flag, F.lit(False))]
 

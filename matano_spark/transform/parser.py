@@ -151,11 +151,22 @@ class Parser:
                 self.expect("{")
                 orelse = tuple(self.parse_program())
                 self.expect("}")
-        # `abort` inside an if means conditional row skip
+        # `abort` inside an if means conditional row skip. A bare abort
+        # (cond == L(True)) takes the if-condition; a nested conditional
+        # abort (from an inner `if B { abort }`, already collapsed to
+        # AbortIf(B)) keeps its own condition ANDed with ours — rewriting
+        # it to AbortIf(cond) would silently drop every row where the
+        # outer condition holds.
+        def _abort_cond(s: ast.AbortIf):
+            if isinstance(s.cond, ast.L) and s.cond.value is True:
+                return cond
+            return ast.BinOp("&", cond, s.cond)
+
         steps2 = tuple(
-            ast.AbortIf(cond) if isinstance(s, ast.AbortIf) else s for s in steps
+            ast.AbortIf(_abort_cond(s)) if isinstance(s, ast.AbortIf) else s
+            for s in steps
         )
-        if steps2 and all(isinstance(s, ast.AbortIf) for s in steps2):
+        if len(steps2) == 1 and isinstance(steps2[0], ast.AbortIf) and not orelse:
             return steps2[0]
         return ast.When(cond, steps2, orelse)
 

@@ -86,3 +86,33 @@ def test_run_cloudtrail_pack_to_lake(spark, tmpdir):
     ).collect()[0]
     assert bogus.ip is None and bogus.addr == "bogus-address"
     assert lake.select("ts").first().ts == dt.datetime(2024, 5, 1, 10, 10)
+
+
+def test_landed_schema_is_full_resolved_schema(spark, tmpdir):
+    """Declared fields the transform never assigned must still land as
+    typed nulls — the at-rest schema is the resolved schema, not
+    whatever this batch's transform happened to touch."""
+    from matano_spark.schema.config import load_log_source
+
+    raw = tmpdir / "raw"
+    raw.mkdir()
+    rec = {
+        "eventVersion": "1.08",
+        "eventTime": "2024-05-01T10:10:00Z",
+        "eventSource": "s3.amazonaws.com",
+        "eventName": "GetObject",
+        "eventID": "e-1",
+        "eventType": "AwsApiCall",
+    }
+    with gzip.open(raw / "trail.json.gz", "wt") as f:
+        f.write(json.dumps({"Records": [rec]}))
+    tables = run_log_source(
+        spark,
+        str(ROOT / "aws_cloudtrail"),
+        str(raw / "*.gz"),
+        str(tmpdir / "lake"),
+    )
+    td = load_log_source(str(ROOT / "aws_cloudtrail"))[0]
+    landed = tables["default"].read()
+    declared = [f.name for f in td.schema.fields]
+    assert [c for c in landed.columns if c != "ts_hour"] == declared

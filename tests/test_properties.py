@@ -119,3 +119,27 @@ def test_apply_schema_routes_mismatches(spark):
         for r in bad.collect()
     }
     assert bad_rows == {"b": ["n"], "c": ["meta"]}
+
+
+def test_apply_schema_flags_scalar_where_struct_declared(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "geo", T.StructType([T.StructField("city", T.StringType())])
+            ),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "not-a-struct", "not-an-array"),  # geo + tags both mismatch
+            (2, None, None),                      # nulls fine
+        ],
+        "id long, geo string, tags string",
+    )
+    good, bad = apply_schema(df, schema)
+    assert [r.id for r in good.collect()] == [2]
+    b = bad.collect()
+    assert len(b) == 1
+    assert sorted(b[0].mismatch_fields) == ["geo", "tags"]

@@ -134,3 +134,39 @@ transform: |
     assert r["user"] == {"name": "alice"}
     assert r["demo"] == {"code": "d1"}
     assert r["ts"] == dt.datetime(2024, 5, 1, 10, 0)
+
+
+def test_nested_conditional_abort_parses_to_anded_cond():
+    # `if A { if B { abort } }` must abort only when A AND B — not A alone.
+    steps = parse_program('if .a == 1 { if .b == 2 { abort } }')
+    assert len(steps) == 1
+    s = steps[0]
+    assert isinstance(s, ast.AbortIf)
+    c = s.cond
+    assert isinstance(c, ast.BinOp) and c.op == "&"
+    assert isinstance(c.left, ast.BinOp) and c.left.op == "=="
+    assert isinstance(c.right, ast.BinOp) and c.right.op == "=="
+
+
+def test_nested_conditional_abort_end_to_end(spark):
+    src = """
+    if .a == 1 { if .b == 2 { abort } }
+    .keep = true
+    """
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 2), (9, 9)], ["a", "b"]
+    )
+    out = compile_vrl(src)(df)
+    rows = sorted((r["a"], r["b"]) for r in out.collect())
+    assert rows == [(1, 3), (2, 2), (9, 9)]  # only (1,2) aborted
+
+
+def test_conditional_abort_with_else_preserved(spark):
+    src = """
+    if .a == 1 { abort } else { .tag = "kept" }
+    """
+    df = spark.createDataFrame([(1,), (2,)], ["a"])
+    out = compile_vrl(src)(df)
+    rows = [r.asDict() for r in out.collect()]
+    assert len(rows) == 1
+    assert rows[0]["a"] == 2 and rows[0]["tag"] == "kept"
