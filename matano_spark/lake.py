@@ -68,6 +68,10 @@ class LakeTable:
         )
 
     def overwrite(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite on BOTH backends: only the
+        ts_hour partitions present in `df` are replaced — a partial
+        write never deletes untouched hour partitions (matches Iceberg
+        overwritePartitions semantics)."""
         if self.iceberg:
             df.writeTo(self.name).overwritePartitions()
             return
@@ -75,9 +79,13 @@ class LakeTable:
         out.write.mode("overwrite").partitionBy("ts_hour").parquet(
             self.path + ".tmp"
         )
-        self.spark.read.parquet(self.path + ".tmp").write.mode(
-            "overwrite"
-        ).partitionBy("ts_hour").parquet(self.path)
+        (
+            self.spark.read.parquet(self.path + ".tmp")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ts_hour")
+            .parquet(self.path)
+        )
 
     def merge_by_key(self, df: DataFrame, key_cols: list[str]) -> None:
         """Upsert: MERGE INTO on Iceberg; latest-wins rewrite on the

@@ -85,7 +85,13 @@ def make_fold(threshold: int, window_seconds: int):
                 snapshot()
         if anchor_us is not None:
             state.update((anchor_us, count, activated, created_us, last_us))
-            state.setTimeoutDuration(window_seconds * 1000 * 4)
+            # event-time eviction: the key is dead once the WATERMARK
+            # (not wall-clock) passes 4 dedup windows beyond its last
+            # match — a replayed/backfilled stream evicts identically
+            # (SURVEY W2 "event-time timeout = dedup window")
+            state.setTimeoutTimestamp(
+                last_us // 1000 + window_seconds * 1000 * 4
+            )
         if emitted:
             yield pd.DataFrame(list(emitted.values()))
 
@@ -93,18 +99,25 @@ def make_fold(threshold: int, window_seconds: int):
 
 
 def streaming_alerts(
-    matches: DataFrame, threshold: int = 1, window_seconds: int = 3600
+    matches: DataFrame,
+    threshold: int = 1,
+    window_seconds: int = 3600,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """matches stream (rule_name, dedupe, ts, match_id) → alert upsert
-    stream (ALERT_SCHEMA). Output mode must be `update`."""
+    stream (ALERT_SCHEMA). Output mode must be `update`. Late matches
+    within `watermark_delay` still fold into their alert; older ones
+    are dropped by the watermark (ref matano_alerts.rs:172-196 window
+    semantics)."""
     return (
-        matches.groupBy("rule_name", "dedupe")
+        matches.withWatermark("ts", watermark_delay)
+        .groupBy("rule_name", "dedupe")
         .applyInPandasWithState(
             make_fold(threshold, window_seconds),
             outputStructType=ALERT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -118,7 +131,17 @@ def run_streaming_alerts_to_dir(
 ):
     """Sink the alert upserts: per micro-batch, last-writer-wins MERGE
     into a parquet state table keyed by alert_id (Iceberg MERGE INTO
-    where available — ref Enrichment.kt:305-324 J4 shape)."""
+    where available — ref Enrichment.kt:305-324 J4 shape).
+
+    SCALE: the alerts table is hour-partitioned on the alert's anchor
+    (`first_matched_at` — stable per alert_id, which hashes (rule,
+    dedupe, anchor)). Each micro-batch reads ONLY the partitions its
+    upserts touch and dynamically overwrites ONLY those — O(touched
+    hours), never O(alert history). This is the Spark analog of the
+    reference's bounded last-1-day partition rewrite
+    (lake_writer/src/matano_alerts.rs:51-56,578-601); here the bound
+    is exact because the state machine can only touch anchors within
+    the open dedup window."""
     alerts = streaming_alerts(matches, threshold, window_seconds)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -126,9 +149,17 @@ def run_streaming_alerts_to_dir(
         from pyspark.sql import Window as W
         from pyspark.sql import functions as F
 
-        new = batch
+        new = batch.withColumn(
+            "ts_hour", F.date_format("first_matched_at", "yyyy-MM-dd-HH")
+        )
+        touched = [r.ts_hour for r in new.select("ts_hour").distinct().collect()]
+        if not touched:
+            return
         if os.path.exists(out_dir):
-            old = spark.read.parquet(out_dir)
+            # partition-pruned read: only the hours this batch touches
+            old = spark.read.parquet(out_dir).filter(
+                F.col("ts_hour").isin(touched)
+            )
             merged = old.unionByName(new)
         else:
             merged = new
@@ -140,11 +171,15 @@ def run_streaming_alerts_to_dir(
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        latest.persist()
-        latest.count()
-        latest.write.mode("overwrite").parquet(out_dir + ".tmp")
-        spark.read.parquet(out_dir + ".tmp").write.mode("overwrite").parquet(out_dir)
-        latest.unpersist()
+        # localCheckpoint breaks the read-from/write-to-same-path cycle;
+        # dynamic overwrite replaces only the touched hour partitions
+        latest = latest.localCheckpoint(eager=True)
+        (
+            latest.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ts_hour")
+            .parquet(out_dir)
+        )
 
     return (
         alerts.writeStream.foreachBatch(merge_batch)

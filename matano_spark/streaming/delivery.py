@@ -74,12 +74,23 @@ def deliver_batch(
         )
     )
     rows = todo.collect()
-    for r in rows:
-        payload = {k: r[k] for k in r.asDict() if k != "destination"}
-        transport(r.destination, payload)
-    if rows:
-        ledger.record(todo)
-    return len(rows)
+    # record from the already-collected rows — never re-execute the lazy
+    # plan (it reads the same ledger path we append to, and a partial
+    # transport failure must not record undelivered alerts)
+    sent: list[tuple[str, str]] = []
+    try:
+        for r in rows:
+            payload = {k: r[k] for k in r.asDict() if k != "destination"}
+            transport(r.destination, payload)
+            sent.append((r.alert_id, r.destination))
+    finally:
+        if sent:
+            ledger.record(
+                spark.createDataFrame(
+                    sent, "alert_id string, destination string"
+                )
+            )
+    return len(sent)
 
 
 def webhook_transport(url: str) -> Transport:

@@ -67,3 +67,26 @@ def test_column_pruning_reaches_scan(plans):
     p = plans("q1_pricing_summary")
     read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
+
+
+def test_alert_merge_read_is_partition_pruned(spark, tmp_path):
+    """The streaming alert sink's per-batch read of the existing alerts
+    table must hit only the touched ts_hour partitions (PartitionFilters
+    at the scan) — the O(touched-hours)-not-O(history) contract."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a1", "2024-05-01-10"), ("a2", "2024-05-01-14")],
+        "alert_id string, ts_hour string",
+    )
+    path = str(tmp_path / "alerts")
+    df.write.partitionBy("ts_hour").parquet(path)
+    pruned = spark.read.parquet(path).filter(
+        F.col("ts_hour").isin(["2024-05-01-14"])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ts_hour" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # and the filter is genuinely partition-level: only one file read
+    assert pruned.count() == 1

@@ -226,3 +226,111 @@ def test_streaming_detections_to_alerts_chain(spark, tmpdir):
     assert a["activated"] is True
     assert a["first_matched_at"] == t0
     assert a["created_at"] == t0 + dt.timedelta(minutes=12)
+
+
+def _write_matches(src, name, rows, mtime):
+    """rows: list of (rule, dedupe, ts_iso, match_id)."""
+    with open(src / name, "w") as f:
+        for rule, dd, ts, mid in rows:
+            f.write(
+                json.dumps(
+                    {"rule_name": rule, "dedupe": dd, "ts": ts, "match_id": mid}
+                )
+                + "\n"
+            )
+    import os
+
+    os.utime(src / name, (mtime, mtime))
+
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("rule_name", T.StringType()),
+        T.StructField("dedupe", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("match_id", T.StringType()),
+    ]
+)
+
+
+def test_alert_sink_preserves_untouched_partitions(spark, tmpdir):
+    """A later run whose upserts touch only hour B must not delete the
+    alert landed in hour A (dynamic partition overwrite, not full
+    rewrite — the O(history)-per-batch scale fix)."""
+    t = lambda h, m: dt.datetime(2024, 5, 1, h, m).isoformat()
+    src1 = tmpdir / "m1"
+    src1.mkdir()
+    _write_matches(
+        src1, "b1.json", [("r1", "k1", t(10, 0), "m1")], 1_700_000_000
+    )
+    out_dir = str(tmpdir / "alerts")
+    m1 = spark.readStream.format("json").schema(MATCH_SCHEMA).load(str(src1))
+    q = run_streaming_alerts_to_dir(
+        m1, out_dir, str(tmpdir / "ck1"), threshold=1, window_seconds=900
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 1
+
+    # second, independent run: alert anchored in a DIFFERENT hour
+    src2 = tmpdir / "m2"
+    src2.mkdir()
+    _write_matches(
+        src2, "b2.json", [("r2", "k2", t(14, 0), "m2")], 1_700_000_100
+    )
+    m2 = spark.readStream.format("json").schema(MATCH_SCHEMA).load(str(src2))
+    q2 = run_streaming_alerts_to_dir(
+        m2, out_dir, str(tmpdir / "ck2"), threshold=1, window_seconds=900
+    )
+    q2.awaitTermination(120)
+
+    alerts = spark.read.parquet(out_dir)
+    assert alerts.count() == 2  # hour-10 alert survived the hour-14 write
+    hours = {r.ts_hour for r in alerts.select("ts_hour").collect()}
+    assert hours == {"2024-05-01-10", "2024-05-01-14"}
+
+
+def test_late_match_within_watermark_folds_into_alert(spark, tmpdir):
+    """Event-time semantics: a late match (ts earlier than already-seen
+    events, within the watermark delay) still folds into its open
+    alert; a match past the dedup window opens a NEW alert id."""
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    iso = lambda m: (t0 + dt.timedelta(minutes=m)).isoformat()
+    src = tmpdir / "m"
+    src.mkdir()
+    _write_matches(
+        src,
+        "b1.json",
+        [("r", "k", iso(0), "a"), ("r", "k", iso(8), "b")],
+        1_700_000_000,
+    )
+    # late row at minute 4 (watermark after b1 ≈ min 8 - 10min < 4) plus
+    # a row far past the 15-min window → second alert id
+    _write_matches(
+        src,
+        "b2.json",
+        [("r", "k", iso(4), "late"), ("r", "k", iso(40), "new")],
+        1_700_000_100,
+    )
+    matches = (
+        spark.readStream.format("json")
+        .schema(MATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out_dir = str(tmpdir / "alerts")
+    q = run_streaming_alerts_to_dir(
+        matches, out_dir, str(tmpdir / "ck"), threshold=1, window_seconds=900
+    )
+    q.awaitTermination(180)
+
+    alerts = sorted(
+        (r.asDict() for r in spark.read.parquet(out_dir).collect()),
+        key=lambda a: a["first_matched_at"],
+    )
+    assert len(alerts) == 2
+    first, second = alerts
+    assert first["match_count"] == 3  # a, b, late all folded
+    assert first["first_matched_at"] == t0
+    assert second["match_count"] == 1
+    assert second["first_matched_at"] == t0 + dt.timedelta(minutes=40)
+    assert first["alert_id"] != second["alert_id"]
