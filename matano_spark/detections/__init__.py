@@ -91,6 +91,7 @@ def run_detections(
     detections: Iterable[Detection],
     ts_col: str = "ts",
     key_col: str | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Evaluate detections over every row; emit rule-match rows.
 
@@ -98,9 +99,29 @@ def run_detections(
     detections per record in-process; same shape here inside each
     Arrow batch). Output is the A1 rule-match relation, ready for the
     alert state machine.
+
+    Fast path: when EVERY detect() compiles to a Column predicate
+    (detections.compile concolic tracer), the union of compiled
+    predicates prefilters the scan JVM-side — Catalyst pushes the
+    disjunction to parquet and the Python loop only sees candidate
+    rows. Hooks (title/dedupe/original_event) still run in Python on
+    survivors, so output is bit-identical to the slow path. Any
+    untraceable detect() disables the prefilter for the whole run
+    (soundness: never drop a row a Python predicate might match).
     """
     dets = list(detections)
     fields = df.columns
+    if prefilter and dets:
+        from matano_spark.detections.compile import Untraceable, compile_predicate
+
+        try:
+            preds = [compile_predicate(d.detect, df.schema) for d in dets]
+            cond = preds[0]
+            for p in preds[1:]:
+                cond = cond | p
+            df = df.filter(cond)
+        except Untraceable:
+            pass  # row loop evaluates every row
 
     def run(batches):
         import pandas as pd

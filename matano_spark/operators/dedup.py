@@ -61,6 +61,27 @@ def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFram
     )
 
 
+def drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Skew guard for inverted-index / bucket self-joins: anti-join away
+    keys whose frequency exceeds `cap`.
+
+    On real web text, stop-shingles (or degenerate LSH buckets) make the
+    self-join cost Σ(df²) explode — one shingle present in 1M docs is
+    5·10¹¹ pairs on its own. Keys above the cap carry ~zero signal for
+    near-dup detection (they match everything) and are dropped, exactly
+    like stopword removal. The hot-key list is tiny by construction
+    (only keys with df > cap survive the HAVING), so it broadcasts and
+    the big relation never reshuffles.
+    """
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > cap)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), list(key_cols), "left_anti")
+
+
 def minhash_signatures(
     shingle_df: DataFrame, id_col: str, num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:
@@ -82,13 +103,16 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = NUM_MINHASHES,
     band_size: int = BAND_SIZE,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b), deduplicated.
 
     Bands explode to (band_id, band_key) rows; the self-join key is
     (band_id, band_key) — high cardinality, uniform → a well-behaved
-    shuffle at any scale. Collision lists longer than ~1k ids would
-    indicate degenerate data and should be df-capped upstream.
+    shuffle at any scale. Degenerate buckets with more than
+    `bucket_cap` members (boilerplate/empty docs all hashing alike)
+    are dropped via `drop_hot_keys` before the self-join, bounding the
+    worst bucket at cap² pairs.
     """
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -109,6 +133,8 @@ def lsh_candidate_pairs(
     banded = sig_df.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    if bucket_cap is not None:
+        banded = drop_hot_keys(banded, ["band_id", "band_key"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -159,16 +185,18 @@ def minhash_near_dups(
     id_col: str,
     text_col: str,
     threshold: float = 0.35,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection.
 
     shingle → signature → banded candidates → exact-Jaccard verify.
     Only candidate pairs (not n²) reach the verification join; the
-    shingle relation is materialized once and reused.
+    shingle relation is materialized once and reused. `bucket_cap`
+    bounds degenerate LSH buckets (see lsh_candidate_pairs).
     """
     shingles = word_shingles(df, id_col, text_col).localCheckpoint()
     sigs = minhash_signatures(shingles, id_col)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col, bucket_cap=bucket_cap)
     return jaccard_for_pairs(shingles, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )

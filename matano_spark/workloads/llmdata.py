@@ -247,13 +247,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle="""
-    WITH shingles AS (
+    WITH shingles_all AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                        for i in range(1, len(ws) - 1)]) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       )
+    ),
+    shingles AS (
+      SELECT s.* FROM shingles_all s
+      JOIN (SELECT shingle FROM shingles_all
+            GROUP BY shingle HAVING COUNT(*) <= 1000) ok
+      USING (shingle)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
@@ -278,8 +284,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: the join key is the shingle (high cardinality → well
     distributed); only pairs sharing ≥1 shingle are materialized, so
     cost is Σ(docs-per-shingle²) not n² — the same sparsity MinHash-LSH
-    exploits, but exact. Hot shingles should be stopword-filtered or
-    df-capped at 100 TB (see operators.dedup for the capped variant).
+    exploits, but exact. Hot shingles (document frequency > 1000) are
+    dropped via drop_hot_keys before the self-join — stop-shingle
+    removal that bounds the worst key at cap² pairs on real web text.
     """
     docs = t(spark, sf_dir, "documents")
     # Materialize the words array once per row — element_at over a bound
@@ -296,15 +303,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch scans the materialized rows (measured ~6× faster than
     # .cache() here). At 100 TB the equivalent is a checkpointed
     # intermediate table — same plan shape.
-    shingles = (
+    shingles = D.drop_hot_keys(
         with_ws.filter(F.size(ws) >= 3)  # sequence() runs descending below n words
         .select(
             "doc_id",
             F.explode(F.transform(idx, shingle)).alias("shingle"),
         )
-        .distinct()
-        .localCheckpoint()
-    )
+        .distinct(),
+        ["shingle"],
+        cap=1000,
+    ).localCheckpoint()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -391,9 +399,15 @@ def _sql_minhash_bands() -> str:
     WITH {_SHINGLES_CTE},
     {_sql_minhash_sigs()},
     {_sql_minhash_bands()},
+    banded_capped AS (
+      SELECT b.* FROM banded b
+      JOIN (SELECT band_id, band_key FROM banded
+            GROUP BY band_id, band_key HAVING COUNT(*) <= 1000) ok
+      USING (band_id, band_key)
+    ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
+      FROM banded_capped a JOIN banded_capped b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ),

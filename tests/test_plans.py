@@ -90,3 +90,10 @@ def test_alert_merge_read_is_partition_pruned(spark, tmp_path):
     )[1].split("]")[0]
     # and the filter is genuinely partition-level: only one file read
     assert pruned.count() == 1
+
+
+def test_detections_prefilter_pushes_to_scan(plans):
+    """The concolic-compiled detection predicate must reach the parquet
+    scan — the fast path's whole point is JVM-side pre-selection."""
+    p = plans("detections_rule_matches")
+    assert "EqualNullSafe(event_type,error)" in p

@@ -49,3 +49,48 @@ def test_salted_collect_set_equals_direct(spark):
         for r in salted_collect_set(df, "k", "val", salt_factor=8).collect()
     }
     assert salted == direct
+
+
+def test_drop_hot_keys_bounds_stop_shingle_blowup(spark):
+    """One stop-shingle in 80% of docs: uncapped, it alone contributes
+    C(80,2)=3160 pairs to the inverted-index self-join; with the df-cap
+    the pair count is bounded by the rare shingles only."""
+    from matano_spark.operators.dedup import drop_hot_keys
+
+    rows = []
+    for i in range(100):
+        rows.append((i, "the quick brown"))  # doc_id, rare marker shingle
+    # shingle relation: every doc has a unique shingle; 80 share a hot one
+    shingles = [(i, f"uniq shingle {i}") for i in range(100)]
+    shingles += [(i, "hot stop shingle") for i in range(80)]
+    df = spark.createDataFrame(shingles, ["doc_id", "shingle"])
+
+    capped = drop_hot_keys(df, ["shingle"], cap=10)
+    assert capped.count() == 100  # the 80 hot rows dropped, uniques kept
+    assert capped.filter(F.col("shingle") == "hot stop shingle").count() == 0
+
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert pairs.count() == 0  # uniques collide with nobody
+
+    # the hot-key list side of the anti-join must be broadcast
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_minhash_bucket_cap_bounds_degenerate_bucket(spark):
+    """200 identical docs collapse into one LSH bucket per band; with
+    bucket_cap below 200 the candidate join yields zero pairs instead
+    of 4·C(200,2) — completing instead of exploding."""
+    from matano_spark.operators.dedup import minhash_near_dups
+
+    docs = [(i, "same text everywhere for all docs here now") for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = minhash_near_dups(df, "doc_id", "text", bucket_cap=50)
+    assert out.count() == 0
+    uncapped = minhash_near_dups(df, "doc_id", "text", bucket_cap=None)
+    assert uncapped.count() == 200 * 199 // 2
