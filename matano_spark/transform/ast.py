@@ -141,7 +141,27 @@ class UnaryOp(_ExprOps):
     operand: Any
 
 
-Expr = Union[P, L, Fn, BinOp, UnaryOp, "Any"]  # also raw pyspark Column
+@dataclass(frozen=True, eq=False)
+class Var(_ExprOps):
+    """Closure-bound bare variable (the `v` in `-> |v| { ... }`)."""
+
+    name: str
+
+
+@dataclass(frozen=True, eq=False)
+class Lambda:
+    """VRL closure: params bound in the body, evaluated per element by
+    map_values/map_each/filter/for_each builders."""
+
+    params: tuple
+    body: Any
+
+    def __init__(self, params, body):
+        object.__setattr__(self, "params", tuple(params))
+        object.__setattr__(self, "body", body)
+
+
+Expr = Union[P, L, Fn, BinOp, UnaryOp, Var, "Any"]  # also raw pyspark Column
 
 
 @dataclass(frozen=True)

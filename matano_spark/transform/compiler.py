@@ -185,9 +185,36 @@ def _infer_type(value: Any) -> T.DataType:
 class Compiler:
     def __init__(self, state: _RowState):
         self.state = state
+        self.env: dict[str, tuple[Column, T.DataType | None]] = {}
+
+    def _compile_lambda(self, lam: ast.Lambda):
+        """ast.Lambda → typed callable evaluated with params bound in
+        self.env (the builders call it per element/leaf)."""
+        from matano_spark.transform.functions import TypedLambda
+
+        def call(*typed_args):
+            # accepts (col, dtype) pairs — one per closure param
+            saved = {p: self.env.get(p) for p in lam.params}
+            for p, (c, t) in zip(lam.params, typed_args):
+                self.env[p] = (c, t)
+            try:
+                return self.expr(lam.body)
+            finally:
+                for p, old in saved.items():
+                    if old is None:
+                        self.env.pop(p, None)
+                    else:
+                        self.env[p] = old
+
+        return TypedLambda(call, n_params=len(lam.params))
 
     # expression → (Column, best-effort DataType)
     def expr(self, e: Any) -> tuple[Column, T.DataType]:
+        if isinstance(e, ast.Var):
+            if e.name not in self.env:
+                raise ValueError(f"unbound variable {e.name!r}")
+            c, t = self.env[e.name]
+            return c, t or T.StringType()
         if isinstance(e, ast.P):
             return self.state.get(e.parts), self.state.get_type(e.parts) or T.StringType()
         if isinstance(e, ast.L):
@@ -195,11 +222,15 @@ class Compiler:
         if isinstance(e, ast.Fn):
             args = []
             for a in e.args:
-                if isinstance(a, (ast.P, ast.L, ast.Fn, ast.BinOp, ast.UnaryOp)):
+                if isinstance(a, (ast.P, ast.L, ast.Fn, ast.BinOp, ast.UnaryOp, ast.Var)):
                     args.append(self.expr(a))
                 else:
                     args.append((a, None))
-            return build_call(e.name, args, e.kwargs)
+            kwargs = {
+                k: self._compile_lambda(v) if isinstance(v, ast.Lambda) else v
+                for k, v in e.kwargs.items()
+            }
+            return build_call(e.name, args, kwargs)
         if isinstance(e, ast.BinOp):
             lc, lt = self.expr(e.left)
             rc, rt = self.expr(e.right)

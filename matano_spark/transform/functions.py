@@ -48,6 +48,35 @@ def _t(a: Arg) -> T.DataType | None:
     return a[1]
 
 
+class TypedLambda:
+    """Compiled VRL closure: call with (col, dtype) pairs per param,
+    returns (Column, DataType). Builders that accept plain
+    Column→Column lambdas should route through `apply_value_fn`."""
+
+    def __init__(self, fn, n_params: int = 1):
+        self.fn = fn
+        self.n_params = n_params
+
+    def __call__(self, *typed_args):
+        return self.fn(*typed_args)
+
+
+def apply_value_fn(f, col: Column, dtype: T.DataType | None):
+    """Uniformly apply either a TypedLambda or a plain Column lambda."""
+    if isinstance(f, TypedLambda):
+        return f((col, dtype))
+    return f(col), dtype
+
+
+def _unify(args: list[Arg]) -> list[Arg]:
+    """VRL is dynamically typed; when branches/coalesce arms disagree
+    statically, fall back to string (the schema cast re-types later)."""
+    known = {t.simpleString() for _, t in args if t is not None and not isinstance(t, T.NullType)}
+    if len(known) <= 1:
+        return args
+    return [(c.cast("string"), T.StringType()) for c, _ in args]
+
+
 # -- casts (to_int 330 / to_float / to_bool / to_string uses) ---------------
 
 
@@ -276,6 +305,46 @@ def _truncate(args, kw):
     return F.substring(_c(args[0]), 1, kw["limit"]), T.StringType()
 
 
+def _static_type_check(args, types) -> tuple[Column, T.DataType]:
+    """VRL is_string/is_integer/…: answered statically from the schema
+    (non-null value of the right static type)."""
+    c, t = args[0]
+    ok = t is not None and isinstance(t, types)
+    return (c.isNotNull() & F.lit(ok)), T.BooleanType()
+
+
+@fn("is_string")
+def _is_string(args, kw):
+    return _static_type_check(args, T.StringType)
+
+
+@fn("is_integer")
+def _is_integer(args, kw):
+    return _static_type_check(
+        args, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+
+
+@fn("is_float")
+def _is_float(args, kw):
+    return _static_type_check(args, (T.FloatType, T.DoubleType))
+
+
+@fn("is_boolean")
+def _is_boolean(args, kw):
+    return _static_type_check(args, T.BooleanType)
+
+
+@fn("is_object")
+def _is_object(args, kw):
+    return _static_type_check(args, (T.StructType, T.MapType))
+
+
+@fn("is_array")
+def _is_array(args, kw):
+    return _static_type_check(args, T.ArrayType)
+
+
 @fn("is_nullish")
 def _is_nullish(args, kw):
     """null / '' / '-' / whitespace-only (VRL is_nullish semantics)."""
@@ -346,16 +415,25 @@ def _includes(args, kw):
 
 @fn("filter")
 def _filter(args, kw):
-    pred = kw["predicate"]  # python lambda Column -> Column
+    pred = kw.get("predicate") or kw["fn"]  # Column lambda or TypedLambda
     c, t = args[0]
-    return F.filter(c, pred), t or T.ArrayType(T.StringType())
+    et = t.elementType if isinstance(t, T.ArrayType) else None
+    return (
+        F.filter(c, lambda x: apply_value_fn(pred, x, et)[0]),
+        t or T.ArrayType(T.StringType()),
+    )
 
 
 @fn("map_each")
 def _map_each(args, kw):
     f = kw["fn"]
     c, t = args[0]
-    return F.transform(c, f), t or T.ArrayType(T.StringType())
+    et = t.elementType if isinstance(t, T.ArrayType) else None
+    _, nt = apply_value_fn(f, F.lit(None).cast(et) if et else F.lit(None), et)
+    return (
+        F.transform(c, lambda x: apply_value_fn(f, x, et)[0]),
+        T.ArrayType(nt or et or T.StringType()),
+    )
 
 
 @fn("compact")
@@ -502,6 +580,35 @@ def _parse_regex(args, kw):
     return F.struct(*cols), T.StructType(fields)
 
 
+@fn("parse_regex_all")
+def _parse_regex_all(args, kw):
+    """Every match of a named-capture pattern → array<struct> (VRL
+    parse_regex_all; ref panw-style repeated-field extraction). The
+    whole-match list comes from regexp_extract_all(…, 0); each match
+    is then re-parsed per capture group — all JVM-side, no UDF."""
+    import re as _re
+
+    pattern = kw["pattern"]
+    c = _c(args[0])
+    names = _re.findall(r"\(\?P?<(\w+)>", pattern)
+    java_pat = pattern.replace("(?P<", "(?<")
+    matches = F.regexp_extract_all(c, F.lit(java_pat), 0)
+
+    def per_match(m):
+        cols = []
+        for i, name in enumerate(names, start=1):
+            ext = F.regexp_extract(m, java_pat, i)
+            cols.append(F.when(ext != "", ext).alias(name))
+        return F.struct(*cols)
+
+    return (
+        F.transform(matches, per_match),
+        T.ArrayType(
+            T.StructType([T.StructField(n, T.StringType()) for n in names])
+        ),
+    )
+
+
 @fn("parse_aws_vpc_flow_log")
 def _parse_vpcflow(args, kw):
     """Space-separated VPC flow v2 record → typed struct (ref:
@@ -645,9 +752,21 @@ def _exists(args, kw):
 @fn("coalesce")
 def _coalesce(args, kw):
     """VRL `??` error/null coalescing: fallible exprs compile to
-    null-on-error try_* forms, so `a ?? b` is plain COALESCE."""
+    null-on-error try_* forms, so `a ?? b` is plain COALESCE. Arms of
+    different static types unify to string (`to_int(v) ?? v`)."""
+    args = _unify(list(args))
     t = next((_t(a) for a in args if _t(a) is not None), T.StringType())
     return F.coalesce(*[_c(a) for a in args]), t
+
+
+@fn("ternary")
+def _ternary(args, kw):
+    """Expression-position if/else (closure bodies): when(cond, then)
+    .otherwise(orelse), branch types unified."""
+    cond = _c(args[0])
+    then, orelse = _unify([args[1], args[2]])
+    t = _t(then) if _t(then) is not None and not isinstance(_t(then), T.NullType) else _t(orelse)
+    return F.when(cond, _c(then)).otherwise(_c(orelse)), t or T.StringType()
 
 
 @fn("concat_or_add")
@@ -675,18 +794,67 @@ def _abs(args, kw):
     return F.abs(_c(args[0])), _t(args[0]) or T.DoubleType()
 
 
+def _map_values_walk(f, col: Column, t: T.DataType, recursive: bool):
+    """Apply f to every value of a map/struct; `recursive` descends
+    into nested maps/structs/arrays-of-structs. Struct shape is static,
+    so the struct rewrite is pure compile-time column surgery — no UDF
+    (ref aws_vpcflow/log_source.yml:28-30 map_values recursive)."""
+    if isinstance(t, T.MapType):
+        if recursive and isinstance(
+            t.valueType, (T.MapType, T.StructType, T.ArrayType)
+        ):
+            # value type is uniform → one sample walk gives the new type
+            inner = lambda v: _map_values_walk(f, v, t.valueType, True)  # noqa: E731
+            _, vt = inner(F.lit(None).cast(t.valueType))
+            return F.transform_values(col, lambda k, v: inner(v)[0]), T.MapType(
+                t.keyType, vt
+            )
+        nc_t = apply_value_fn(f, F.lit(None).cast(t.valueType), t.valueType)[1]
+        return (
+            F.transform_values(col, lambda k, v: apply_value_fn(f, v, t.valueType)[0]),
+            T.MapType(t.keyType, nc_t or t.valueType),
+        )
+    if isinstance(t, T.StructType):
+        cols, fields = [], []
+        for fld in t.fields:
+            child = col.getField(fld.name)
+            if recursive and isinstance(
+                fld.dataType, (T.MapType, T.StructType, T.ArrayType)
+            ):
+                cc, ct = _map_values_walk(f, child, fld.dataType, True)
+            else:
+                cc, ct = apply_value_fn(f, child, fld.dataType)
+            cols.append(cc.alias(fld.name))
+            fields.append(T.StructField(fld.name, ct or fld.dataType))
+        # a null struct stays null instead of becoming a struct of nulls
+        out_t = T.StructType(fields)
+        return (
+            F.when(col.isNull(), F.lit(None).cast(out_t)).otherwise(
+                F.struct(*cols)
+            ),
+            out_t,
+        )
+    if isinstance(t, T.ArrayType):
+        inner = lambda v: _map_values_walk(f, v, t.elementType, recursive)  # noqa: E731
+        if isinstance(t.elementType, (T.MapType, T.StructType, T.ArrayType)):
+            _, et = inner(F.lit(None).cast(t.elementType))
+            return F.transform(col, lambda v: inner(v)[0]), T.ArrayType(et)
+        return col, t  # array of scalars: values are the array itself
+    # scalar leaf (recursive descent bottom)
+    return apply_value_fn(f, col, t)
+
+
 @fn("map_values")
 def _map_values(args, kw):
-    """Transform map values with a lambda (VRL map_values, 56 uses;
-    `recursive: true` over structs is a compile-time rewrite — the
-    compiler applies the lambda per struct leaf since struct shape is
-    static)."""
+    """Transform map/struct values with a closure (VRL map_values, 56
+    uses). `recursive: true` rewrites nested maps/structs leaf-by-leaf
+    at compile time — struct shape is static, so no UDF is needed."""
     f = kw["fn"]
+    recursive = bool(kw.get("recursive", False))
     c, t = args[0]
-    if isinstance(t, T.MapType):
-        return F.transform_values(c, lambda k, v: f(v)), t
-    raise ValueError("map_values requires a map-typed column; for structs "
-                     "apply per-field at compile time")
+    if not isinstance(t, (T.MapType, T.StructType)):
+        raise ValueError("map_values requires a map- or struct-typed column")
+    return _map_values_walk(f, c, t, recursive)
 
 
 @fn("map_keys")

@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
-  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||[=<>!+\-*/%(),{}:;])
+  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[=<>!+\-*/%(),{}:;|])
   | (?P<path>\.(?:"[^"]+"|[A-Za-z_]\w*)(?:\.(?:"[^"]+"|[A-Za-z_]\w*))*|\.)
   | (?P<name>[A-Za-z_][\w]*!?)
     """,
@@ -263,6 +263,10 @@ class Parser:
                 return ast.P(p)
             fallible = name.endswith("!")
             fn_name = name.rstrip("!")
+            if self.peek().text != "(":
+                # bare identifier: a closure-bound variable (`v` inside
+                # `-> |v| { ... }`); resolution happens at compile time
+                return ast.Var(name)
             self.expect("(")
             args: list[Any] = []
             kwargs: dict[str, Any] = {}
@@ -281,8 +285,42 @@ class Parser:
                 else:
                     args.append(self.parse_expr())
             _ = fallible  # fallible and infallible map to the same builder
+            if self.peek().text == "->":
+                kwargs["fn"] = self.parse_closure()
             return ast.Fn(fn_name, *args, **kwargs)
         raise SyntaxError(f"unexpected {t.text!r} at {t.pos}")
+
+    def parse_closure(self) -> ast.Lambda:
+        """`-> |v| { body }` / `-> |k, v| { body }`; body is an
+        expression or a VRL if-ELSE-expression chain (every branch
+        yields a value → Fn('ternary', ...))."""
+        self.expect("->")
+        self.expect("|")
+        params = [self.next().text]
+        while self.accept(","):
+            params.append(self.next().text)
+        self.expect("|")
+        self.expect("{")
+        body = self.parse_closure_body()
+        self.expect("}")
+        return ast.Lambda(params, body)
+
+    def parse_closure_body(self) -> Any:
+        if self.peek().text == "if":
+            self.next()
+            cond = self.parse_expr()
+            self.expect("{")
+            then = self.parse_closure_body()
+            self.expect("}")
+            self.expect("else")  # expression-position if requires else
+            if self.peek().text == "if":
+                orelse = self.parse_closure_body()
+            else:
+                self.expect("{")
+                orelse = self.parse_closure_body()
+                self.expect("}")
+            return ast.Fn("ternary", cond, then, orelse)
+        return self.parse_expr()
 
 
 def _unquote(s: str) -> str:

@@ -170,3 +170,54 @@ def test_conditional_abort_with_else_preserved(spark):
     rows = [r.asDict() for r in out.collect()]
     assert len(rows) == 1
     assert rows[0]["a"] == 2 and rows[0]["tag"] == "kept"
+
+
+def test_closure_map_values_recursive(spark):
+    """The vpcflow/panw shape: map_values(..., recursive: true) with a
+    VRL closure body (if/else-if expression chain) compiled entirely to
+    column surgery — numeric strings coerce, nullish to null."""
+    src = """
+    .out = map_values(.rec, recursive: true) -> |v| {
+      if is_nullish(v) { null } else if is_string(v) { to_int(v) ?? v } else { v }
+    }
+    """
+    df = spark.createDataFrame(
+        [(("42", "-", ("7", "x"),),)],
+        "rec struct<a:string, b:string, inner:struct<n:string, s:string>>",
+    )
+    out = compile_vrl(src)(df)
+    r = out.select("out").collect()[0].asDict(recursive=True)["out"]
+    assert r == {"a": "42", "b": None, "inner": {"n": "7", "s": "x"}}
+
+
+def test_closure_map_each_and_filter(spark):
+    src = """
+    .up = map_each(.xs) -> |v| { upcase(v) }
+    .longs = filter(.xs) -> |v| { length(v) > 1 }
+    """
+    df = spark.createDataFrame([(["ab", "c", "def"],)], "xs array<string>")
+    r = compile_vrl(src)(df).collect()[0].asDict(recursive=True)
+    assert r["up"] == ["AB", "C", "DEF"]
+    assert r["longs"] == ["ab", "def"]
+
+
+def test_parse_regex_all(spark):
+    src = r"""
+    .hits = parse_regex_all(.line, pattern: "(?P<k>\\w+)=(?P<val>\\d+)")
+    """
+    df = spark.createDataFrame([("a=1 b=22 c=x d=3",)], ["line"])
+    r = compile_vrl(src)(df).collect()[0].asDict(recursive=True)
+    assert r["hits"] == [
+        {"k": "a", "val": "1"},
+        {"k": "b", "val": "22"},
+        {"k": "d", "val": "3"},
+    ]
+
+
+def test_map_values_on_map_type(spark):
+    src = """
+    .m2 = map_values(.m) -> |v| { to_int(v) ?? v }
+    """
+    df = spark.createDataFrame([({"x": "5", "y": "n/a"},)], "m map<string,string>")
+    r = compile_vrl(src)(df).collect()[0].asDict(recursive=True)
+    assert r["m2"] == {"x": "5", "y": "n/a"}
