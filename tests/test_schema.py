@@ -100,3 +100,35 @@ def test_ddl_and_flattened_view(spark):
         "source_ip": "1.2.3.4",
         "event_action": "login",
     }
+
+
+def test_vendored_full_ecs_base():
+    """The base schema is the full public ECS 8.x inventory (54 top
+    groups, ~3.4k leaves), not the mini subset; wide managed-source
+    field lists (zeek/dns-style: as/geo subtrees, error.message,
+    event.duration) must resolve."""
+    from matano_spark.schema.resolve import ECS_BASE, fields_to_structtype
+
+    assert len(ECS_BASE) == 54
+    st = fields_to_structtype(ECS_BASE)
+
+    def leaves(dt):
+        if isinstance(dt, T.StructType):
+            return sum(leaves(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return leaves(dt.elementType)
+        return 1
+
+    assert leaves(st) > 3000
+    wide = [
+        "destination.as.number", "destination.as.organization.name",
+        "destination.geo.continent_name", "destination.geo.location",
+        "dns.answers", "error.message", "event.duration",
+        "network.community_id", "threat.indicator.ip", "tls.client.ja3",
+        "user.target.name", "vulnerability.score.base",
+    ]
+    resolved = resolve_schema(wide, add_defaults=False)
+    assert {f.name for f in resolved.fields} == {
+        "destination", "dns", "error", "event", "network", "threat",
+        "tls", "user", "vulnerability",
+    }
