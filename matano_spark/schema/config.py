@@ -75,20 +75,20 @@ def load_log_source(path: str, user_overrides: dict | None = None) -> list[Table
 
     tables_dir = os.path.join(path, "tables")
     table_files = (
-        sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []
+        sorted(
+            tf for tf in os.listdir(tables_dir) if tf.endswith((".yml", ".yaml"))
+        )
+        if os.path.isdir(tables_dir)
+        else []
     )
-    if not table_files:
-        table_files = ["default"]
 
     defs: list[TableDef] = []
+    if not table_files:  # single-table source defined by log_source.yml
+        return [build_table(name, "default", source_cfg, {})]
     for tf in table_files:
-        if tf == "default" and not os.path.isdir(tables_dir):
-            table_cfg: dict = {}
-            tname = "default"
-        else:
-            with open(os.path.join(tables_dir, tf)) as f:
-                table_cfg = yaml.safe_load(f) or {}
-            tname = table_cfg.get("name") or os.path.splitext(tf)[0]
+        with open(os.path.join(tables_dir, tf)) as f:
+            table_cfg = yaml.safe_load(f) or {}
+        tname = table_cfg.get("name") or os.path.splitext(tf)[0]
         defs.append(build_table(name, tname, source_cfg, table_cfg))
     return defs
 
@@ -104,8 +104,12 @@ def build_table(
             + (tbl_schema.get("ecs_field_names") or [])
         )
     )
+    from matano_spark.schema.resolve import fields_list_to_dict
+
     custom = {}
     for fields in (src_schema.get("fields"), tbl_schema.get("fields")):
+        if isinstance(fields, list):  # reference list-form dialect
+            fields = fields_list_to_dict(fields)
         if fields:
             _deep_merge(custom, fields)
     schema = resolve_schema(ecs_names, custom or None)

@@ -58,8 +58,12 @@ def test_resolve_schema_custom_fields_merge_and_conflict():
         custom_fields={"zeek": {"session_id": "string", "dns": {"trans_id": "long"}}},
     )
     assert st["zeek"].dataType["dns"].dataType["trans_id"].dataType == T.LongType()
+    # reference rule: only exact leaf-path collisions conflict; new
+    # leaves under an ECS group (user.x) are allowed
+    st2 = resolve_schema(["user.name"], custom_fields={"user": {"x": "string"}})
+    assert {f.name for f in st2["user"].dataType.fields} == {"name", "x"}
     with pytest.raises(ValueError, match="conflict"):
-        resolve_schema(["user.name"], custom_fields={"user": {"x": "string"}})
+        resolve_schema(["user.name"], custom_fields={"user": {"name": "string"}})
 
 
 def test_merge_schemas_evolution():
@@ -132,3 +136,24 @@ def test_vendored_full_ecs_base():
         "destination", "dns", "error", "event", "network", "threat",
         "tls", "user", "vulnerability",
     }
+
+
+def test_all_managed_source_packs_load_and_ddl_compiles():
+    """SURVEY §7 step-1 deliverable: every shipped managed log-source
+    pack loads, resolves its schema against the full ECS base, and
+    produces CREATE TABLE DDL."""
+    import os
+
+    from matano_spark.schema.config import load_log_source
+    from matano_spark.schema.ddl import create_table_ddl
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data", "log_sources")
+    sources = sorted(os.listdir(root))
+    assert len(sources) >= 25
+    n_tables = 0
+    for s in sources:
+        for td in load_log_source(os.path.join(root, s)):
+            ddl = create_table_ddl(f"{s}_{td.name}", td.schema)
+            assert ddl.startswith("CREATE TABLE") and "ts timestamp" in ddl
+            n_tables += 1
+    assert n_tables >= 80  # zeek alone ships 43 tables
