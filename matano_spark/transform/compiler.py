@@ -15,6 +15,15 @@ Path semantics:
   a and a.b); writing into a null-but-typed struct replaces it
 - When(cond, ...) applies each inner write conditionally:
   new = CASE WHEN cond THEN value ELSE old END
+
+Compile-time representation: struct-valued columns being written are
+held as a lazy TREE of child Columns (exploded from the source struct
+once, on first write), and folded back into one F.struct() only at
+the final projection. Rebuilding the full struct expression on every
+nested assignment instead (the naive approach) duplicates the prior
+expression once per sibling field, i.e. grows the Catalyst tree
+EXPONENTIALLY in the number of sequential writes — a 60-assign program
+like okta's took minutes to analyze; the tree form is linear.
 """
 
 from __future__ import annotations
@@ -29,145 +38,142 @@ from matano_spark.transform import ast
 from matano_spark.transform.functions import build_call
 
 
+class _Leaf:
+    """An unexploded column expression + its (best-effort) type."""
+
+    __slots__ = ("col", "dtype")
+
+    def __init__(self, col: Column, dtype: T.DataType | None):
+        self.col = col
+        self.dtype = dtype
+
+
+class _Tree:
+    """A struct being edited: child name → _Leaf | _Tree."""
+
+    __slots__ = ("children",)
+
+    def __init__(self, children: dict | None = None):
+        self.children: dict[str, _Leaf | _Tree] = children or {}
+
+
+def _explode(node: _Leaf) -> _Tree:
+    """Leaf struct → tree of per-field leaves. Each child references the
+    parent expression once (getField), so repeated writes after the
+    explode never re-copy siblings."""
+    if not isinstance(node.dtype, T.StructType):
+        # non-struct (or unknown) value being written through: VRL
+        # overwrite semantics — start fresh scaffolding
+        return _Tree()
+    return _Tree(
+        {
+            f.name: _Leaf(node.col.getField(f.name), f.dataType)
+            for f in node.dtype.fields
+        }
+    )
+
+
+def _materialize(node) -> tuple[Column, T.DataType]:
+    if isinstance(node, _Leaf):
+        return node.col, node.dtype if node.dtype is not None else T.StringType()
+    if not node.children:
+        return F.lit(None), T.NullType()
+    cols, fields = [], []
+    for name, child in node.children.items():
+        c, t = _materialize(child)
+        cols.append(c.alias(name))
+        fields.append(T.StructField(name, t))
+    return F.struct(*cols), T.StructType(fields)
+
+
 class _RowState:
-    """Mutable compile-time model of the row: top-level name → Column,
-    plus the (evolving) struct schema used to resolve path reads."""
+    """Mutable compile-time model of the row: top-level name → node
+    (lazy tree for structs under edit, plain leaf otherwise)."""
 
     def __init__(self, df: DataFrame):
         # backtick-escape so literally-dotted column names (zeek's
         # id.orig_h) resolve as single columns, not nested paths
-        self.cols: dict[str, Column] = {
-            name: F.col(f"`{name}`") for name in df.columns
-        }
-        self.schema: dict[str, T.DataType] = {
-            f.name: f.dataType for f in df.schema.fields
+        self.nodes: dict[str, _Leaf | _Tree] = {
+            f.name: _Leaf(F.col(f"`{f.name}`"), f.dataType)
+            for f in df.schema.fields
         }
         self.filters: list[Column] = []
 
     # -- reads ---------------------------------------------------------
-    def get(self, parts: tuple[str, ...]) -> Column:
-        head, rest = parts[0], parts[1:]
-        if head not in self.cols:
-            return F.lit(None)
-        col = self.cols[head]
-        dtype = self.schema.get(head)
-        for part in rest:
+    def _node(self, parts: tuple[str, ...]):
+        """Walk to the node at `parts`; returns _Leaf | _Tree | None.
+        Descending through an unexploded leaf struct follows getField
+        without exploding (reads don't mutate)."""
+        node = self.nodes.get(parts[0])
+        for part in parts[1:]:
+            if node is None:
+                return None
+            if isinstance(node, _Tree):
+                node = node.children.get(part)
+                continue
+            dtype = node.dtype
             if not isinstance(dtype, T.StructType):
-                return F.lit(None)
+                return None
             match = next((f for f in dtype.fields if f.name == part), None)
             if match is None:
-                return F.lit(None)
-            col = col.getField(part)
-            dtype = match.dataType
-        return col
+                return None
+            node = _Leaf(node.col.getField(part), match.dataType)
+        return node
+
+    def get(self, parts: tuple[str, ...]) -> Column:
+        node = self._node(parts)
+        if node is None:
+            return F.lit(None)
+        return _materialize(node)[0]
 
     def get_type(self, parts: tuple[str, ...]) -> T.DataType | None:
-        dtype = self.schema.get(parts[0])
-        for part in parts[1:]:
-            if not isinstance(dtype, T.StructType):
-                return None
-            match = next((f for f in dtype.fields if f.name == part), None)
-            if match is None:
-                return None
-            dtype = match.dataType
-        return dtype
+        node = self._node(parts)
+        if node is None:
+            return None
+        if isinstance(node, _Leaf):
+            return node.dtype
+        return _materialize(node)[1]
 
     # -- writes --------------------------------------------------------
+    def _tree_at(self, parts: tuple[str, ...]) -> _Tree:
+        """Walk/create the tree at `parts`, exploding leaves in place."""
+        node = self.nodes.get(parts[0])
+        if not isinstance(node, _Tree):
+            node = _explode(node) if isinstance(node, _Leaf) else _Tree()
+            self.nodes[parts[0]] = node
+        for part in parts[1:]:
+            child = node.children.get(part)
+            if not isinstance(child, _Tree):
+                child = _explode(child) if isinstance(child, _Leaf) else _Tree()
+                node.children[part] = child
+            node = child
+        return node
+
     def set(self, parts: tuple[str, ...], value: Column, vtype: T.DataType) -> None:
-        head = parts[0]
+        leaf = _Leaf(value, vtype)
         if len(parts) == 1:
-            self.cols[head] = value
-            self.schema[head] = vtype
+            self.nodes[parts[0]] = leaf
             return
-        cur_type = self.schema.get(head)
-        cur_col = self.cols.get(head)
-        new_col, new_type = _set_nested(cur_col, cur_type, parts[1:], value, vtype)
-        self.cols[head] = new_col
-        self.schema[head] = new_type
+        self._tree_at(parts[:-1]).children[parts[-1]] = leaf
 
     def delete(self, parts: tuple[str, ...]) -> None:
-        head = parts[0]
-        if head not in self.cols:
-            return
         if len(parts) == 1:
-            del self.cols[head]
-            del self.schema[head]
+            self.nodes.pop(parts[0], None)
             return
-        cur_type = self.schema.get(head)
-        if not isinstance(cur_type, T.StructType):
+        # only explode if the path actually exists
+        if self._node(parts) is None:
             return
-        new_col, new_type = _drop_nested(self.cols[head], cur_type, parts[1:])
-        self.cols[head] = new_col
-        self.schema[head] = new_type
+        self._tree_at(parts[:-1]).children.pop(parts[-1], None)
 
-
-def _nest(parts: tuple[str, ...], value: Column, vtype: T.DataType):
-    """Build struct scaffolding holding `value` at the nested path."""
-    col, dtype = value, vtype
-    for part in reversed(parts):
-        col = F.struct(col.alias(part))
-        dtype = T.StructType([T.StructField(part, dtype)])
-    return col, dtype
-
-
-def _set_nested(
-    cur: Column | None,
-    cur_type: T.DataType | None,
-    parts: tuple[str, ...],
-    value: Column,
-    vtype: T.DataType,
-):
-    if cur is None or not isinstance(cur_type, T.StructType):
-        # overwrite whatever was there with fresh scaffolding
-        return _nest(parts, value, vtype)
-    head, rest = parts[0], parts[1:]
-    match = next((f for f in cur_type.fields if f.name == head), None)
-    if rest:
-        child_col = cur.getField(head) if match else None
-        child_type = match.dataType if match else None
-        new_child, new_child_type = _set_nested(
-            child_col, child_type, rest, value, vtype
-        )
-    else:
-        new_child, new_child_type = value, vtype
-    # Rebuild the struct explicitly (portable, and keeps the schema
-    # model exact; withField leaves nullability/order ambiguities).
-    fields = []
-    out_fields: list[T.StructField] = []
-    replaced = False
-    for f in cur_type.fields:
-        if f.name == head:
-            fields.append(new_child.alias(head))
-            out_fields.append(T.StructField(head, new_child_type))
-            replaced = True
-        else:
-            fields.append(cur.getField(f.name).alias(f.name))
-            out_fields.append(f)
-    if not replaced:
-        fields.append(new_child.alias(head))
-        out_fields.append(T.StructField(head, new_child_type))
-    return F.struct(*fields), T.StructType(out_fields)
-
-
-def _drop_nested(cur: Column, cur_type: T.StructType, parts: tuple[str, ...]):
-    head, rest = parts[0], parts[1:]
-    match = next((f for f in cur_type.fields if f.name == head), None)
-    if match is None:
-        return cur, cur_type
-    fields = []
-    out_fields: list[T.StructField] = []
-    for f in cur_type.fields:
-        if f.name != head:
-            fields.append(cur.getField(f.name).alias(f.name))
-            out_fields.append(f)
-        elif rest and isinstance(f.dataType, T.StructType):
-            sub_col, sub_type = _drop_nested(cur.getField(head), f.dataType, rest)
-            fields.append(sub_col.alias(head))
-            out_fields.append(T.StructField(head, sub_type))
-        # else: drop the field entirely
-    if not fields:
-        return F.lit(None), T.NullType()
-    return F.struct(*fields), T.StructType(out_fields)
+    # -- output --------------------------------------------------------
+    def columns(self) -> list[Column]:
+        out = []
+        for name, node in self.nodes.items():
+            col, dtype = _materialize(node)
+            if isinstance(node, _Tree) and isinstance(dtype, T.NullType):
+                col = col.cast(T.StringType())  # empty struct remnant
+            out.append(col.alias(name))
+        return out
 
 
 def _infer_type(value: Any) -> T.DataType:
@@ -235,6 +241,14 @@ class Compiler:
             lc, lt = self.expr(e.left)
             rc, rt = self.expr(e.right)
             op = e.op
+            # VRL `x == null` / `x != null` are IS NULL checks, not SQL
+            # three-valued comparisons
+            lnull = isinstance(e.left, ast.L) and e.left.value is None
+            rnull = isinstance(e.right, ast.L) and e.right.value is None
+            if op == "==" and (lnull or rnull):
+                return (rc if lnull else lc).isNull(), T.BooleanType()
+            if op == "!=" and (lnull or rnull):
+                return (rc if lnull else lc).isNotNull(), T.BooleanType()
             if op == "==":
                 return lc == rc, T.BooleanType()
             if op == "!=":
@@ -342,9 +356,7 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         out = df
         for f in state.filters:
             out = out.filter(f)
-        return out.select(
-            *[col.alias(name) for name, col in state.cols.items()]
-        )
+        return out.select(*state.columns())
 
     def apply_enrich(df: DataFrame, step: ast.Enrich) -> DataFrame:
         from matano_spark.operators.enrichment import enrich
