@@ -40,15 +40,20 @@ def _coerce(col: Column, src: T.DataType | None, dst: T.DataType) -> tuple[Colum
             inner_src = src.elementType
             if inner_src.simpleString() == dst.elementType.simpleString():
                 return col, []
-            out = F.transform(col, lambda x: x.try_cast(dst.elementType.simpleString()))
-            flag = F.exists(
-                F.zip_with(
-                    col,
-                    out,
-                    lambda a, b: a.isNotNull() & b.isNull(),
-                ),
-                lambda x: x,
+            # element-wise recursive coercion (struct elements restructure
+            # field-by-field; plain try_cast cannot add/reorder fields)
+            out = F.transform(
+                col, lambda x: _coerce(x, inner_src, dst.elementType)[0]
             )
+
+            def _elem_flag(x):
+                flags = _coerce(x, inner_src, dst.elementType)[1]
+                agg = F.lit(False)
+                for fl in flags:
+                    agg = agg | fl
+                return agg
+
+            flag = F.exists(col, _elem_flag)
             return out, [F.coalesce(flag, F.lit(False))]
         return F.lit(None).cast(dst), []
     out = col.try_cast(dst.simpleString())

@@ -228,7 +228,12 @@ class Compiler:
         if isinstance(e, ast.Fn):
             args = []
             for a in e.args:
-                if isinstance(a, (ast.P, ast.L, ast.Fn, ast.BinOp, ast.UnaryOp, ast.Var)):
+                if isinstance(a, ast.L):
+                    # literals reach builders RAW ((value, type)) so
+                    # separator/pattern args keep their python string;
+                    # functions._c lifts to F.lit when a Column is needed
+                    args.append((a.value, _infer_type(a.value)))
+                elif isinstance(a, (ast.P, ast.Fn, ast.BinOp, ast.UnaryOp, ast.Var)):
                     args.append(self.expr(a))
                 else:
                     args.append((a, None))
@@ -249,10 +254,12 @@ class Compiler:
                 return (rc if lnull else lc).isNull(), T.BooleanType()
             if op == "!=" and (lnull or rnull):
                 return (rc if lnull else lc).isNotNull(), T.BooleanType()
+            # VRL equality is VALUE equality (null is a comparable
+            # value): `null != "x"` is true, not SQL-NULL
             if op == "==":
-                return lc == rc, T.BooleanType()
+                return lc.eqNullSafe(rc), T.BooleanType()
             if op == "!=":
-                return lc != rc, T.BooleanType()
+                return ~lc.eqNullSafe(rc), T.BooleanType()
             if op == ">":
                 return lc > rc, T.BooleanType()
             if op == ">=":
@@ -293,6 +300,44 @@ class Compiler:
         s = self.state
         if isinstance(step, ast.Assign):
             parts = ast.split_path(step.path)
+            # conditional self-append (`if c { .p = push(.p, v) }`) is the
+            # dominant shape in managed-source transforms (ECS category/
+            # type tagging). The generic form CASE WHEN c THEN push(old,v)
+            # ELSE old END embeds `old` twice, doubling the expression per
+            # step (2^n over a transform's tag chain). Compile it instead
+            # to old ++ compact([CASE WHEN c THEN v END]) — `old` appears
+            # once and growth stays linear.
+            if (
+                cond is not None
+                and isinstance(step.expr, ast.Fn)
+                and step.expr.name in ("push", "append")
+                and step.expr.args
+                and isinstance(step.expr.args[0], ast.P)
+                and step.expr.args[0].parts == tuple(parts)
+            ):
+                old = s.get(parts)
+                oldt = s.get_type(parts)
+                v, vt = self.expr(step.expr.args[1])
+                if step.expr.name == "push":
+                    et = (
+                        oldt.elementType
+                        if isinstance(oldt, T.ArrayType)
+                        else (vt or T.StringType())
+                    )
+                    out_t = T.ArrayType(et)
+                    tail = F.array_compact(F.array(F.when(cond, v)))
+                else:  # append: second arg is already an array
+                    out_t = (
+                        oldt
+                        if isinstance(oldt, T.ArrayType)
+                        else (vt if isinstance(vt, T.ArrayType) else T.ArrayType(T.StringType()))
+                    )
+                    empty = F.array().cast(out_t)
+                    tail = F.when(cond, F.coalesce(v, empty)).otherwise(empty)
+                safe_old = F.coalesce(old, F.array().cast(out_t))
+                value = F.concat(safe_old, tail)
+                s.set(parts, value, out_t)
+                return
             value, vtype = self.expr(step.expr)
             if cond is not None:
                 old = s.get(parts)

@@ -12,6 +12,7 @@ error-coalescing `??` is then plain F.coalesce.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable
 
 from pyspark.sql import Column
@@ -41,7 +42,8 @@ def build_call(name: str, args: list[Arg], kwargs: dict[str, Any]):
 
 
 def _c(a: Arg) -> Column:
-    return a[0]
+    v = a[0]
+    return v if isinstance(v, Column) else F.lit(v)
 
 
 def _t(a: Arg) -> T.DataType | None:
@@ -74,7 +76,7 @@ def _unify(args: list[Arg]) -> list[Arg]:
     known = {t.simpleString() for _, t in args if t is not None and not isinstance(t, T.NullType)}
     if len(known) <= 1:
         return args
-    return [(c.cast("string"), T.StringType()) for c, _ in args]
+    return [(_c(a).cast("string"), T.StringType()) for a in args]
 
 
 # -- casts (to_int 330 / to_float / to_bool / to_string uses) ---------------
@@ -226,38 +228,55 @@ def _strip(args, kw):
 
 @fn("split")
 def _split(args, kw):
-    sep = kw.get("pattern") or _c(args[1])
+    if kw.get("pattern") is not None:
+        sep = kw["pattern"]  # kwarg form: regex, as documented
+    else:
+        raw = args[1][0]
+        # VRL string separators are LITERAL (split(s, ".") splits on
+        # dots, not on every char) — escape before F.split's regex
+        sep = re.escape(raw) if isinstance(raw, str) else _c(args[1])
     limit = kw.get("limit", -1)
-    pat = sep if isinstance(sep, str) else None
-    if pat is None:
-        # Column separator: only literal columns supported
-        raise ValueError("split pattern must be a python string (regex)")
-    return F.split(_c(args[0]), pat, limit), T.ArrayType(T.StringType())
+    if len(args) > 2:  # VRL positional limit
+        limit = args[2][0] if isinstance(args[2][0], int) else limit
+    return F.split(_c(args[0]), sep, limit), T.ArrayType(T.StringType())
 
 
 @fn("replace")
 def _replace(args, kw):
     c = _c(args[0])
-    pattern = kw["pattern"] if "pattern" in kw else None
-    with_ = kw.get("with", "")
+    # VRL positional form replace(value, pattern, with) or kwargs
+    pattern = args[1][0] if len(args) > 1 else kw.get("pattern")
+    with_ = args[2][0] if len(args) > 2 else kw.get("with", "")
     if pattern is None:
-        raise ValueError("replace requires pattern=/with= kwargs")
+        raise ValueError("replace requires a pattern arg or pattern= kwarg")
     if kw.get("regex", False):
         return F.regexp_replace(c, pattern, with_), T.StringType()
-    return F.replace(c, F.lit(pattern), F.lit(with_)), T.StringType()
+    pattern = pattern if isinstance(pattern, Column) else F.lit(pattern)
+    with_ = with_ if isinstance(with_, Column) else F.lit(with_)
+    return F.replace(c, pattern, with_), T.StringType()
 
 
 @fn("slice")
 def _slice(args, kw):
+    """VRL slice(value, start[, end]) — positional or start=/end= kwargs;
+    negative indices count from the end (python/VRL semantics)."""
     c, t = args[0]
-    start = kw.get("start", 0)
-    end = kw.get("end")
+    start = _c(args[1]) if len(args) > 1 else F.lit(kw.get("start", 0))
+    end = (
+        _c(args[2])
+        if len(args) > 2
+        else (F.lit(kw["end"]) if kw.get("end") is not None else None)
+    )
+    n = F.size(c) if isinstance(t, T.ArrayType) else F.length(c)
+    abs_start = F.when(start < 0, F.greatest(n + start, F.lit(0))).otherwise(start)
+    if end is None:
+        abs_end = n
+    else:
+        abs_end = F.when(end < 0, n + end).otherwise(F.least(end, n))
+    length = F.greatest(abs_end - abs_start, F.lit(0))
     if isinstance(t, T.ArrayType):
-        length = (end - start) if end is not None else (1 << 30)
-        return F.slice(c, start + 1, length), t
-    if end is not None:
-        return F.substring(c, start + 1, end - start), T.StringType()
-    return F.substring(c, start + 1, 1 << 30), T.StringType()
+        return F.slice(c, abs_start + 1, length), t
+    return F.substr(c, abs_start + 1, length), T.StringType()
 
 
 @fn("contains")
@@ -382,8 +401,14 @@ def _push(args, kw):
 @fn("append")
 def _append(args, kw):
     a, ta = args[0]
-    b, _tb = args[1]
-    return F.concat(a, b), ta or T.ArrayType(T.StringType())
+    b, tb = args[1]
+    out_t = (
+        ta
+        if isinstance(ta, T.ArrayType)
+        else (tb if isinstance(tb, T.ArrayType) else T.ArrayType(T.StringType()))
+    )
+    empty = F.array().cast(out_t)
+    return F.concat(F.coalesce(a, empty), F.coalesce(b, empty)), out_t
 
 
 @fn("unique")
@@ -455,6 +480,10 @@ def _get(args, kw):
     if idx is not None:
         et = t.elementType if isinstance(t, T.ArrayType) else T.StringType()
         return F.element_at(c, idx + 1 if idx >= 0 else idx), et
+    key = kw.get("key")
+    if key is not None:  # map lookup (VRL get(map, ["k"]))
+        et = t.valueType if isinstance(t, T.MapType) else T.StringType()
+        return F.element_at(c, F.lit(key)), et
     path = kw.get("path")
     out = c
     dtype = t
@@ -467,6 +496,34 @@ def _get(args, kw):
 
 
 # -- json / kv / structured parsing ----------------------------------------
+
+
+@fn("__field")
+def _field_access(args, kw):
+    """Member access on a closure-bound variable: v.a.b → getField
+    chain (parser emits __field(Var, path="a.b"))."""
+    c, t = args[0]
+    out, dtype = c, t
+    for p in kw["path"].split("."):
+        out = out.getField(p)
+        if isinstance(dtype, T.StructType):
+            m = next((f for f in dtype.fields if f.name == p), None)
+            dtype = m.dataType if m else None
+        else:
+            dtype = None
+    return out, dtype or T.StringType()
+
+
+@fn("lookup")
+def _lookup(args, kw):
+    """Inline map-literal lookup (VRL `get(static_map, [key])`):
+    lookup(key, k1, v1, k2, v2, ...) → value or null. Compiles to one
+    element_at over a CreateMap literal — the Spark form of the
+    reference's dict lookups (e.g. o365 RecordType → schema name)."""
+    key = _c(args[0])
+    m = F.create_map(*[_c(a) for a in args[1:]])
+    vt = _t(args[2]) if len(args) > 2 else T.StringType()
+    return F.element_at(m, key), vt or T.StringType()
 
 
 @fn("encode_json")
@@ -540,7 +597,12 @@ def _parse_url(args, kw):
 
 @fn("parse_grok")
 def _parse_grok(args, kw):
-    return grok_mod.parse_grok(_c(args[0]), kw["pattern"], kw.get("patterns"))
+    """parse_grok(value, pattern: "...", NAME: "regex"...) — extra
+    kwargs define custom grok patterns (VRL alias set)."""
+    custom = kw.get("patterns") or {
+        k: v for k, v in kw.items() if k not in ("pattern", "patterns")
+    } or None
+    return grok_mod.parse_grok(_c(args[0]), kw["pattern"], custom)
 
 
 @fn("parse_groks")

@@ -265,7 +265,11 @@ class Parser:
             fn_name = name.rstrip("!")
             if self.peek().text != "(":
                 # bare identifier: a closure-bound variable (`v` inside
-                # `-> |v| { ... }`); resolution happens at compile time
+                # `-> |v| { ... }`); resolution happens at compile time.
+                # `v.field.sub` member access compiles via __field.
+                if self.peek().kind == "path":
+                    p = self.next().text
+                    return ast.Fn("__field", ast.Var(name), path=p.lstrip("."))
                 return ast.Var(name)
             self.expect("(")
             args: list[Any] = []
@@ -334,6 +338,16 @@ def _lit_value(e: Any) -> Any:
     """Named args carry python values (patterns, units, separators)."""
     if isinstance(e, ast.L):
         return e.value
+    # fold negative number literals (parse_unary desugars -n to 0 - n)
+    if (
+        isinstance(e, ast.BinOp)
+        and e.op == "-"
+        and isinstance(e.left, ast.L)
+        and e.left.value == 0
+        and isinstance(e.right, ast.L)
+        and isinstance(e.right.value, (int, float))
+    ):
+        return -e.right.value
     return e
 
 
