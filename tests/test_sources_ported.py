@@ -466,3 +466,110 @@ def test_github_audit_end_to_end(spark, tmpdir):
     assert g.etype == ["change"]
     assert g.repo == "acme/engine" and g.tpn == "http"
     assert g.pub is False and g.ghcat == "git"
+
+
+FALCON_DETECT = {
+    "metadata": {
+        "customerIDString": "cust-1", "offset": 12,
+        "eventType": "DetectionSummaryEvent",
+        "eventCreationTime": 1712345678000, "version": "1.0",
+    },
+    "event": {
+        "ProcessStartTime": 1712345600,
+        "ProcessEndTime": 0,
+        "ComputerName": "WIN-HOST-7",
+        "DetectName": "NtdsFileAccessed",
+        "DetectDescription": "Process accessed ntds.dit",
+        "FalconHostLink": "https://falcon/detect/1",
+        "Severity": 4,
+        "SeverityName": "High",
+        "FileName": "ntdsutil.exe",
+        "CommandLine": "  ntdsutil.exe  snapshot  mount ",
+        "ParentImageFileName": "C:\\Windows\\cmd.exe",
+        "ParentCommandLine": "cmd /c evil.bat",
+        "ProcessId": 4242,
+        "LocalIP": "10.1.2.3",
+        "MachineDomain": "CORP",
+        "UserName": "jdoe",
+        "SensorId": "sensor-9",
+        "MD5String": "0000000000000000000000000000000a",
+        "SHA256String": "0000000000000000000000000000000000000000000000000000000000000000",
+        "Tactic": "Credential Access",
+        "Technique": "OS Credential Dumping",
+        "Success": True,
+    },
+}
+
+FALCON_FIREWALL = {
+    "metadata": {
+        "customerIDString": "cust-1", "offset": 13,
+        "eventType": "FirewallMatchEvent",
+        "eventCreationTime": 1712345700000, "version": "1.0",
+    },
+    "event": {
+        "ConnectionDirection": "1", "Ipv": "ipv4",
+        "LocalAddress": "10.1.2.3", "LocalPort": 443,
+        "RemoteAddress": "203.0.113.50", "RemotePort": 51515,
+        "RuleId": "r-1", "RuleName": "Block inbound",
+        "RuleGroupName": "defaults", "EventType": "FirewallRuleIP4Matched",
+        "HostName": "WIN-HOST-7", "PID": 999,
+    },
+}
+
+
+def test_crowdstrike_falcon_end_to_end(spark, tmpdir):
+    lake = _run_one(
+        spark, tmpdir, "crowdstrike_falcon",
+        [FALCON_DETECT, FALCON_FIREWALL], "default",
+    )
+    lake.createOrReplaceTempView("falcon")
+    d = spark.sql(
+        """SELECT ts, event.kind AS kind, event.category AS cat,
+                  event.outcome AS outcome, event.severity AS sev,
+                  event.url AS url, message, rule.name AS rname,
+                  user.name AS uname, user.domain AS udom,
+                  host.name AS host, agent.id AS aid, agent.type AS atype,
+                  process.name AS pname, process.pid AS pid,
+                  process.command_line AS cmd, process.args AS pargs,
+                  process.executable AS pexe,
+                  process.parent.command_line AS pcmd,
+                  file.hash.sha256 AS sha256, related.hash AS rhash,
+                  threat.tactic.name AS tactic,
+                  crowdstrike.event.ProcessStartTime AS pstart,
+                  source.ip AS sip
+           FROM falcon WHERE crowdstrike.metadata.eventType = 'DetectionSummaryEvent'"""
+    ).collect()[0]
+    assert d.ts == dt.datetime(2024, 4, 5, 19, 34, 38)
+    assert d.kind == "alert" and d.cat == ["malware"]
+    assert d.outcome == "success" and d.sev == 4
+    assert d.url == "https://falcon/detect/1"
+    assert d.rname == "NtdsFileAccessed"
+    assert d.uname == "jdoe" and d.udom == "CORP"
+    assert d.host == "WIN-HOST-7" and d.aid == "sensor-9" and d.atype == "falcon"
+    assert d.pname == "ntdsutil.exe" and d.pid == 4242
+    assert d.cmd == "ntdsutil.exe  snapshot  mount"
+    assert d.pargs == ["ntdsutil.exe", "snapshot", "mount"]
+    assert d.pexe == "ntdsutil.exe"
+    assert d.pcmd == "cmd /c evil.bat"
+    # the all-zero sha256 is excluded from related.hash; the md5 (ends 0a)
+    # is kept (reference parity)
+    assert d.rhash == ["0000000000000000000000000000000a"]
+    assert d.tactic == ["credential access"]
+    assert d.pstart == dt.datetime(2024, 4, 5, 19, 33, 20)
+    assert d.sip == "10.1.2.3"
+
+    f = spark.sql(
+        """SELECT event.action AS action, network.direction AS dir,
+                  source.ip AS sip, source.port AS sport,
+                  destination.ip AS dip, destination.port AS dport,
+                  rule.name AS rname, event.code AS code, message,
+                  related.ip AS rips
+           FROM falcon WHERE crowdstrike.metadata.eventType = 'FirewallMatchEvent'"""
+    ).collect()[0]
+    assert f.action == "firewall_match_event"
+    assert f.dir == "ingress"
+    assert f.sip == "203.0.113.50" and f.sport == 51515
+    assert f.dip == "10.1.2.3" and f.dport == 443
+    assert f.rname == "Block inbound" and f.code == "FirewallRuleIP4Matched"
+    assert f.message == "Firewall Rule 'Block inbound' triggered"
+    assert set(f.rips) == {"203.0.113.50", "10.1.2.3"}
