@@ -224,6 +224,17 @@ class Compiler:
         if isinstance(e, ast.P):
             return self.state.get(e.parts), self.state.get_type(e.parts) or T.StringType()
         if isinstance(e, ast.L):
+            if isinstance(e.value, list):
+                et = (
+                    _infer_type(e.value[0]) if e.value else T.StringType()
+                )
+                out_t = T.ArrayType(et)
+                if not e.value:
+                    return F.array().cast(out_t), out_t
+                return (
+                    F.array(*[F.lit(v).cast(et) for v in e.value]),
+                    out_t,
+                )
             return F.lit(e.value), _infer_type(e.value)
         if isinstance(e, ast.Fn):
             args = []

@@ -429,7 +429,8 @@ def _flatten(args, kw):
 
 @fn("join")
 def _join(args, kw):
-    sep = kw.get("separator", "")
+    # VRL positional join(arr, sep) or separator: kwarg
+    sep = args[1][0] if len(args) > 1 else kw.get("separator", "")
     return F.array_join(_c(args[0]), sep), T.StringType()
 
 
@@ -496,6 +497,27 @@ def _get(args, kw):
 
 
 # -- json / kv / structured parsing ----------------------------------------
+
+
+@fn("__object")
+def _object_literal(args, kw):
+    """Object literal { "k": v, ... } → struct(k=v, ...)."""
+    cols, fields = [], []
+    for i in range(0, len(args), 2):
+        key = args[i][0]
+        c, t = _c(args[i + 1]), _t(args[i + 1]) or T.StringType()
+        cols.append(c.alias(key))
+        fields.append(T.StructField(key, t))
+    return F.struct(*cols), T.StructType(fields)
+
+
+@fn("__array")
+def _array_literal(args, kw):
+    """List-literal with non-literal elements: [a, .b, f(c)]."""
+    if not args:
+        return F.array().cast("array<string>"), T.ArrayType(T.StringType())
+    et = next((_t(a) for a in args if _t(a) is not None), T.StringType())
+    return F.array(*[_c(a) for a in args]), T.ArrayType(et)
 
 
 @fn("__field")
@@ -608,20 +630,18 @@ def _parse_grok(args, kw):
 @fn("parse_groks")
 def _parse_groks(args, kw):
     """Try patterns in order; first whole-match wins (VRL parse_groks,
-    29 uses). Selection via the compiled regex as an rlike guard."""
+    29 uses). Result struct spans the UNION of all patterns' fields.
+    Patterns list as args[1] or patterns: kwarg; extra kwargs (or a
+    custom: dict) define custom grok aliases."""
     c = _c(args[0])
-    out_col = None
-    out_type = None
-    for pattern in kw["patterns"]:
-        regex, _fields = grok_mod.translate(pattern, kw.get("custom"))
-        struct_col, struct_t = grok_mod.parse_grok(c, pattern, kw.get("custom"))
-        guard = c.rlike(regex)
-        if out_col is None:
-            out_col = F.when(guard, struct_col)
-            out_type = struct_t
-        else:
-            out_col = out_col.when(guard, struct_col)
-    return out_col, out_type
+    grok_patterns = (
+        args[1][0] if len(args) > 1 and isinstance(args[1][0], list)
+        else kw["patterns"]
+    )
+    custom = kw.get("custom") or {
+        k: v for k, v in kw.items() if k not in ("patterns", "custom")
+    } or None
+    return grok_mod.parse_groks(c, grok_patterns, custom)
 
 
 @fn("parse_regex")
@@ -632,7 +652,8 @@ def _parse_regex(args, kw):
     pattern = kw["pattern"]
     c = _c(args[0])
     names = _re.findall(r"\(\?P?<(\w+)>", pattern)
-    java_pat = pattern.replace("(?P<", "(?<")
+    # Java named groups reject underscores; strip names, extract by index
+    java_pat = _re.sub(r"\(\?P?<\w+>", "(", pattern)
     cols = []
     fields = []
     for i, name in enumerate(names, start=1):
@@ -653,7 +674,8 @@ def _parse_regex_all(args, kw):
     pattern = kw["pattern"]
     c = _c(args[0])
     names = _re.findall(r"\(\?P?<(\w+)>", pattern)
-    java_pat = pattern.replace("(?P<", "(?<")
+    # Java named groups reject underscores; strip names, extract by index
+    java_pat = _re.sub(r"\(\?P?<\w+>", "(", pattern)
     matches = F.regexp_extract_all(c, F.lit(java_pat), 0)
 
     def per_match(m):

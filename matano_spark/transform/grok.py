@@ -42,6 +42,13 @@ PATTERNS: dict[str, str] = {
     "QUOTEDSTRING": r"\"[^\"]*\"",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHDAY": r"(?:0[1-9]|[12]\d|3[01]|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?\d)",
+    "MINUTE": r"[0-5]\d",
+    "SECOND": r"(?:[0-5]?\d)(?:\.\d+)?",
+    "TIME": r"(?:2[0123]|[01]?\d):[0-5]\d:(?:[0-5]?\d)(?:\.\d+)?",
     "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)",
     "PATH": r"(?:/[\w.-]+)+",
     "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]*",
@@ -51,27 +58,89 @@ _REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?\}")
 
 
 def translate(pattern: str, patterns: dict[str, str] | None = None):
-    """Grok pattern → (regex, [(field_name, group_index)])."""
+    """Grok pattern → (regex, [(field_name, group_index)]).
+
+    Pattern bodies may themselves reference other patterns (the
+    standard grok composition style, e.g. ELB's ELBCOMMON →
+    ELBTIMESTAMP/ELBNAME/...); expansion is recursive with group
+    indices assigned in document order."""
     table = {**PATTERNS, **(patterns or {})}
     fields: list[tuple[str, int]] = []
-    group_counter = 0
-    out: list[str] = []
-    pos = 0
-    for m in _REF.finditer(pattern):
-        out.append(pattern[pos : m.start()])
-        name, field = m.group(1), m.group(2)
-        if name not in table:
-            raise KeyError(f"unknown grok pattern %{{{name}}}")
-        body = table[name]
-        if field:
-            group_counter += 1
-            fields.append((field, group_counter))
-            out.append(f"({body})")
-        else:
-            out.append(f"(?:{body})")
-        pos = m.end()
-    out.append(pattern[pos:])
-    return "".join(out), fields
+    state = {"n": 0}
+
+    def expand(pat: str, depth: int) -> str:
+        if depth > 12:
+            raise ValueError("grok pattern recursion too deep")
+        out: list[str] = []
+        pos = 0
+        for m in _REF.finditer(pat):
+            out.append(pat[pos : m.start()])
+            name, field = m.group(1), m.group(2)
+            if name not in table:
+                raise KeyError(f"unknown grok pattern %{{{name}}}")
+            body = table[name]
+            if field:
+                state["n"] += 1
+                fields.append((field, state["n"]))
+                out.append("(" + expand(body, depth + 1) + ")")
+            else:
+                out.append("(?:" + expand(body, depth + 1) + ")")
+            pos = m.end()
+        out.append(pat[pos:])
+        return "".join(out)
+
+    regex = expand(pattern, 0)
+    return regex, fields
+
+
+def parse_groks(
+    col: Column, grok_patterns: list[str], patterns: dict[str, str] | None = None
+):
+    """First-whole-match-wins over several grok patterns, returning ONE
+    struct over the UNION of every pattern's fields (fields a pattern
+    doesn't define are null) — the shape VRL's parse_groks yields."""
+    per = []  # (regex, {field: group_idx})
+    union: dict = {}
+    for gp in grok_patterns:
+        regex, fields = translate(gp, patterns)
+        fmap = dict(fields)
+        per.append((regex, fmap))
+        for field in fmap:
+            node = union
+            parts = field.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node.setdefault(parts[-1], None)
+
+    def build(node: dict, prefix: str):
+        cols, fields_t = [], []
+        for k, v in sorted(node.items()):
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                c, t = build(v, path)
+            else:
+                t = T.StringType()
+                # first-match-wins CASE chain over the pattern list
+                c = None
+                for regex, fmap in per:
+                    ext = (
+                        F.regexp_extract(col, regex, fmap[path])
+                        if path in fmap
+                        else None
+                    )
+                    val = (
+                        F.when(ext != "", ext) if ext is not None else F.lit(None)
+                    )
+                    c = (
+                        F.when(col.rlike(regex), val)
+                        if c is None
+                        else c.when(col.rlike(regex), val)
+                    )
+            cols.append(c.alias(k))
+            fields_t.append(T.StructField(k, t))
+        return F.struct(*cols), T.StructType(fields_t)
+
+    return build(union, "")
 
 
 def parse_grok(col: Column, pattern: str, patterns: dict[str, str] | None = None):

@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
-  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[=<>!+\-*/%(),{}:;|])
+  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[=<>!+\-*/%(),{}:;|\[\]])
   | (?P<path>\.(?:"[^"]+"|[A-Za-z_]\w*)(?:\.(?:"[^"]+"|[A-Za-z_]\w*))*|\.)
   | (?P<name>[A-Za-z_][\w]*!?)
     """,
@@ -245,6 +245,35 @@ class Parser:
             e = self.parse_expr()
             self.expect(")")
             return e
+        if t.text == "{":
+            # object literal { "k": expr, ... } → __object(k1, v1, ...)
+            kvs: list[Any] = []
+            while not self.accept("}"):
+                if kvs:
+                    self.expect(",")
+                    if self.accept("}"):  # trailing comma
+                        break
+                kt = self.next()
+                key = _unquote(kt.text) if kt.kind == "string" else kt.text
+                self.expect(":")
+                kvs.append(ast.L(key))
+                # values may be expression-position if/else chains
+                kvs.append(self.parse_closure_body())
+            return ast.Fn("__object", *kvs)
+        if t.text == "[":
+            # list literal: all-literal elements fold to ast.L(list)
+            # (usable as raw kwarg values, e.g. parse_groks patterns);
+            # otherwise compile as an __array call
+            elems: list[Any] = []
+            while not self.accept("]"):
+                if elems:
+                    self.expect(",")
+                    if self.accept("]"):  # trailing comma
+                        break
+                elems.append(self.parse_expr())
+            if all(isinstance(e, ast.L) for e in elems):
+                return ast.L([e.value for e in elems])
+            return ast.Fn("__array", *elems)
         if t.kind == "name":
             name = t.text
             if name == "true":

@@ -573,3 +573,401 @@ def test_crowdstrike_falcon_end_to_end(spark, tmpdir):
     assert f.rname == "Block inbound" and f.code == "FirewallRuleIP4Matched"
     assert f.message == "Firewall Rule 'Block inbound' triggered"
     assert set(f.rips) == {"203.0.113.50", "10.1.2.3"}
+
+
+DUO_AUTH = {
+    "timestamp": 1717250000,
+    "result": "success",
+    "reason": "user_approved",
+    "email": "dave@corp.io",
+    "event_type": "authentication",
+    "factor": "duo_push",
+    "txid": "tx-77",
+    "user": {"key": "DU123", "name": "dave", "groups": ["eng", "vpn"]},
+    "application": {"key": "APP1", "name": "VPN"},
+    "access_device": {
+        "browser": "Chrome", "browser_version": "120.0",
+        "os": "Windows", "os_version": "11",
+        "hostname": "dave-laptop", "ip": "198.51.100.9",
+        "location": {"city": "Austin", "country": "United States", "state": "Texas"},
+    },
+    "auth_device": {
+        "ip": "203.0.113.5", "name": "+1555",
+        "location": {"city": "Austin", "country": "United States", "state": "Texas"},
+    },
+}
+
+DUO_ADMIN = {
+    "timestamp": 1717250100,
+    "action": "user_create",
+    "username": "admin-alice",
+    "object": "dave",
+    "description": "{\"realname\": \"\", \"status\": \"Active\"}",
+}
+
+
+def test_duo_auth_admin_end_to_end(spark, tmpdir):
+    lake = _run_one(spark, tmpdir, "duo", [DUO_AUTH], "auth")
+    lake.createOrReplaceTempView("duo_auth")
+    r = spark.sql(
+        """SELECT ts, event.outcome AS outcome, event.category AS cat,
+                  source.ip AS sip, source.user.group.name AS grp,
+                  user.name AS uname, user.email AS email,
+                  user_agent.os.name AS osname,
+                  duo.auth.factor AS factor, duo.auth.txid AS txid,
+                  duo.auth.application.name AS app,
+                  duo.auth.auth_device.name AS phone,
+                  related.ip AS rips, related.hosts AS rhosts
+           FROM duo_auth"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 6, 1, 13, 53, 20)
+    assert r.outcome == "success" and r.cat == ["authentication"]
+    assert r.sip == "198.51.100.9" and r.grp == "eng, vpn"
+    assert r.uname == "dave" and r.email == "dave@corp.io"
+    assert r.osname == "Windows"
+    assert r.factor == "duo_push" and r.txid == "tx-77" and r.app == "VPN"
+    assert r.phone == "+1555"
+    assert set(r.rips) == {"198.51.100.9", "203.0.113.5"}
+    assert r.rhosts == ["dave-laptop"]
+
+
+def test_duo_admin_end_to_end(spark, tmpdir):
+    lake = _run_one(spark, tmpdir, "duo", [DUO_ADMIN], "admin")
+    lake.createOrReplaceTempView("duo_admin")
+    r = spark.sql(
+        """SELECT ts, event.action AS action, event.category AS cat,
+                  event.type AS etype, event.outcome AS outcome,
+                  user.name AS uname, message, related.user AS rusers
+           FROM duo_admin"""
+    ).collect()[0]
+    assert r.action == "user_create"
+    assert r.cat == ["iam"]
+    assert set(r.etype) == {"user", "creation"}
+    assert r.outcome == "success"
+    assert r.uname == "admin-alice"
+    assert json.loads(r.message) == {"realname": "", "status": "Active"}
+    assert r.rusers == ["admin-alice"]
+
+
+ELB_ALB_LINE = (
+    'http 2024-06-02T10:00:01.123456Z app/my-alb/50dc6c495c0c9188 '
+    '192.0.2.44:34567 10.0.1.5:80 0.000 0.001 0.000 200 200 34 366 '
+    '"GET http://www.example.com:80/path?q=1 HTTP/1.1" "curl/7.46.0" - - '
+    'arn:aws:elasticloadbalancing:us-east-1:1:targetgroup/tg/abc '
+    '"Root=1-58337262-36d228ad5d99923122bbe354" "-" "-" '
+    '0 2024-06-02T10:00:01.000000Z "forward,redirect" "-" "-"'
+)
+
+
+def test_aws_elb_end_to_end(spark, tmpdir):
+    raw = tmpdir / "raw"
+    raw.mkdir(exist_ok=True)
+    (raw / "elb.log").write_text(ELB_ALB_LINE + "\n")
+    tables = run_log_source(
+        spark, str(ROOT / "aws_elb"), str(raw / "*.log"),
+        str(tmpdir / "lake"), quarantine_root=str(tmpdir / "q"),
+    )
+    res = tables["default"]
+    assert res.rows_sidelined == 0
+    df = res.read()
+    df.createOrReplaceTempView("elb")
+    r = spark.sql(
+        """SELECT ts, event.start AS estart, event.outcome AS outcome,
+                  event.category AS cat, aws.elb.type AS lbtype,
+                  aws.elb.name AS name, aws.elb.protocol AS proto,
+                  aws.elb.backend.ip AS bip, aws.elb.backend.port AS bport,
+                  aws.elb.target_group.arn AS tg, aws.elb.trace_id AS trace,
+                  aws.elb.action_executed AS acts,
+                  aws.elb.matched_rule_priority AS prio,
+                  source.ip AS sip, source.port AS sport,
+                  http.response.status_code AS status,
+                  http.request.method AS method, http.version AS hv,
+                  url.original AS uorig, url.path AS upath, url.query AS uq,
+                  url.domain AS udom, user_agent.original AS ua,
+                  trace.id AS tid
+           FROM elb"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 6, 2, 10, 0, 1, 123456)
+    assert r.estart == dt.datetime(2024, 6, 2, 10, 0, 1)
+    assert r.outcome == "success" and r.cat == ["web"]
+    assert r.lbtype == "http" and r.name == "app/my-alb/50dc6c495c0c9188"
+    assert r.proto == "http"
+    assert r.bip == "10.0.1.5" and r.bport == "80"  # vendor schema keeps port as string
+    assert r.tg.endswith("targetgroup/tg/abc")
+    assert r.trace == "Root=1-58337262-36d228ad5d99923122bbe354"
+    assert r.acts == ["forward", "redirect"]
+    assert r.prio == "0"
+    assert r.sip == "192.0.2.44" and r.sport == 34567
+    assert r.status == 200 and r.method == "GET" and r.hv == "1.1"
+    assert r.uorig == "http://www.example.com:80/path?q=1"
+    assert r.upath == "/path" and r.uq == "q=1"
+    assert r.udom == "www.example.com:80" or r.udom == "www.example.com"
+    assert r.ua == "curl/7.46.0"
+    assert r.tid == r.trace
+
+
+S3ACCESS_LINE = (
+    "79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be "
+    "awsexamplebucket1 [06/Feb/2019:00:00:38 +0000] 192.0.2.3 "
+    "79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be "
+    "3E57427F3EXAMPLE REST.GET.VERSIONING - "
+    "\"GET /awsexamplebucket1?versioning HTTP/1.1\" 200 - 113 - 7 - \"-\" "
+    "\"S3Console/0.4\" - "
+    "s9lzHYrFp76ZVxRcpX9+5cjAnEH2ROuNkd2BHfIa6UkFVdtjf5mKR3/eTPFvsiP/XV/VLi31234= "
+    "SigV4 ECDHE-RSA-AES128-GCM-SHA256 AuthHeader awsexamplebucket1.s3.us-west-1.amazonaws.com TLSV1.2"
+)
+
+
+def test_aws_s3access_end_to_end(spark, tmpdir):
+    raw = tmpdir / "raw"
+    raw.mkdir(exist_ok=True)
+    (raw / "s3.log").write_text(S3ACCESS_LINE + "\n")
+    tables = run_log_source(
+        spark, str(ROOT / "aws_s3access"), str(raw / "*.log"),
+        str(tmpdir / "lake"), quarantine_root=str(tmpdir / "q"),
+    )
+    res = tables["default"]
+    assert res.rows_sidelined == 0
+    df = res.read()
+    df.createOrReplaceTempView("s3a")
+    r = spark.sql(
+        """SELECT ts, event.action AS action, event.id AS eid,
+                  event.outcome AS outcome, event.duration AS dur,
+                  aws.s3access.bucket AS bucket,
+                  aws.s3access.operation AS op,
+                  aws.s3access.http_status AS status,
+                  aws.s3access.bytes_sent AS sent,
+                  aws.s3access.signature_version AS sigv,
+                  client.ip AS cip, client.user.id AS cuid,
+                  http.request.method AS method, url.original AS uorig,
+                  url.path AS upath, url.query AS uq,
+                  user_agent.original AS ua, related.ip AS rips
+           FROM s3a"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2019, 2, 6, 0, 0, 38)
+    assert r.action == "REST.GET.VERSIONING" and r.eid == "3E57427F3EXAMPLE"
+    assert r.outcome == "success" and r.dur == 7_000_000
+    assert r.bucket == "awsexamplebucket1"
+    assert r.op == "REST.GET.VERSIONING"
+    assert r.status == 200 and r.sent == 113
+    assert r.sigv == "SigV4"
+    assert r.cip == "192.0.2.3"
+    assert r.cuid.startswith("79a59df900")
+    assert r.method == "GET"
+    assert r.uorig == "/awsexamplebucket1?versioning"
+    assert r.upath == "/awsexamplebucket1" and r.uq == "versioning"
+    assert r.ua == "S3Console/0.4"
+    assert r.rips == ["192.0.2.3"]
+
+
+WAF_RECORD = {
+    "timestamp": 1576280412771,
+    "formatVersion": 1,
+    "webaclId": "arn:aws:wafv2:ap-southeast-2:111122223333:regional/webacl/STMTest/1EXAMPLE-2ARN-3ARN-4ARN-123456EXAMPLE",
+    "terminatingRuleId": "STMTest_SQLi_XSS",
+    "terminatingRuleType": "REGULAR",
+    "action": "BLOCK",
+    "httpSourceName": "APIGW",
+    "httpSourceId": "srcid",
+    "labels": [{"name": "value"}],
+    "httpRequest": {
+        "clientIp": "192.0.2.15",
+        "country": "AU",
+        "headers": [{"name": "Host", "value": "api.example.com"}],
+        "uri": "/foo", "args": "x=1",
+        "httpVersion": "HTTP/1.1", "httpMethod": "POST",
+        "requestId": "req-9",
+    },
+}
+
+R53_RECORD = {
+    "version": "1.100000",
+    "account_id": "111122223333",
+    "region": "us-east-1",
+    "vpc_id": "vpc-7example",
+    "query_timestamp": "2021-02-04T17:51:55Z",
+    "query_name": "example.com.",
+    "query_type": "A",
+    "query_class": "IN",
+    "rcode": "NOERROR",
+    "answers": [
+        {"Rdata": "203.0.113.9", "Type": "A", "Class": "IN"},
+        {"Rdata": "alias.example.net.", "Type": "CNAME", "Class": "IN"},
+    ],
+    "srcaddr": "10.0.0.30",
+    "srcport": "56067",
+    "transport": "UDP",
+    "srcids": {"instance": "i-0d15cd0d3example"},
+}
+
+
+def test_aws_waf_end_to_end(spark, tmpdir):
+    lake = _run_one(spark, tmpdir, "aws_waf", [WAF_RECORD], "default")
+    lake.createOrReplaceTempView("waf")
+    r = spark.sql(
+        """SELECT ts, event.action AS action, event.type AS etype,
+                  aws.waf.id AS wid, aws.waf.arn AS arn,
+                  aws.waf.source.name AS srcname, aws.waf.labels AS labels,
+                  cloud.account.id AS acct, cloud.region AS region,
+                  cloud.service.name AS svc, http.version AS hv,
+                  http.request.method AS method, network.transport AS nt,
+                  rule.id AS rid, source.ip AS sip,
+                  source.geo.country_iso_code AS cc,
+                  url.path AS upath, url.query AS uq, tags
+           FROM waf"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2019, 12, 13, 23, 40, 12, 771000)
+    assert r.action == "BLOCK" and "denied" in r.etype
+    assert r.wid == "regional/webacl/STMTest/1EXAMPLE-2ARN-3ARN-4ARN-123456EXAMPLE"
+    assert r.acct == "111122223333" and r.region == "ap-southeast-2"
+    assert r.svc == "wafv2"
+    assert r.srcname == "APIGW"
+    assert r.labels == ["value"] and r.tags == ["value"]
+    assert r.hv == "1.1" and r.method == "POST" and r.nt == "tcp"
+    assert r.rid == "STMTest_SQLi_XSS"
+    assert r.sip == "192.0.2.15" and r.cc == "AU"
+    assert r.upath == "/foo" and r.uq == "x=1"
+
+
+def test_aws_route53_end_to_end(spark, tmpdir):
+    lake = _run_one(
+        spark, tmpdir, "aws_route53_resolver_logs", [R53_RECORD], "default"
+    )
+    lake.createOrReplaceTempView("r53")
+    r = spark.sql(
+        """SELECT ts, dns.question.name AS qname, dns.question.type AS qtype,
+                  dns.response_code AS rcode, dns.answers AS answers,
+                  network.transport AS nt, network.iana_number AS iana,
+                  network.type AS ntype, source.ip AS sip, source.port AS sport,
+                  cloud.instance.id AS inst, aws.vpc_id AS vpc,
+                  event.outcome AS outcome, related.ip AS rips,
+                  related.hosts AS rhosts
+           FROM r53"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2021, 2, 4, 17, 51, 55)
+    assert r.qname == "example.com" and r.qtype == "A" and r.rcode == "NOERROR"
+    assert r.answers[0].data == "203.0.113.9" and r.answers[0].type == "A"
+    assert r.answers[1].data == "alias.example.net"
+    assert r.answers[1].name == "alias.example.net"
+    assert r.nt == "udp" and r.iana == "17" and r.ntype == "ipv4"
+    assert r.sip == "10.0.0.30" and r.sport == 56067
+    assert r.inst == "i-0d15cd0d3example" and r.vpc == "vpc-7example"
+    assert r.outcome == "success"
+    assert r.rips == ["203.0.113.9"]
+    assert r.rhosts == ["alias.example.net"]
+
+
+TELEPORT_LOGIN = {
+    "time": "2024-07-01T08:00:00.5Z",
+    "event": "user.login",
+    "uid": "ev-1", "code": "T1000I",
+    "success": True,
+    "user": "root-user",
+    "method": "local",
+    "cluster_name": "teleport.example.com",
+    "addr.remote": "198.51.100.8:45999",
+}
+
+TELEPORT_SESSION = {
+    "time": "2024-07-01T08:05:00Z",
+    "event": "session.command",
+    "uid": "ev-2", "code": "T4000I",
+    "user": "root-user", "login": "ubuntu",
+    "server_hostname": "db-1", "server_id": "srv-9",
+    "program": "bash", "path": "/bin/bash",
+    "argv": ["-c", "ls"], "return_code": 0,
+    "pid": 321, "ppid": 320,
+    "sid": "sess-1", "namespace": "default",
+}
+
+
+def test_teleport_end_to_end(spark, tmpdir):
+    lake = _run_one(
+        spark, tmpdir, "teleport", [TELEPORT_LOGIN, TELEPORT_SESSION], "audit"
+    )
+    lake.createOrReplaceTempView("tp")
+    a = spark.sql(
+        """SELECT ts, event.category AS cat, event.outcome AS outcome,
+                  user.name AS uname, source.ip AS sip, source.port AS sport,
+                  teleport.method AS method, teleport.cluster_name AS cluster,
+                  related.user AS rusers
+           FROM tp WHERE event.id = 'ev-1'"""
+    ).collect()[0]
+    assert a.ts == dt.datetime(2024, 7, 1, 8, 0, 0, 500000)
+    assert a.cat == ["authentication"] and a.outcome == "success"
+    assert a.uname == "root-user"
+    assert a.sip == "198.51.100.8" and a.sport == 45999
+    assert a.method == "local" and a.cluster == "teleport.example.com"
+    assert a.rusers == ["root-user"]
+
+    s = spark.sql(
+        """SELECT process.name AS pname, process.executable AS pexe,
+                  process.args AS pargs, process.exit_code AS rc,
+                  process.pid AS pid, destination.user.name AS duser,
+                  host.hostname AS host, teleport.sid AS sid
+           FROM tp WHERE event.id = 'ev-2'"""
+    ).collect()[0]
+    assert s.pname == "bash" and s.pexe == "/bin/bash"
+    assert s.pargs == ["-c", "ls"] and s.rc == 0 and s.pid == 321
+    assert s.duser == "ubuntu" and s.host == "db-1" and s.sid == "sess-1"
+
+
+OP_SIGNIN = {
+    "uuid": "op-1", "session_uuid": "sess-1",
+    "timestamp": 1719820800,
+    "category": "credentials_failed", "type": "password_secret_bad",
+    "country": "DE",
+    "target_user": {"uuid": "U1", "name": "Eve E", "email": "eve@corp.io"},
+    "client": {
+        "app_name": "1Password Browser Extension", "app_version": "21102",
+        "platform_name": "Chrome", "platform_version": "1.2",
+        "os_name": "MacOSX", "os_version": "14.1",
+        "ip_address": "203.0.113.12",
+    },
+}
+
+OP_USAGE = {
+    "uuid": "op-2", "session_uuid": "sess-2",
+    "timestamp": 1719820900, "used_version": 2,
+    "vault_uuid": "V1", "item_uuid": "I1", "action": "secure-copy",
+    "user": {"uuid": "U2", "name": "Frank F", "email": "frank@corp.io"},
+    "client": {
+        "app_name": "1Password CLI", "app_version": "2.0",
+        "platform_name": "mac", "platform_version": "",
+        "os_name": "MacOSX", "os_version": "14.1",
+        "ip_address": "203.0.113.13",
+    },
+}
+
+
+def test_onepassword_end_to_end(spark, tmpdir):
+    lake = _run_one(spark, tmpdir, "onepassword", [OP_SIGNIN], "signin_attempts")
+    lake.createOrReplaceTempView("op_signin")
+    r = spark.sql(
+        """SELECT ts, event.action AS action, event.outcome AS outcome,
+                  user.email AS email, os.name AS osname, source.ip AS sip,
+                  onepassword.type AS optype, onepassword.country AS country,
+                  related.user AS rusers
+           FROM op_signin"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 7, 1, 8, 0)
+    assert r.action == "credentials_failed" and r.outcome == "failure"
+    assert r.email == "eve@corp.io" and r.osname == "MacOSX"
+    assert r.sip == "203.0.113.12"
+    assert r.optype == "password_secret_bad" and r.country == "DE"
+    assert set(r.rusers) == {"U1", "Eve E", "eve@corp.io"}
+
+
+def test_onepassword_usage_end_to_end(spark, tmpdir):
+    lake = _run_one(spark, tmpdir, "onepassword", [OP_USAGE], "item_usages")
+    lake.createOrReplaceTempView("op_usage")
+    r = spark.sql(
+        """SELECT event.category AS cat, event.action AS action,
+                  user.id AS uid, onepassword.vault_uuid AS vault,
+                  onepassword.item_uuid AS item,
+                  onepassword.used_version AS ver
+           FROM op_usage"""
+    ).collect()[0]
+    assert r.cat == ["file"] and r.action == "secure-copy"
+    assert r.uid == "U2"
+    assert r.vault == "V1" and r.item == "I1" and r.ver == 2
