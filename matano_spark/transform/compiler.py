@@ -177,6 +177,10 @@ class _RowState:
 
 
 def _infer_type(value: Any) -> T.DataType:
+    if value is None:
+        # typed as NULL so ternary/coalesce arms adopt the OTHER arm's
+        # type instead of unifying everything to string
+        return T.NullType()
     if isinstance(value, bool):
         return T.BooleanType()
     if isinstance(value, int):

@@ -480,11 +480,11 @@ def _get(args, kw):
     idx = kw.get("index")
     if idx is not None:
         et = t.elementType if isinstance(t, T.ArrayType) else T.StringType()
-        return F.element_at(c, idx + 1 if idx >= 0 else idx), et
+        return F.try_element_at(c, F.lit(idx + 1 if idx >= 0 else idx)), et
     key = kw.get("key")
     if key is not None:  # map lookup (VRL get(map, ["k"]))
         et = t.valueType if isinstance(t, T.MapType) else T.StringType()
-        return F.element_at(c, F.lit(key)), et
+        return F.try_element_at(c, F.lit(key)), et
     path = kw.get("path")
     out = c
     dtype = t

@@ -229,7 +229,23 @@ class Parser:
         if self.accept("-"):
             operand = self.parse_unary()
             return ast.BinOp("-", ast.L(0), operand)
-        return self.parse_atom()
+        e = self.parse_atom()
+        # constant-index postfix: expr[0] / expr[-1] (VRL array access)
+        while self.peek().text == "[" and self.toks[self.i + 1].kind in (
+            "int",
+            "op",
+        ):
+            save = self.i
+            self.next()  # [
+            neg = self.accept("-")
+            t = self.peek()
+            if t.kind != "int":
+                self.i = save  # not an index (e.g. list literal) — back off
+                break
+            idx = int(self.next().text)
+            self.expect("]")
+            e = ast.Fn("get", e, index=(-idx if neg else idx))
+        return e
 
     def parse_atom(self) -> Any:
         t = self.next()

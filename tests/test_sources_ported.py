@@ -971,3 +971,121 @@ def test_onepassword_usage_end_to_end(spark, tmpdir):
     assert r.cat == ["file"] and r.action == "secure-copy"
     assert r.uid == "U2"
     assert r.vault == "V1" and r.item == "I1" and r.ver == 2
+
+
+SNYK_AUDIT = {
+    "groupId": "g1", "orgId": "o1", "projectId": "p1",
+    "userId": "u1", "event": "org.project.test",
+    "created": 1719820800, "content": {"before": 1, "after": 2},
+}
+
+SNYK_VULN = {
+    "issue": {
+        "id": "SNYK-JS-X-1", "url": "https://snyk.io/vuln/SNYK-JS-X-1",
+        "title": "Prototype Pollution", "type": "vuln",
+        "description": "A bad bug", "package": "lodash",
+        "version": "4.17.15", "severity": "high", "language": "js",
+        "packageManager": "npm", "publicationTime": "2024-05-01T00:00:00Z",
+        "disclosureTime": "2024-04-20T00:00:00Z",
+        "isUpgradable": True, "isPatchable": False,
+        "exploitMaturity": "proof-of-concept", "cvssScore": 7.4,
+        "CVSSv3": "CVSS:3.1/AV:N",
+        "identifiers": {"CVE": ["CVE-2024-1234"], "CWE": ["CWE-1321"]},
+    },
+}
+
+
+def test_snyk_end_to_end(spark, tmpdir):
+    lake = _run_one(spark, tmpdir, "snyk", [SNYK_AUDIT], "audit")
+    lake.createOrReplaceTempView("snyk_audit")
+    r = spark.sql(
+        """SELECT ts, event.action AS action, user.id AS uid,
+                  user.group.id AS gid, snyk.audit.org_id AS org,
+                  snyk.audit.content AS content
+           FROM snyk_audit"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 7, 1, 8, 0)
+    assert r.action == "org.project.test" and r.uid == "u1" and r.gid == "g1"
+    assert r.org == "o1"
+    assert json.loads(r.content) == {"before": 1, "after": 2}
+
+    lake2 = _run_one(spark, tmpdir, "snyk", [SNYK_VULN], "vulnerabilities")
+    lake2.createOrReplaceTempView("snyk_vuln")
+    v = spark.sql(
+        """SELECT vulnerability.id AS vid, vulnerability.enumeration AS enum,
+                  vulnerability.severity AS sev, vulnerability.score.base AS score,
+                  snyk.vulnerabilities.package AS pkg,
+                  snyk.vulnerabilities.identifiers.cwe AS cwe
+           FROM snyk_vuln"""
+    ).collect()[0]
+    assert v.vid == "CVE-2024-1234" and v.enum == "CVE"
+    assert v.sev == "high" and abs(v.score - 7.4) < 1e-6  # float32 in schema
+    # vulnerability.description is not declared in the table schema
+    # (reference parity) — it is dropped at projection time
+    assert v.pkg == "lodash" and v.cwe == ["CWE-1321"]
+
+
+GWS_LOGIN = {
+    "kind": "admin#reports#activity",
+    "id": {"time": "2024-07-02T09:00:00.000Z", "uniqueQualifier": "q-1",
+           "applicationName": "login", "customerId": "C123"},
+    "actor": {"email": "grace@corp.io", "profileId": "999", "callerType": "USER"},
+    "ipAddress": "198.51.100.77",
+    "ownerDomain": "corp.io",
+    "events": [{
+        "name": "login_failure", "type": "login",
+        "parameters": [
+            {"name": "login_type", "value": "google_password"},
+            {"name": "login_challenge_method", "multiValue": ["password"]},
+        ],
+    }],
+}
+
+GWS_ADMIN = {
+    "kind": "admin#reports#activity",
+    "id": {"time": "2024-07-02T10:00:00.000Z", "uniqueQualifier": "q-2",
+           "applicationName": "admin", "customerId": "C123"},
+    "actor": {"email": "it-admin@corp.io", "profileId": "1000"},
+    "ownerDomain": "corp.io",
+    "events": [{
+        "name": "CREATE_USER", "type": "USER_SETTINGS",
+        "parameters": [{"name": "USER_EMAIL", "value": "newbie@corp.io"}],
+    }],
+}
+
+
+def test_google_workspace_end_to_end(spark, tmpdir):
+    lake = _run_one(spark, tmpdir, "google_workspace", [GWS_LOGIN], "login")
+    lake.createOrReplaceTempView("gws_login")
+    r = spark.sql(
+        """SELECT ts, event.action AS action, event.outcome AS outcome,
+                  event.category AS cat, event.type AS etype,
+                  user.name AS uname, user.domain AS udom, source.ip AS sip,
+                  google_workspace.login.type AS ltype,
+                  google_workspace.login.challenge_method AS lcm,
+                  organization.id AS org
+           FROM gws_login"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 7, 2, 9, 0)
+    assert r.action == "login_failure" and r.outcome == "failure"
+    assert set(r.cat) == {"authentication", "session"} and "start" in r.etype
+    assert r.uname == "grace" and r.udom == "corp.io"
+    assert r.sip == "198.51.100.77"
+    assert r.ltype == "google_password" and r.lcm == ["password"]
+    assert r.org == "C123"
+
+    lake2 = _run_one(spark, tmpdir, "google_workspace", [GWS_ADMIN], "admin")
+    lake2.createOrReplaceTempView("gws_admin")
+    a = spark.sql(
+        """SELECT event.action AS action, event.category AS cat,
+                  event.type AS etype, user.target.email AS temail,
+                  user.target.name AS tname,
+                  google_workspace.admin.user.email AS aue,
+                  related.user AS rusers
+           FROM gws_admin"""
+    ).collect()[0]
+    assert a.action == "CREATE_USER" and a.cat == ["iam"]
+    assert {"creation", "user"} <= set(a.etype)
+    assert a.temail == "newbie@corp.io" and a.tname == "newbie"
+    assert a.aue == "newbie@corp.io"
+    assert set(a.rusers) == {"it-admin", "newbie"}
