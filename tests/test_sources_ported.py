@@ -1089,3 +1089,54 @@ def test_google_workspace_end_to_end(spark, tmpdir):
     assert a.temail == "newbie@corp.io" and a.tname == "newbie"
     assert a.aue == "newbie@corp.io"
     assert set(a.rusers) == {"it-admin", "newbie"}
+
+
+PANW_TRAFFIC_LINE = (
+    "1,2024/06/03 10:00:05,015351000038802,TRAFFIC,end,2305,2024/06/03 10:00:05,"
+    "192.0.2.10,203.0.113.30,10.0.0.1,203.0.113.30,allow-outbound,corp\\jdoe,,web-browsing,"
+    "vsys1,trust,untrust,ethernet1/2,ethernet1/1,forward-log,2024/06/03 10:00:05,336785,1,"
+    "55236,443,12345,443,0x400053,tcp,allow,1639,1030,609,10,2024/06/03 09:59:51,13,any,,"
+    "7858,0x8000000000000000,United States,United States,,5,5,tcp-fin,0,0,0,0,,PA-VM,from-policy,"
+    ",,0,,0,,N/A,0,0,0,0,1efed0b4-9d51-4b1c-8de1-a1ee0b1b9d4e,0"
+)
+
+
+def test_panw_traffic_end_to_end(spark, tmpdir):
+    raw = tmpdir / "raw"
+    raw.mkdir(exist_ok=True)
+    (raw / "panw.log").write_text(PANW_TRAFFIC_LINE + "\n")
+    tables = run_log_source(
+        spark, str(ROOT / "panw"), str(raw / "*.log"),
+        str(tmpdir / "lake"), quarantine_root=str(tmpdir / "q"),
+    )
+    res = tables["traffic"]
+    assert res.rows_sidelined == 0
+    df = res.read()
+    assert df.count() == 1
+    df.createOrReplaceTempView("panw_traffic")
+    r = spark.sql(
+        """SELECT ts, event.outcome AS outcome, event.category AS cat,
+                  source.ip AS sip, source.port AS sport,
+                  destination.ip AS dip, destination.port AS dport,
+                  source.user.name AS suname, source.user.domain AS sudom,
+                  network.transport AS nt, network.application AS app,
+                  network.bytes AS nbytes,
+                  observer.serial_number AS serial,
+                  observer.ingress.zone AS inzone,
+                  panw.panos.ruleset AS ruleset,
+                  panw.panos.flow_id AS flow,
+                  rule.uuid AS ruuid
+           FROM panw_traffic"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 6, 3, 10, 0, 5)
+    assert r.outcome == "success" and r.cat == ["network"]
+    assert r.sip == "192.0.2.10" and r.sport == 55236
+    assert r.dip == "203.0.113.30" and r.dport == 443
+    assert r.suname == "jdoe" and r.sudom == "corp"
+    assert r.nt == "tcp" and r.app == "web-browsing"
+    assert r.nbytes == 1639
+    assert r.serial == "015351000038802"
+    assert r.inzone == "trust"
+    assert r.ruleset == "allow-outbound"
+    assert r.flow == "336785"
+    assert r.ruuid == "1efed0b4-9d51-4b1c-8de1-a1ee0b1b9d4e"
