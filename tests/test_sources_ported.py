@@ -1140,3 +1140,53 @@ def test_panw_traffic_end_to_end(spark, tmpdir):
     assert r.ruleset == "allow-outbound"
     assert r.flow == "336785"
     assert r.ruuid == "1efed0b4-9d51-4b1c-8de1-a1ee0b1b9d4e"
+
+
+CF_HTTP = {
+    "EdgeStartTimestamp": "2024-07-03T11:00:00Z",
+    "EdgeEndTimestamp": "2024-07-03T11:00:01Z",
+    "ClientIP": "203.0.113.66", "ClientASN": 64501, "ClientCountry": "de",
+    "ClientRequestMethod": "GET", "ClientRequestHost": "shop.example.com",
+    "ClientRequestPath": "/cart", "ClientRequestProtocol": "HTTP/2",
+    "ClientRequestUserAgent": "Mozilla/5.0", "ClientSrcPort": 54321,
+    "ClientSSLProtocol": "TLSv1.3", "ClientSSLCipher": "AEAD-AES128-GCM-SHA256",
+    "EdgeResponseStatus": 200, "EdgeResponseBytes": 5120,
+    "EdgeResponseContentType": "text/html", "EdgeColoCode": "FRA",
+    "OriginIP": "10.9.9.9", "OriginResponseStatus": 200,
+    "RayID": "87a1b2c3d4", "ZoneName": "example.com", "ZoneID": 42,
+    "JA3Hash": "abcd1234",
+    "SecurityAction": "allow", "CacheCacheStatus": "hit",
+    "WorkerStatus": "ok",
+}
+
+
+def test_cloudflare_http_request_end_to_end(spark, tmpdir):
+    lake = _run_one(spark, tmpdir, "cloudflare", [CF_HTTP], "http_request")
+    lake.createOrReplaceTempView("cf_http")
+    r = spark.sql(
+        """SELECT ts, http.request.method AS method,
+                  http.response.status_code AS status, http.version AS hv,
+                  network.protocol AS proto, source.ip AS sip,
+                  source.as.number AS asn, source.geo.country_iso_code AS cc,
+                  source.port AS sport, destination.ip AS dip,
+                  tls.version AS tlsv, tls.version_protocol AS tlsvp,
+                  user_agent.original AS ua,
+                  cloudflare.http_request.ray.id AS ray,
+                  cloudflare.http_request.zone.name AS zone,
+                  cloudflare.http_request.edge.colo.code AS colo,
+                  cloudflare.http_request.cache.status AS cache,
+                  related.hash AS rhash, related.ip AS rips
+           FROM cf_http"""
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 7, 3, 11, 0)
+    assert r.method == "GET" and r.status == 200
+    assert r.proto == "http" and r.hv == "2"
+    assert r.sip == "203.0.113.66" and r.asn == 64501 and r.cc == "de"
+    assert r.sport == 54321
+    assert r.dip == "10.9.9.9"
+    assert r.tlsv == "1.3" and r.tlsvp == "tls"
+    assert r.ua == "Mozilla/5.0"
+    assert r.ray == "87a1b2c3d4" and r.zone == "example.com" and r.colo == "FRA"
+    assert r.cache == "hit"
+    assert r.rhash == ["abcd1234"]
+    assert set(r.rips) == {"203.0.113.66", "10.9.9.9"}
