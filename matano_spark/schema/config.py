@@ -123,7 +123,17 @@ def build_table(
     transform_src = "\n".join(p for p in parts if p)
     from matano_spark.transform.compiler import compile_pipeline
 
-    pipeline = compile_pipeline(parse_program(transform_src))
+    program = parse_program(transform_src)
+    from matano_spark.schema.lint import lint_transform
+
+    bad = lint_transform(program, schema)
+    if bad:
+        raise ValueError(
+            f"{source_name}/{table_name}: transform assigns paths the "
+            f"resolved schema does not declare (silently dropped by the "
+            f"full-schema projection): {bad}"
+        )
+    pipeline = compile_pipeline(program)
     return TableDef(
         log_source=source_name,
         name=table_name,

@@ -80,6 +80,10 @@ def lint_transform(steps, schema: T.StructType) -> list[str]:
         parts = ast.split_path(path)
         if not parts:  # whole-row assignment `. = ...`
             continue
+        if parts[0].startswith("tmp_"):
+            # temp-var convention: `.tmp_*` roots are intentionally
+            # dropped by the full-schema projection
+            continue
         if _resolves(schema, parts):
             continue
         if _deleted(path):
