@@ -3,14 +3,17 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once after a warmup of the input scans; timing
-covers plan + execution to a count/collect action.
+Each query runs REPEATS (default 3) times after a warmup of the input
+scans; the reported per-query number is the MEDIAN, so single-run GC /
+JIT jitter doesn't read as a regression. A query that raises is recorded
+as {"err": ...} and never takes down the rest of the run.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,28 +57,35 @@ def main() -> None:
     for t in TABLE_NAMES:
         table(spark, sf_dir, t).count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        runs: list[float] = []
+        for _ in range(repeats):
+            t0 = time.time()
+            try:
+                queries[name](spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                break
+            runs.append(time.time() - t0)
+        if runs:
+            timings[name] = round(statistics.median(runs), 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -80,11 +80,13 @@ def lint_transform(steps, schema: T.StructType) -> list[str]:
         parts = ast.split_path(path)
         if not parts:  # whole-row assignment `. = ...`
             continue
-        if parts[0].startswith("tmp_"):
-            # temp-var convention: `.tmp_*` roots are intentionally
-            # dropped by the full-schema projection
-            continue
         if _resolves(schema, parts):
+            continue
+        if parts[0].startswith("tmp_") and not _resolves(schema, parts[:1]):
+            # temp-var convention: UNDECLARED `.tmp_*` roots are
+            # intentionally dropped by the full-schema projection.
+            # Root-resolution guard keeps schema-declared tmp_* fields
+            # (which the projection would KEEP) lint-covered.
             continue
         if _deleted(path):
             continue

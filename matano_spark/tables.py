@@ -34,17 +34,42 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    # Parquet TIMESTAMP(NANOS) is illegal for Spark's reader; read ns as
-    # long and convert with exact integer division (the data is
-    # µs-aligned; truncation matches DuckDB's ns→µs read behavior).
-    from pyspark.sql import functions as F
+    if ns_cols:
+        # Parquet TIMESTAMP(NANOS) is illegal for Spark's reader; read ns
+        # as long and convert with exact integer division (the data is
+        # µs-aligned; truncation matches DuckDB's ns→µs read behavior).
+        from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+    else:
+        df = spark.read.parquet(path)
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to the session timestamp type.
+
+    µs-precision parquet timestamps not adjusted to UTC read as
+    TIMESTAMP_NTZ, on which epoch arithmetic (`cast("long")`,
+    `unix_timestamp`) is an AnalysisException. The session is pinned to
+    UTC (session.py:26), so NTZ→LTZ is value-preserving and keeps
+    DuckDB-oracle parity.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
