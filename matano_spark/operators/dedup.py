@@ -25,10 +25,19 @@ from matano_spark.operators import hashing
 NUM_MINHASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 → catches jaccard >~ 0.4 candidates reliably
 
-# SimHash: 30-bit fingerprint (poly_hash yields < 2^30), 4 pigeonhole
-# bands — any pair within Hamming distance 3 shares at least one band.
-SIMHASH_BITS = 30
-SIMHASH_BANDS = [(0, 8), (8, 8), (16, 7), (23, 7)]  # (shift, width)
+# SimHash: 64-bit fingerprint as 4 independent 16-bit chunks, each
+# derived from a distinct affine transform of the token's poly hash.
+# Pigeonhole over the 4 chunks: any pair within Hamming distance 3
+# agrees on at least one full chunk. 16-bit chunks give a 65,536-value
+# keyspace per band (vs 256 for the old 30-bit/8-bit layout, which
+# degenerated quadratic at ~10^8 docs); drop_hot_keys bounds the worst
+# remaining bucket.
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 16
+# Affine constants (a*h + b) % P per chunk — distinct from MINHASH_A/B
+# so minhash and simhash sketches stay decorrelated.
+SIMHASH_A = [40503, 99991, 31337, 65537]
+SIMHASH_B = [11, 101, 1009, 10007]
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -203,59 +212,89 @@ def minhash_near_dups(
 
 
 def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc SimHash: sign-aggregated token-hash bits → 30-bit int.
+    """Per-doc SimHash: (id, c0..c3), four 16-bit fingerprint chunks.
 
-    (id, simhash): bit b of the fingerprint is 1 iff more (distinct)
-    tokens have bit b set in their hash than not.
+    Chunk k's bit b is 1 iff more (distinct) tokens have bit b set in
+    (SIMHASH_A[k] * poly_hash(tok) + SIMHASH_B[k]) % P than not. The
+    chunks double as the 64-bit fingerprint (hamming = Σ chunk XOR
+    popcounts), so no 2^63 packing is ever needed and each chunk is a
+    ready-made band key. One groupBy, 64 map-side-combinable SUMs.
     """
+    h = hashing.poly_hash(F.col("tok"))
     tokens = (
         df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .distinct()
-        .withColumn("h", hashing.poly_hash(F.col("tok")))
+        .select(
+            id_col,
+            *[
+                ((F.lit(SIMHASH_A[k]) * h + F.lit(SIMHASH_B[k])) % hashing.P).alias(
+                    f"g{k}"
+                )
+                for k in range(SIMHASH_CHUNKS)
+            ],
+        )
     )
     bit_sums = tokens.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
+                F.when(
+                    F.shiftright(F.col(f"g{k}"), b).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{k}_{b}")
+            for k in range(SIMHASH_CHUNKS)
+            for b in range(SIMHASH_CHUNK_BITS)
         ]
     )
-    fp: Column = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0).cast("bigint")
-    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+    chunk_cols = []
+    for k in range(SIMHASH_CHUNKS):
+        fp: Column = F.lit(0).cast("bigint")
+        for b in range(SIMHASH_CHUNK_BITS):
+            fp = fp + F.when(F.col(f"s{k}_{b}") > 0, F.lit(1 << b)).otherwise(
+                0
+            ).cast("bigint")
+        chunk_cols.append(fp.alias(f"c{k}"))
+    return bit_sums.select(F.col(id_col), *chunk_cols)
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole banding: with 4 bands, any pair within distance 3 agrees
-    on at least one full band, so the candidate join is an equi-join on
-    (band_id, chunk) — never a cross join. bit_count(xor) verifies.
+    Pigeonhole banding: with 4 chunks, any pair within distance 3
+    agrees on at least one full chunk, so the candidate join is an
+    equi-join on (band_id, chunk) — never a cross join. Degenerate
+    buckets (boilerplate corpora collapsing to one fingerprint) are
+    dropped via drop_hot_keys before the self-join, bounding the worst
+    bucket at cap² pairs; Σ bit_count(chunk xor) verifies survivors.
     """
     fps = simhash_fingerprint(df, id_col, text_col).localCheckpoint()
-    chunks = F.array(
+    chunk_names = [f"c{k}" for k in range(SIMHASH_CHUNKS)]
+    bands = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.shiftright(F.col("simhash"), shift)
-                .bitwiseAND((1 << width) - 1)
-                .alias("chunk"),
-            )
-            for i, (shift, width) in enumerate(SIMHASH_BANDS)
+            F.struct(F.lit(k).alias("band_id"), F.col(f"c{k}").alias("chunk"))
+            for k in range(SIMHASH_CHUNKS)
         ]
     )
-    banded = fps.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
-        id_col, "simhash", F.col("c.band_id").alias("band_id"), F.col("c.chunk").alias("chunk")
+    banded = fps.select(id_col, *chunk_names, F.explode(bands).alias("b")).select(
+        id_col,
+        *chunk_names,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.chunk").alias("chunk"),
     )
+    if bucket_cap is not None:
+        banded = drop_hot_keys(banded, ["band_id", "chunk"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    ham: Column = F.lit(0)
+    for k in range(SIMHASH_CHUNKS):
+        ham = ham + F.bit_count(
+            F.col(f"a.c{k}").bitwiseXOR(F.col(f"b.c{k}"))
+        )
     return (
         a.join(
             b,

@@ -19,9 +19,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from matano_spark.operators.dedup import drop_hot_keys
 from matano_spark.operators.hashing import P
 
 LSH_PLANES = 8
+# Degenerate-bucket guard for the LSH equi-joins: a broken encoder
+# emitting constant (e.g. all-zero) vectors collapses the corpus into
+# one bucket and the join cost becomes bucket_size². Buckets above the
+# cap are dropped from the join (broadcast anti-join — the corpus never
+# reshuffles); near-dup/ANN signal in a bucket that large is ~zero.
+BUCKET_CAP = 1000
 _MIX_J = 1_315_423_911
 _MIX_D = 2_654_435_761
 
@@ -129,13 +136,16 @@ def lsh_topk(
     vec_col: str,
     k: int = 5,
     n_planes: int = LSH_PLANES,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within candidates.
 
     At 100 TB the bucket column is precomputed/persisted with the
     table (partition or Z-order key) so a probe touches ~1/2^n_planes
-    of the corpus.
+    of the corpus. Corpus buckets larger than `bucket_cap` are dropped
+    before the probe join, bounding per-query candidate fan-in even
+    under a degenerate encoder.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -149,6 +159,8 @@ def lsh_topk(
         norm(F.col(vec_col)).alias("cnorm"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
+    if bucket_cap is not None:
+        c = drop_hot_keys(c, ["bucket"], bucket_cap)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -173,12 +185,15 @@ def embedding_near_dups(
     vec_col: str,
     threshold: float = 0.95,
     n_planes: int = LSH_PLANES,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate vectors: same LSH bucket AND cosine >= threshold.
 
     The bucket equi-join bounds the pair count to sum(bucket_size^2);
     high-threshold duplicates nearly always share all plane signs, so
-    recall stays high while the join stays linear-ish.
+    recall stays high while the join stays linear-ish. Buckets above
+    `bucket_cap` are dropped before the self-join (see BUCKET_CAP),
+    bounding the worst bucket at cap² pairs.
     """
     b = df.select(
         F.col(id_col),
@@ -186,6 +201,8 @@ def embedding_near_dups(
         norm(F.col(vec_col)).alias("vnorm"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
+    if bucket_cap is not None:
+        b = drop_hot_keys(b, ["bucket"], bucket_cap)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

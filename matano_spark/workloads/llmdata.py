@@ -441,18 +441,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_simhash() -> str:
     h = sql_poly_hash("tok")
+    gs = ", ".join(
+        f"(({D.SIMHASH_A[k]} * h + {D.SIMHASH_B[k]}) % {P}) AS g{k}"
+        for k in range(D.SIMHASH_CHUNKS)
+    )
     bit_sums = ", ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(D.SIMHASH_BITS)
+        f"SUM(CASE WHEN (g{k} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}_{b}"
+        for k in range(D.SIMHASH_CHUNKS)
+        for b in range(D.SIMHASH_CHUNK_BITS)
     )
-    fp = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
-        for b in range(D.SIMHASH_BITS)
+    fps = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s{k}_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+            for b in range(D.SIMHASH_CHUNK_BITS)
+        )
+        + f") AS c{k}"
+        for k in range(D.SIMHASH_CHUNKS)
     )
+    chunks = ", ".join(f"c{k}" for k in range(D.SIMHASH_CHUNKS))
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS band_id,"
-        f" (simhash >> {shift}) & {(1 << width) - 1} AS chunk FROM fps"
-        for i, (shift, width) in enumerate(D.SIMHASH_BANDS)
+        f"SELECT doc_id, {chunks}, {k} AS band_id, c{k} AS chunk FROM fps"
+        for k in range(D.SIMHASH_CHUNKS)
     )
     return f"""
     tokens AS (
@@ -460,10 +470,23 @@ def _sql_simhash() -> str:
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
     ),
     hashes AS (SELECT doc_id, {h} AS h FROM tokens),
-    bitsums AS (SELECT doc_id, {bit_sums} FROM hashes GROUP BY doc_id),
-    fps AS (SELECT doc_id, {fp} AS simhash FROM bitsums),
-    banded AS ({bands})
+    ghashes AS (SELECT doc_id, {gs} FROM hashes),
+    bitsums AS (SELECT doc_id, {bit_sums} FROM ghashes GROUP BY doc_id),
+    fps AS (SELECT doc_id, {fps} FROM bitsums),
+    banded_all AS ({bands}),
+    banded AS (
+      SELECT b.* FROM banded_all b
+      JOIN (SELECT band_id, chunk FROM banded_all
+            GROUP BY band_id, chunk HAVING COUNT(*) <= 1000) ok
+      USING (band_id, chunk)
+    )
     """
+
+
+def _sql_simhash_hamming() -> str:
+    return " + ".join(
+        f"bit_count(xor(a.c{k}, b.c{k}))" for k in range(D.SIMHASH_CHUNKS)
+    )
 
 
 @query(
@@ -471,16 +494,18 @@ def _sql_simhash() -> str:
     oracle=f"""
     WITH {_sql_simhash()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           CAST({_sql_simhash_hamming()} AS INT) AS hamming
     FROM banded a JOIN banded b
       ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-    WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) <= 1
+    WHERE CAST({_sql_simhash_hamming()} AS INT) <= 1
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 30-bit sign-aggregated fingerprint, pigeonhole
-    banding (4 bands ⇒ distance-3 pairs always collide), bit_count
-    verification. All integer expressions — no UDF, engine-portable."""
+    """SimHash near-dup: 64-bit sign-aggregated fingerprint held as four
+    16-bit chunks, pigeonhole banding (4 chunks ⇒ distance-3 pairs
+    always collide on one), hot-bucket cap before the self-join, and
+    Σ bit_count(chunk xor) verification. All integer expressions — no
+    UDF, engine-portable."""
     docs = t(spark, sf_dir, "documents")
     out = D.simhash_near_dups(docs, "doc_id", "text", max_hamming=1)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -553,10 +578,15 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
           FROM b WHERE vec_id < 10),
+    c AS (
+      SELECT b.* FROM b
+      JOIN (SELECT bucket FROM b GROUP BY bucket
+            HAVING COUNT(*) <= {S.BUCKET_CAP}) ok USING (bucket)
+    ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              {_sql_cosine('q.qvec', 'c.embedding')} AS cosine
-      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+      FROM q JOIN c ON c.bucket = q.bucket AND c.vec_id != q.query_id
     )
     SELECT query_id, neighbor_id, rank, cosine FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -578,9 +608,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_near",
     oracle=f"""
-    WITH b AS (
+    WITH b0 AS (
       SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
       FROM embeddings
+    ),
+    b AS (
+      SELECT b0.* FROM b0
+      JOIN (SELECT bucket FROM b0 GROUP BY bucket
+            HAVING COUNT(*) <= {S.BUCKET_CAP}) ok USING (bucket)
     )
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
            {_sql_cosine('l.embedding', 'r.embedding')} AS cosine

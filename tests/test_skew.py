@@ -94,3 +94,43 @@ def test_minhash_bucket_cap_bounds_degenerate_bucket(spark):
     assert out.count() == 0
     uncapped = minhash_near_dups(df, "doc_id", "text", bucket_cap=None)
     assert uncapped.count() == 200 * 199 // 2
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """A boilerplate corpus collapses to one fingerprint — every chunk
+    bucket holds all docs. With the cap the banded self-join emits zero
+    candidates; uncapped it would be 4·C(n,2)."""
+    from matano_spark.operators.dedup import simhash_near_dups
+
+    docs = [(i, "identical boilerplate text in every document") for i in range(120)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = simhash_near_dups(df, "doc_id", "text", bucket_cap=50)
+    assert capped.count() == 0
+    uncapped = simhash_near_dups(df, "doc_id", "text", bucket_cap=None)
+    assert uncapped.count() == 120 * 119 // 2
+
+
+def test_embedding_bucket_cap_bounds_degenerate_encoder(spark):
+    """1k identical vectors (broken encoder) land in one LSH bucket.
+    The cap drops that bucket: near-dup join emits zero pairs and the
+    ANN probe returns no candidates, instead of bucket_size² work."""
+    from matano_spark.operators.similarity import embedding_near_dups, lsh_topk
+
+    vec = [0.1, 0.2, 0.3, 0.4]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(1000)], ["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dups(
+        df, "vec_id", "embedding", threshold=0.5, bucket_cap=100
+    )
+    assert pairs.count() == 0
+
+    queries = df.filter(F.col("vec_id") < 3)
+    topk = lsh_topk(df, queries, "vec_id", "embedding", k=5, bucket_cap=100)
+    assert topk.count() == 0
+
+    # sanity: a healthy (sub-cap) corpus still produces pairs/candidates
+    small = df.filter(F.col("vec_id") < 50)
+    assert embedding_near_dups(
+        small, "vec_id", "embedding", threshold=0.5, bucket_cap=100
+    ).count() == 50 * 49 // 2
