@@ -33,6 +33,7 @@ _WORKLOAD_MODULES = (
     "matano_spark.workloads.relational",
     "matano_spark.workloads.security",
     "matano_spark.workloads.llmdata",
+    "matano_spark.workloads.sources",
 )
 
 

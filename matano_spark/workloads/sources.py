@@ -1,0 +1,244 @@
+"""Oracle-checked queries over the PORTED log-source packs.
+
+Each query synthesizes vendor-shaped raw records deterministically from
+the driver's `events` table with pure Column expressions, pushes them
+through the pack's REAL compiled pipeline (yml ingest parse + VRL-text
+transform — the same `TableDef.pipeline` the ingest path runs), and
+aggregates the landed ECS fields. Because the synthesis is a
+deterministic function of `events`, DuckDB can state the expected
+aggregate directly over `events` — so the whole pack pipeline
+(parse → transform → ECS mapping) sits inside the correctness gate,
+not just inside pytest fixtures.
+
+At 100 TB the synthesized frame is the raw stream: everything below is
+per-row projection (one narrow scan, no shuffle until the final
+aggregation), so the plan scales exactly like the ingest pipeline it
+exercises.
+
+Reference parity: okta mapping data/managed/log_sources/okta/tables/
+system.yml; suricata data/managed/log_sources/suricata/tables/eve.yml
+(alert block :437-519); panw data/managed/log_sources/panw/tables/
+traffic.yml (CSV positions).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matano_spark.workloads import query
+from matano_spark.workloads.util import t
+
+_PACK_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+    "log_sources",
+)
+
+
+@lru_cache(maxsize=32)
+def _table_def(pack: str, table: str):
+    """Load + compile one pack table (cached — compile once per proc)."""
+    from matano_spark.schema.config import load_log_source
+
+    for td in load_log_source(os.path.join(_PACK_ROOT, pack)):
+        if td.name == table:
+            return td
+    raise KeyError(f"{pack}/{table}")
+
+
+def _through_pipeline(td, raw: DataFrame) -> DataFrame:
+    """Run a synthesized raw frame through the pack pipeline, mirroring
+    pipeline._read_raw's parse step for json-with-input_fields packs."""
+    from matano_spark.schema.resolve import fields_to_structtype
+
+    if td.ingest.get("input_fields") and "json" in raw.columns:
+        schema = fields_to_structtype(td.ingest["input_fields"])
+        raw = raw.select(F.from_json("json", schema).alias("r")).select("r.*")
+    return td.pipeline(raw)
+
+
+@query(
+    "okta_failed_auth_rollup",
+    oracle="""
+    SELECT concat('user-', CAST(user_id AS VARCHAR), '@example.com') AS user_name,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_failures
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+    """,
+)
+def okta_failed_auth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-authentication rollup through the ported okta pack:
+    events → okta System Log JSON → okta/system compiled transform
+    (outcome.result → event.outcome, actor.alternateId → user.name) →
+    failures per user per day."""
+    td = _table_def("okta", "system")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("string").alias("published"),
+                F.lit("user.session.start").alias("eventType"),
+                F.col("event_id").cast("string").alias("uuid"),
+                F.lit("INFO").alias("severity"),
+                F.struct(
+                    F.concat(
+                        F.lit("user-"),
+                        F.col("user_id").cast("string"),
+                        F.lit("@example.com"),
+                    ).alias("alternateId"),
+                    F.col("user_id").cast("string").alias("id"),
+                    F.lit("User").alias("type"),
+                ).alias("actor"),
+                F.struct(
+                    F.when(F.col("event_type") == "error", "FAILURE")
+                    .otherwise("SUCCESS")
+                    .alias("result")
+                ).alias("outcome"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return (
+        ecs.filter(F.col("event.outcome") == "failure")
+        .groupBy(
+            F.col("user.name").alias("user_name"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_failures"))
+    )
+
+
+@query(
+    "suricata_severity_histogram",
+    oracle="""
+    SELECT (CAST(floor(value) AS BIGINT) % 3) + 1 AS severity,
+           COUNT(*) AS n_alerts,
+           COUNT(DISTINCT concat('10.0.0.', CAST(user_id % 250 AS VARCHAR)))
+             AS n_src_ips
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def suricata_severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-severity histogram through the ported suricata pack:
+    events → EVE alert JSON → suricata/eve compiled transform
+    (alert.severity → event.severity, src_ip → source.ip) → counts and
+    distinct attacking IPs per severity."""
+    td = _table_def("suricata", "eve")
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    sev = (F.floor("value").cast("bigint") % 3) + 1
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("string").alias("timestamp"),
+                F.lit("ALERT").alias("event_type"),
+                F.col("event_id").alias("flow_id"),
+                F.concat(
+                    F.lit("10.0.0."), (F.col("user_id") % 250).cast("string")
+                ).alias("src_ip"),
+                F.lit(44321).alias("src_port"),
+                F.lit("203.0.113.99").alias("dest_ip"),
+                F.lit(443).alias("dest_port"),
+                F.lit("TCP").alias("proto"),
+                F.struct(
+                    F.lit("Test signature").alias("signature"),
+                    F.col("event_id").alias("signature_id"),
+                    sev.alias("severity"),
+                    F.lit("A Network Trojan was detected").alias("category"),
+                    F.lit("allowed").alias("action"),
+                ).alias("alert"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return (
+        ecs.groupBy(F.col("event.severity").alias("severity"))
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.countDistinct(F.col("source.ip")).alias("n_src_ips"),
+        )
+    )
+
+
+@query(
+    "panw_bytes_by_app",
+    oracle="""
+    SELECT event_type AS application,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS bytes_sent,
+           CAST(SUM(CAST(floor(value * 10) AS BIGINT)) AS BIGINT) AS bytes_received
+    FROM events
+    GROUP BY 1
+    """,
+)
+def panw_bytes_by_app(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-by-application through the ported panw pack: events →
+    PAN-OS TRAFFIC syslog CSV lines → panw/traffic compiled transform
+    (grok header split + parse_csv positional mapping, tmp_v[7]=app,
+    [25]/[26]=bytes) → per-application session/byte totals."""
+    td = _table_def("panw", "traffic")
+    ev = t(spark, sf_dir, "events")
+    ts_str = F.date_format("ts", "yyyy/MM/dd HH:mm:ss")
+    bytes_sent = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    bytes_recv = F.floor(F.col("value") * 10).cast("bigint").cast("string")
+    # CSV tail positions (traffic.yml): 0 src,1 dst,2 snat,3 dnat,4 rule,
+    # 5 srcuser,6 dstuser,7 app,8 vsys,9 szone,10 dzone,11 inif,12 outif,
+    # 13 logprof,14 fu,15 flow,16 rpt,17 sport,18 dport,19 snatp,20 dnatp,
+    # 21 labels,22 proto,23 action,24 bytes,25 sent,26 received,27 pkts
+    rest = F.concat_ws(
+        ",",
+        F.concat(F.lit("10.0.0."), (F.col("user_id") % 250).cast("string")),
+        F.lit("203.0.113.7"),
+        F.lit(""),
+        F.lit(""),
+        F.lit("allow-any"),
+        F.lit(""),
+        F.lit(""),
+        F.col("event_type"),
+        F.lit("vsys1"),
+        F.lit("trust"),
+        F.lit("untrust"),
+        F.lit("ethernet1/1"),
+        F.lit("ethernet1/2"),
+        F.lit(""),
+        F.lit(""),
+        F.col("event_id").cast("string"),
+        F.lit("1"),
+        F.lit("44321"),
+        F.lit("443"),
+        F.lit(""),
+        F.lit(""),
+        F.lit(""),
+        F.lit("tcp"),
+        F.lit("allow"),
+        F.lit(""),
+        bytes_sent,
+        bytes_recv,
+        F.lit("10"),
+    )
+    raw = ev.select(
+        F.concat(
+            F.lit("1,"),
+            ts_str,
+            F.lit(",SN0001,TRAFFIC,end,1,"),
+            ts_str,
+            F.lit(","),
+            rest,
+        ).alias("message")
+    )
+    ecs = _through_pipeline(td, raw)
+    return (
+        ecs.groupBy(F.col("network.application").alias("application"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("source.bytes")).alias("bytes_sent"),
+            F.sum(F.col("destination.bytes")).alias("bytes_received"),
+        )
+    )
