@@ -140,5 +140,21 @@ def build_table(
         schema=schema,
         transform_src=transform_src,
         pipeline=pipeline,
-        ingest=source_cfg.get("ingest") or {},
+        ingest=_merged_ingest(source_cfg, table_cfg),
     )
+
+
+def _merged_ingest(source_cfg: dict, table_cfg: dict) -> dict:
+    """Table-level ingest options override/extend source-level ones.
+
+    Multi-table sources (cloudflare, panw, …) share framing options at
+    the source level but carry per-table raw shapes: a table's
+    `ingest.input_fields` REPLACES the source's (the raw feeds are
+    disjoint), while scalar options deep-merge.
+    """
+    out = dict(source_cfg.get("ingest") or {})
+    tbl = table_cfg.get("ingest") or {}
+    if "input_fields" in tbl:
+        out["input_fields"] = tbl["input_fields"]
+    out.update({k: v for k, v in tbl.items() if k != "input_fields"})
+    return out
