@@ -103,15 +103,24 @@ class _RowState:
     def _node(self, parts: tuple[str, ...]):
         """Walk to the node at `parts`; returns _Leaf | _Tree | None.
         Descending through an unexploded leaf struct follows getField
-        without exploding (reads don't mutate)."""
+        without exploding (reads don't mutate). Descending INTO a
+        VariantType leaf (parse_json without schema, `variant` input
+        fields) compiles the remaining path to try_variant_get — the
+        VRL dynamic-object read on semi-structured data."""
         node = self.nodes.get(parts[0])
-        for part in parts[1:]:
+        for i, part in enumerate(parts[1:], start=1):
             if node is None:
                 return None
             if isinstance(node, _Tree):
                 node = node.children.get(part)
                 continue
             dtype = node.dtype
+            if isinstance(dtype, T.VariantType):
+                path = "$." + ".".join(parts[i:])
+                return _Leaf(
+                    F.try_variant_get(node.col, path, "string"),
+                    T.StringType(),
+                )
             if not isinstance(dtype, T.StructType):
                 return None
             match = next((f for f in dtype.fields if f.name == part), None)
