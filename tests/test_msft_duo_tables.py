@@ -228,3 +228,94 @@ def test_duo_offline_enrollment(spark, tmpdir):
     assert r.act == "o2fa_user_provisioned"
     assert r.host == "LAPTOP-9" and r.factor == "duo_otp"
     assert r.rh == ["LAPTOP-9"] and r.ru == ["carol"]
+
+
+GWS_ALERT = {
+    "alertId": "al-1",
+    "createTime": "2024-05-01T10:00:00Z",
+    "startTime": "2024-05-01T09:00:00Z",
+    "endTime": "2024-05-01T11:00:00Z",
+    "source": "Gmail phishing",
+    "customerId": "C123",
+    "type": "Phishing reported by users",
+    "metadata": {"severity": "HIGH", "status": "NOT_STARTED",
+                 "alertId": "al-1", "customerId": "C123"},
+    "data": {
+        "email": "victim@example.com",
+        "domain": "example.com",
+        "maliciousEntity": {"fromHeader": "bad@evil.example",
+                            "displayName": "Evil Sender",
+                            "entity": {"emailAddress": "bad@evil.example",
+                                       "displayName": "Evil Sender"}},
+        "messages": [
+            {"messageId": "m1", "date": "2024-05-01T09:30:00Z",
+             "md5HashSubject": "a1b2", "subjectText": "Urgent invoice",
+             "recipient": "victim@example.com",
+             "attachmentsSha256Hash": ["s256a"]},
+            {"messageId": "m2", "date": "2024-05-01T09:45:00Z",
+             "md5HashSubject": "a1b2", "subjectText": "Urgent invoice 2",
+             "recipient": "victim2@example.com"},
+        ],
+    },
+}
+
+
+def test_google_workspace_alert(spark, tmpdir):
+    df = _run(spark, tmpdir, "google_workspace", [GWS_ALERT], "alert")
+    r = df.selectExpr(
+        "ts", "event.kind AS kind", "event.category AS cat",
+        "event.action AS act", "event.id AS eid",
+        "event.start AS start", "event.end AS end",
+        "organization.id AS org",
+        "google_workspace.alert.metadata.severity AS sev",
+        "google_workspace.alert.data.messages AS msgs",
+        "email.message_id AS mid", "email.subject AS subj",
+        "email.to.address AS toaddr", "email.delivery_timestamp AS dts",
+        "related.hash AS rhash", "user.email AS uemail",
+        "user.domain AS udom", "related.user AS ruser",
+    ).collect()[0]
+    assert r.ts == TS_DT
+    assert r.kind == "alert"
+    assert set(r.cat) == {"email", "threat", "malware"}
+    assert r.act == "Gmail phishing"
+    assert r.eid == "al-1"
+    assert r.start == dt.datetime(2024, 5, 1, 9, 0)
+    assert r.end == dt.datetime(2024, 5, 1, 11, 0)
+    assert r.org == "C123"
+    assert r.sev == "HIGH"
+    m = r.msgs[0]
+    assert m.id == "m1" and m.subject_text == "Urgent invoice"
+    assert m.date == dt.datetime(2024, 5, 1, 9, 30)
+    assert m.attachments_sha256_hash == ["s256a"]
+    assert m.md5.hash.subject == "a1b2"
+    assert r.mid == "m1" and r.subj == "Urgent invoice"
+    assert r.toaddr == ["victim@example.com", "victim2@example.com"]
+    assert r.dts == dt.datetime(2024, 5, 1, 9, 30)
+    assert r.rhash == ["a1b2"]
+    assert r.uemail == "bad@evil.example"
+    assert r.udom == "example.com"
+    assert r.ruser == ["bad@evil.example"]
+
+
+def test_google_workspace_alert_routing(spark, tmpdir):
+    # alert-feed record must not land in admin/login; reports record
+    # must not land in alert
+    raw = tmpdir / "raw"
+    raw.mkdir(exist_ok=True)
+    reports_rec = {
+        "kind": "admin#reports#activity",
+        "id": {"time": "2024-05-01T10:00:00Z", "uniqueQualifier": "q1",
+               "applicationName": "login", "customerId": "C123"},
+        "actor": {"email": "alice@example.com", "profileId": "p1"},
+        "events": [{"name": "login_success", "type": "login"}],
+    }
+    with open(raw / "objects.json", "w") as f:
+        f.write(json.dumps(GWS_ALERT) + "\n")
+        f.write(json.dumps(reports_rec) + "\n")
+    tables = run_log_source(
+        spark, str(ROOT / "google_workspace"), str(raw / "*.json"),
+        str(tmpdir / "lake"), quarantine_root=str(tmpdir / "q"),
+    )
+    assert tables["alert"].rows_out == 1
+    assert tables["login"].rows_out == 1
+    assert tables["admin"].rows_in == 0
