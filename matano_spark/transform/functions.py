@@ -416,6 +416,22 @@ def _unique(args, kw):
     return F.array_distinct(_c(args[0])), _t(args[0]) or T.ArrayType(T.StringType())
 
 
+@fn("array_max")
+def _array_max(args, kw):
+    """Max element of an array (VRL does this with a for_each fold —
+    e.g. aws_inspector max CVSS base score; here a builtin)."""
+    c, t = args[0]
+    el = t.elementType if isinstance(t, T.ArrayType) else T.DoubleType()
+    return F.array_max(c), el
+
+
+@fn("array_min")
+def _array_min(args, kw):
+    c, t = args[0]
+    el = t.elementType if isinstance(t, T.ArrayType) else T.DoubleType()
+    return F.array_min(c), el
+
+
 @fn("flatten")
 def _flatten(args, kw):
     c, t = args[0]
