@@ -172,3 +172,123 @@ def test_aws_inspector(spark, tmpdir):
     assert json.loads(r.res[0].tags) == {"env": "prod"}
     assert r.rhash == ["sha256:layer1"]
     assert r.rip == ["10.0.0.9"]
+
+
+def test_crowdstrike_fdr_process_event(spark, tmpdir):
+    rec = {
+        "event_simpleName": "ProcessRollup2",
+        "timestamp": "1714557600000",
+        "ContextTimeStamp": "1714557600.123",
+        "id": "ev-1",
+        "aid": "agent-1",
+        "aip": "203.0.113.55",
+        "ComputerName": "WKS-01",
+        "event_platform": "Win",
+        "ConfigBuild": "1007.3.0016606.1",
+        "CommandLine": "\"C:\\Windows\\cmd.exe\" /c whoami -",
+        "ImageFileName": "\\Device\\HarddiskVolume1\\Windows\\cmd.exe",
+        "RawProcessId": "4242",
+        "TargetProcessId": "111",
+        "ParentProcessId": "42",
+        "ParentBaseFileName": "explorer.exe",
+        "ProcessStartTime": "1714557000.0",
+        "ProcessEndTime": "1714558000.0",
+        "MD5HashData": "9e107d9d372bb6826bd81d3542a419d6",
+        "SHA256HashData": "2c26b46b68ffc68ff99b453c1d30413413422d706483bfa0f98a5e886266e7ae",
+        "SHA1HashData": "0000000000000000000000000000000000000000",
+        "UserName": "carol",
+        "UserSid": "S-1-5-21-1",
+        "UserPrincipal": "carol@example.com",
+        "MachineDomain": "EXAMPLE",
+    }
+    raw = tmpdir / "raw"
+    raw.mkdir(exist_ok=True)
+    with open(raw / "objects.json", "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    tables = run_log_source(
+        spark, str(ROOT / "crowdstrike"), str(raw / "*.json"),
+        str(tmpdir / "lake"), quarantine_root=str(tmpdir / "q"),
+    )
+    res = tables["fdr"]
+    assert res.rows_sidelined == 0 and res.rows_out == 1
+    r = res.read().selectExpr(
+        "ts", "event.created AS created", "event.action AS act",
+        "event.kind AS kind", "event.category AS cat", "event.type AS etype",
+        "event.outcome AS outcome", "observer.serial_number AS aid",
+        "observer.ip AS oip", "observer.version AS over",
+        "host.name AS hname", "os.type AS ostype",
+        "process.name AS pname", "process.pid AS pid",
+        "process.args AS args", "process.args_count AS argc",
+        "process.parent.name AS ppname", "process.uptime AS uptime",
+        "process.hash.md5 AS pmd5", "user.name AS uname",
+        "user.full_name AS ufull", "user.domain AS udom",
+        "related.hash AS rhash", "related.user AS ruser",
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 5, 1, 10, 0, 0, 123000)
+    assert r.created == dt.datetime(2024, 5, 1, 10, 0)
+    assert r.act == "ProcessRollup2"
+    assert r.kind == "event" and r.cat == ["process"] and r.etype == ["start"]
+    assert r.outcome == "success"
+    assert r.aid == "agent-1" and r.oip == ["203.0.113.55"]
+    assert r.over == "1007.3.0016606.1"
+    assert r.hname == "WKS-01" and r.ostype == "windows"
+    assert r.pname == "cmd.exe" and r.pid == 4242
+    # quotes stripped, "-" arg dropped
+    assert r.args == ["C:\\Windows\\cmd.exe", "/c", "whoami"]
+    assert r.argc == 4
+    assert r.ppname == "explorer.exe"
+    assert r.uptime == 1  # (1714558000-1714557000)/1000
+    assert r.pmd5 == "9e107d9d372bb6826bd81d3542a419d6"
+    assert r.uname == "carol" and r.ufull == "carol" and r.udom == "example.com"
+    # all-zero sha1 filtered out of related.hash
+    assert set(r.rhash) == {
+        "9e107d9d372bb6826bd81d3542a419d6",
+        "2c26b46b68ffc68ff99b453c1d30413413422d706483bfa0f98a5e886266e7ae",
+    }
+    assert set(r.ruser) == {"carol"}
+
+
+def test_crowdstrike_fdr_network_event(spark, tmpdir):
+    rec = {
+        "event_simpleName": "NetworkConnectIP4",
+        "UTCTimestamp": "1714557600000",
+        "aid": "agent-1",
+        "LocalAddressIP4": "10.0.0.7",
+        "LocalPort": "50123",
+        "RemoteAddressIP4": "203.0.113.9",
+        "RemotePort": "443",
+        "Protocol": "6",
+        "ConnectionDirection": "0",
+        "PhysicalAddress": "aa:bb:cc:dd:ee:ff",
+        "NetworkConnectCount": "3",
+    }
+    raw = tmpdir / "raw"
+    raw.mkdir(exist_ok=True)
+    with open(raw / "objects.json", "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    tables = run_log_source(
+        spark, str(ROOT / "crowdstrike"), str(raw / "*.json"),
+        str(tmpdir / "lake"), quarantine_root=str(tmpdir / "q"),
+    )
+    res = tables["fdr"]
+    assert res.rows_sidelined == 0 and res.rows_out == 1
+    r = res.read().selectExpr(
+        "ts", "event.kind AS kind", "event.category AS cat",
+        "event.type AS etype", "event.outcome AS outcome",
+        "source.ip AS sip", "source.port AS sport", "source.mac AS smac",
+        "destination.ip AS dip", "destination.port AS dport",
+        "network.transport AS transport", "network.iana_number AS iana",
+        "network.direction AS dir",
+        "crowdstrike.NetworkConnectCount AS ncc",
+        "related.ip AS rip",
+    ).collect()[0]
+    assert r.ts == dt.datetime(2024, 5, 1, 10, 0)
+    assert r.kind == "event" and r.cat == ["network"]
+    assert r.etype == ["start", "connection"]
+    assert r.outcome == "unknown"
+    assert r.sip == "10.0.0.7" and r.sport == 50123
+    assert r.smac == "AA:BB:CC:DD:EE:FF"
+    assert r.dip == "203.0.113.9" and r.dport == 443
+    assert r.transport == "tcp" and r.iana == "6" and r.dir == "outbound"
+    assert r.ncc == 3
+    assert set(r.rip) == {"10.0.0.7", "203.0.113.9", }
