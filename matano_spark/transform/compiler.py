@@ -121,6 +121,13 @@ class _RowState:
                     F.try_variant_get(node.col, path, "string"),
                     T.StringType(),
                 )
+            if isinstance(dtype, T.MapType):
+                # map member read (parse_key_value output): one key per
+                # remaining path step
+                col = node.col
+                for p in parts[i:]:
+                    col = F.element_at(col, p)
+                return _Leaf(col, dtype.valueType)
             if not isinstance(dtype, T.StructType):
                 return None
             match = next((f for f in dtype.fields if f.name == part), None)
