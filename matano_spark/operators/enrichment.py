@@ -106,3 +106,33 @@ def enrich(
         cond = c if cond is None else (cond & c)
     out = df.join(F.broadcast(packed), cond, "left")
     return out.drop(*[f"__k_{i}" for i in range(len(on))])
+
+
+def sync_enrichment(store: EnrichmentStore, pack_dir: str, raw: DataFrame) -> DataFrame:
+    """Run one managed enrichment pack's sync cycle: raw feed records →
+    compiled pack transform → full-schema projection → store write with
+    the pack's write_mode/primary_key (ref Enrichment.kt:112-149 sync +
+    :336-366 write modes). Returns the landed table.
+
+    `raw` carries either the pack's parsed input columns or a `json`
+    string column (the puller drop shape); parse mirrors
+    pipeline._read_raw."""
+    from matano_spark.schema.config import load_enrichment
+    from matano_spark.schema.resolve import fields_to_structtype
+
+    ed = load_enrichment(pack_dir)
+    if ed.ingest.get("input_fields") and "json" in raw.columns:
+        schema = fields_to_structtype(ed.ingest["input_fields"])
+        raw = raw.select(F.from_json("json", schema).alias("r")).select("r.*")
+    normalized = ed.pipeline(raw)
+    present = set(normalized.columns)
+    projected = normalized.select(
+        *[
+            F.col(f"`{f.name}`")
+            if f.name in present
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in ed.schema.fields
+        ]
+    )
+    store.write(ed.name, projected, mode=ed.write_mode, primary_key=ed.primary_key)
+    return store.read(ed.name)

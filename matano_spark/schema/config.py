@@ -158,3 +158,37 @@ def _merged_ingest(source_cfg: dict, table_cfg: dict) -> dict:
         out["input_fields"] = tbl["input_fields"]
     out.update({k: v for k, v in tbl.items() if k != "input_fields"})
     return out
+
+
+@dataclass
+class EnrichmentDef:
+    """A managed enrichment pack: same schema/transform machinery as a
+    log-source table plus the enrichment write policy (ref
+    data/managed/enrichment/*/enrichment.yml; Enrichment.kt:336-366)."""
+
+    name: str
+    schema: T.StructType
+    transform_src: str
+    pipeline: Callable[[DataFrame], DataFrame]
+    ingest: dict[str, Any]
+    write_mode: str
+    primary_key: str | None
+    lookup_keys: list[str]
+
+
+def load_enrichment(path: str) -> EnrichmentDef:
+    """Load an enrichment pack directory (enrichment.yml)."""
+    with open(os.path.join(path, "enrichment.yml")) as f:
+        cfg = yaml.safe_load(f) or {}
+    name = cfg.get("name") or os.path.basename(path.rstrip("/"))
+    td = build_table(name, "enrichment", cfg, {})
+    return EnrichmentDef(
+        name=name,
+        schema=td.schema,
+        transform_src=td.transform_src,
+        pipeline=td.pipeline,
+        ingest=td.ingest,
+        write_mode=cfg.get("write_mode", "overwrite"),
+        primary_key=(cfg.get("schema") or {}).get("primary_key"),
+        lookup_keys=cfg.get("lookup_keys") or [],
+    )

@@ -242,3 +242,75 @@ def panw_bytes_by_app(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("destination.bytes")).alias("bytes_received"),
         )
     )
+
+
+@query(
+    "cisa_kev_enrichment_lookup",
+    oracle="""
+    WITH kev AS (
+      SELECT concat('CVE-2024-', CAST(p_partkey AS VARCHAR)) AS cve,
+             p_brand AS vendor
+      FROM part WHERE p_partkey <= 200
+    ),
+    ev AS (
+      SELECT concat('CVE-2024-', CAST(l_partkey % 300 AS VARCHAR)) AS cve
+      FROM lineitem
+    )
+    SELECT k.vendor AS vendor, COUNT(*) AS n_hits,
+           COUNT(DISTINCT ev.cve) AS n_cves
+    FROM ev JOIN kev k ON ev.cve = k.cve
+    GROUP BY 1
+    """,
+)
+def cisa_kev_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 over a REAL managed enrichment pack: part rows synthesized
+    into CISA KEV feed records, pushed through the cisa_kev pack's
+    compiled transform + EnrichmentStore (overwrite mode), then
+    broadcast-looked-up from a lineitem-derived event stream — hit
+    counts per KEV vendor. The enrichment side stays broadcast-sized
+    by construction (the reference's whole design constraint)."""
+    import tempfile
+
+    from matano_spark.operators.enrichment import (
+        EnrichmentStore,
+        enrich,
+        sync_enrichment,
+    )
+
+    part = t(spark, sf_dir, "part")
+    raw = part.filter(F.col("p_partkey") <= 200).select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("CVE-2024-"), F.col("p_partkey").cast("string")).alias(
+                    "cveID"
+                ),
+                F.col("p_brand").alias("vendorProject"),
+                F.col("p_name").alias("product"),
+                F.col("p_type").alias("shortDescription"),
+                F.lit("2024-05-01").alias("dateAdded"),
+                F.lit("Patch").alias("requiredAction"),
+            )
+        ).alias("json")
+    )
+    store = EnrichmentStore(spark, tempfile.mkdtemp(prefix="kev_oracle_"))
+    kev = sync_enrichment(
+        store, os.path.join(_PACK_ROOT, "..", "enrichment", "cisa_kev"), raw
+    )
+    flat = kev.selectExpr(
+        "vulnerability.id AS cve",
+        "element_at(vulnerability.category, 2) AS vendor",
+    )
+    events = t(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.lit("CVE-2024-"), (F.col("l_partkey") % 300).cast("string")
+        ).alias("cve")
+    )
+    hits = enrich(events, flat, on={"cve": "cve"}, select=["vendor"], target="kev")
+    return (
+        hits.filter(F.col("kev").isNotNull())
+        .groupBy(F.col("kev.vendor").alias("vendor"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("cve").alias("n_cves"),
+        )
+    )
