@@ -100,29 +100,51 @@ def run_detections(
     Arrow batch). Output is the A1 rule-match relation, ready for the
     alert state machine.
 
-    Fast path: when EVERY detect() compiles to a Column predicate
-    (detections.compile concolic tracer), the union of compiled
-    predicates prefilters the scan JVM-side — Catalyst pushes the
-    disjunction to parquet and the Python loop only sees candidate
+    Fast path: detections whose detect() compiles to a Column
+    predicate (detections.compile concolic tracer) run against a
+    JVM-prefiltered scan — Catalyst pushes the OR of their compiled
+    predicates to parquet and the Python loop only sees candidate
     rows. Hooks (title/dedupe/original_event) still run in Python on
-    survivors, so output is bit-identical to the slow path. Any
-    untraceable detect() disables the prefilter for the whole run
-    (soundness: never drop a row a Python predicate might match).
+    survivors, so output is bit-identical to the slow path.
+    PER-RULE partitioning: untraceable detections fall back to the
+    full-scan row loop in a SEPARATE branch, so one dynamic rule never
+    strips the fast path from the rest (soundness per rule: a row is
+    only skipped for rules whose own predicate excluded it).
     """
     dets = list(detections)
     fields = df.columns
     if prefilter and dets:
         from matano_spark.detections.compile import Untraceable, compile_predicate
 
-        try:
-            preds = [compile_predicate(d.detect, df.schema) for d in dets]
-            cond = preds[0]
-            for p in preds[1:]:
+        fast: list[tuple[Detection, object]] = []
+        slow: list[Detection] = []
+        for d in dets:
+            try:
+                fast.append((d, compile_predicate(d.detect, df.schema)))
+            except Untraceable:
+                slow.append(d)
+        if fast:
+            cond = fast[0][1]
+            for _, p in fast[1:]:
                 cond = cond | p
-            df = df.filter(cond)
-        except Untraceable:
-            pass  # row loop evaluates every row
+            fast_out = _match_loop(
+                df.filter(cond), [d for d, _ in fast], fields, ts_col, key_col
+            )
+            if slow:
+                return fast_out.unionByName(
+                    _match_loop(df, slow, fields, ts_col, key_col)
+                )
+            return fast_out
+    return _match_loop(df, dets, fields, ts_col, key_col)
 
+
+def _match_loop(
+    df: DataFrame,
+    dets: list,
+    fields: list[str],
+    ts_col: str,
+    key_col: str | None,
+) -> DataFrame:
     def run(batches):
         import pandas as pd
 

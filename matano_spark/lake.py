@@ -27,6 +27,19 @@ from matano_spark.schema.ddl import create_table_ddl
 TS_HOUR_FMT = "yyyy-MM-dd-HH"
 
 
+def ts_hour_utc(col: F.Column | str) -> F.Column:
+    """UTC-pinned hour-partition key (ref: partition path derives from
+    the event time's UTC hour, IcebergMetadataWriter.kt:60-65 /
+    transformer/src/main.rs:961-965). `date_format` alone renders in
+    the SESSION timezone — a job launched under a non-UTC session would
+    scatter the same instants into different partitions. to_utc_timestamp
+    against the current session zone pins rendering to UTC regardless."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(
+        F.to_utc_timestamp(c, F.current_timezone()), TS_HOUR_FMT
+    )
+
+
 class LakeTable:
     def __init__(
         self,
@@ -51,9 +64,7 @@ class LakeTable:
     # -- writes -------------------------------------------------------
     def _with_partition(self, df: DataFrame) -> DataFrame:
         if self.ts_col in df.columns and "ts_hour" not in df.columns:
-            return df.withColumn(
-                "ts_hour", F.date_format(F.col(self.ts_col), TS_HOUR_FMT)
-            )
+            return df.withColumn("ts_hour", ts_hour_utc(self.ts_col))
         return df
 
     def append(self, df: DataFrame) -> None:

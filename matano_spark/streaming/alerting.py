@@ -149,9 +149,9 @@ def run_streaming_alerts_to_dir(
         from pyspark.sql import Window as W
         from pyspark.sql import functions as F
 
-        new = batch.withColumn(
-            "ts_hour", F.date_format("first_matched_at", "yyyy-MM-dd-HH")
-        )
+        from matano_spark.lake import ts_hour_utc
+
+        new = batch.withColumn("ts_hour", ts_hour_utc("first_matched_at"))
         touched = [r.ts_hour for r in new.select("ts_hour").distinct().collect()]
         if not touched:
             return

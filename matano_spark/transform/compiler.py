@@ -356,17 +356,26 @@ class Compiler:
                         else (vt or T.StringType())
                     )
                     out_t = T.ArrayType(et)
-                    tail = F.array_compact(F.array(F.when(cond, v)))
+                    tail = F.array(v)
                 else:  # append: second arg is already an array
                     out_t = (
                         oldt
                         if isinstance(oldt, T.ArrayType)
                         else (vt if isinstance(vt, T.ArrayType) else T.ArrayType(T.StringType()))
                     )
-                    empty = F.array().cast(out_t)
-                    tail = F.when(cond, F.coalesce(v, empty)).otherwise(empty)
-                safe_old = F.coalesce(old, F.array().cast(out_t))
-                value = F.concat(safe_old, tail)
+                    tail = F.coalesce(v, F.array().cast(out_t))
+                empty = F.array().cast(out_t)
+                # When the guard is FALSE the assignment never ran in
+                # VRL: the target keeps its old value (null stays null —
+                # NOT coalesced to []). Built so `old` appears ONCE:
+                # chained conditional pushes (o365's event.type chain)
+                # would otherwise double the expression per step.
+                # concat propagates null: old null + guard false →
+                # coalesce picks the null branch → whole concat null.
+                value = F.concat(
+                    F.coalesce(old, F.when(cond, empty)),
+                    F.when(cond, tail).otherwise(empty),
+                )
                 s.set(parts, value, out_t)
                 return
             value, vtype = self.expr(step.expr)

@@ -660,6 +660,47 @@ def _parse_groks(args, kw):
     return grok_mod.parse_groks(c, grok_patterns, custom)
 
 
+def _named_group_indices(pattern: str) -> list[tuple[str, int]]:
+    """(name, 1-based capture index) for each named group, counting
+    UNNAMED capture groups too — a pattern mixing `(a|b)` with
+    `(?P<x>...)` must extract x by its true group number, not by its
+    position among the named groups."""
+    import re as _re
+
+    out: list[tuple[str, int]] = []
+    idx = 0
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            m = _re.match(r"\(\?P?<(\w+)>", pattern[i:])
+            if m:
+                idx += 1
+                out.append((m.group(1), idx))
+                i += m.end()
+                continue
+            if pattern[i : i + 2] == "(?":
+                # non-capturing / lookaround / flags group
+                i += 2
+                continue
+            idx += 1
+        i += 1
+    return out
+
+
 @fn("parse_regex")
 def _parse_regex(args, kw):
     """Named captures → struct (VRL parse_regex)."""
@@ -667,12 +708,13 @@ def _parse_regex(args, kw):
 
     pattern = kw["pattern"]
     c = _c(args[0])
-    names = _re.findall(r"\(\?P?<(\w+)>", pattern)
-    # Java named groups reject underscores; strip names, extract by index
+    groups = _named_group_indices(pattern)
+    # Java named groups reject underscores; strip names, extract by the
+    # group's true index (unnamed captures keep their numbering)
     java_pat = _re.sub(r"\(\?P?<\w+>", "(", pattern)
     cols = []
     fields = []
-    for i, name in enumerate(names, start=1):
+    for name, i in groups:
         ext = F.regexp_extract(c, java_pat, i)
         cols.append(F.when(ext != "", ext).alias(name))
         fields.append(T.StructField(name, T.StringType()))
@@ -689,14 +731,15 @@ def _parse_regex_all(args, kw):
 
     pattern = kw["pattern"]
     c = _c(args[0])
-    names = _re.findall(r"\(\?P?<(\w+)>", pattern)
-    # Java named groups reject underscores; strip names, extract by index
+    groups = _named_group_indices(pattern)
+    # Java named groups reject underscores; strip names, extract by the
+    # group's true index (unnamed captures keep their numbering)
     java_pat = _re.sub(r"\(\?P?<\w+>", "(", pattern)
     matches = F.regexp_extract_all(c, F.lit(java_pat), 0)
 
     def per_match(m):
         cols = []
-        for i, name in enumerate(names, start=1):
+        for name, i in groups:
             ext = F.regexp_extract(m, java_pat, i)
             cols.append(F.when(ext != "", ext).alias(name))
         return F.struct(*cols)
@@ -704,7 +747,7 @@ def _parse_regex_all(args, kw):
     return (
         F.transform(matches, per_match),
         T.ArrayType(
-            T.StructType([T.StructField(n, T.StringType()) for n in names])
+            T.StructType([T.StructField(n, T.StringType()) for n, _ in groups])
         ),
     )
 

@@ -1,0 +1,131 @@
+"""Regression tests for the round-2/3 ADVICE findings: conditional
+self-append null semantics, parse_regex mixed named/unnamed group
+indexing, and session-timezone-independent ts_hour partitioning."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_conditional_push_keeps_null_when_guard_false(spark):
+    """`if cond { .a = push(.a, x) }` with cond FALSE must leave a null
+    target NULL — the assignment never ran in VRL; it must not coalesce
+    to an empty array."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        'if .flag == true { .acc = push(.acc, .val) }'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [(True, "x"), (False, "y")], ["flag", "val"]
+    )
+    rows = {r.flag: r for r in pipe(df).collect()}
+    assert rows[True].acc == ["x"]
+    assert rows[False].acc is None  # NOT []
+
+
+def test_conditional_append_keeps_null_when_guard_false(spark):
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        'if .flag == true { .acc = append(.acc, .vals) }'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [(True, ["a", "b"]), (False, ["c"])], ["flag", "vals"]
+    )
+    rows = {r.flag: r for r in pipe(df).collect()}
+    assert rows[True].acc == ["a", "b"]
+    assert rows[False].acc is None
+
+
+def test_parse_regex_mixed_named_and_unnamed_groups(spark):
+    """A named group after an UNNAMED capture must extract by its true
+    group number (2 here), not its position among named groups (1)."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        '.out = parse_regex(.s, pattern: "^(foo|bar)-(?P<num>[0-9]+)-(?P<word>[a-z]+)$")'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame([("foo-42-abc",)], ["s"])
+    r = pipe(df).select("out.num", "out.word").collect()[0]
+    assert r.num == "42"
+    assert r.word == "abc"
+
+
+def test_parse_regex_all_mixed_groups(spark):
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        '.out = parse_regex_all(.s, pattern: "(k|q)=(?P<v>[0-9]+)")'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame([("k=1 q=2",)], ["s"])
+    r = pipe(df).select("out").collect()[0]
+    assert [m.v for m in r.out] == ["1", "2"]
+
+
+def test_ts_hour_partition_pinned_to_utc(spark):
+    """ts_hour must derive from the UTC hour of the instant regardless
+    of the session timezone (ref: UTC hour partition path)."""
+    from matano_spark.lake import ts_hour_utc
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 5, 1, 23, 30),)], ["ts"]
+    )  # interpreted in session tz (UTC here) => instant 23:30Z
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        utc_val = df.select(ts_hour_utc("ts").alias("h")).collect()[0].h
+        assert utc_val == "2024-05-01-23"
+        # re-render the SAME instants under a shifted session tz: the
+        # partition key must not move
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = df.select(ts_hour_utc("ts").alias("h")).collect()[0].h
+        assert shifted == utc_val
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_prefilter_partitions_per_rule(spark):
+    """One untraceable rule must NOT disable the JVM prefilter for the
+    traceable rules: the traceable branch's scan keeps the pushed
+    filter, and the dynamic rule still sees every row."""
+    from matano_spark.detections import Detection, run_detections
+
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [(i, "login_failed" if i % 10 == 0 else "ok", float(i),
+             t0 + _dt.timedelta(seconds=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["event_id", "action", "value", "ts"])
+
+    def traceable(record):
+        return record.deepget("action") == "login_failed"
+
+    def dynamic(record):  # defeats the tracer: data-dependent branch
+        v = record.deepget("value") or 0.0
+        acc = 0.0
+        while acc < v:  # loop count depends on the value
+            acc += 37.0
+        return acc == 74.0  # true for values in (37, 74]
+
+    dets = [
+        Detection(name="fast_rule", detect=traceable, severity="low"),
+        Detection(name="dyn_rule", detect=dynamic, severity="low"),
+    ]
+    out = run_detections(df, dets, ts_col="ts", key_col="event_id")
+    by_rule = {
+        r.rule_name: r.cnt
+        for r in out.groupBy("rule_name").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_rule["fast_rule"] == 10
+    assert by_rule["dyn_rule"] == 37  # values 38..74
