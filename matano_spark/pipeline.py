@@ -43,6 +43,15 @@ def _read_raw(spark: SparkSession, td: TableDef, raw_path: str) -> DataFrame:
             "resolved_table", "_file"
         )
     payload = lines.withColumnRenamed("value", "json")
+    if td.ingest.get("parse_with_schema"):
+        # Loopback sources (matano_alerts): rows were WRITTEN with this
+        # table's resolved schema, so parse straight into it — from_json
+        # revives every nested timestamp in one pass, which is the Spark
+        # form of the reference's ~340 per-field `to_timestamp!` coercions
+        # (ref matano_alerts/log_source.yml:110-451).
+        return lines.select(
+            F.from_json("value", td.schema).alias("r")
+        ).select("r.*")
     expand = td.ingest.get("expand_records_field")
     input_schema = (
         fields_to_structtype(td.ingest["input_fields"])
@@ -64,6 +73,7 @@ def run_log_source(
     raw_path: str,
     lake_root: str,
     quarantine_root: str | None = None,
+    only_tables: list[str] | None = None,
 ) -> dict[str, "TableResult"]:
     """Process raw objects for every table of a log source pack.
 
@@ -73,6 +83,11 @@ def run_log_source(
     rows_out + rows_sidelined always holds (S17 conservation)."""
     out: dict[str, TableResult] = {}
     for td in load_log_source(config_dir):
+        if only_tables is not None and td.name not in only_tables:
+            # large multi-table packs (zeek: 43 tables): skip whole
+            # pipelines for tables the caller knows carry no rows in
+            # this batch — at scale one job per table is the norm
+            continue
         raw = _read_raw(spark, td, raw_path)
         normalized = td.pipeline(raw).persist()
         rows_transformed = normalized.count()
