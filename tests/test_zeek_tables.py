@@ -37,6 +37,7 @@ def _run(spark, tmpdir, filename, record, table):
     tables = run_log_source(
         spark, str(ROOT / "zeek"), str(raw / "*"),
         str(tmpdir / "lake"), quarantine_root=str(tmpdir / "q"),
+        only_tables=[table],
     )
     res = tables[table]
     assert res.rows_sidelined == 0, table
