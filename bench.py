@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "dedup_embedding_near",
     "text_quality_score",
     "text_fingerprint",

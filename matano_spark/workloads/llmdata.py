@@ -606,6 +606,55 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT {S.N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+    qprobe AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cosine('q.embedding', 'c.cvec')} DESC, c.cid
+             ) AS rn
+      FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+    ),
+    qp AS (SELECT query_id, qvec, cell FROM qprobe WHERE rn <= {S.N_PROBE}),
+    scored AS (
+      SELECT qp.query_id, t.vec_id AS neighbor_id,
+             {_sql_cosine('qp.qvec', 't.embedding')} AS cosine
+      FROM qp JOIN cells t ON t.cell = qp.cell AND t.vec_id != qp.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF coarse quantizer: corpus vectors
+    live in their nearest-centroid cell, a query probes its 4 closest
+    of 16 cells. The second ANN scale path next to sign-LSH — cell
+    assignment is a per-row fold over the broadcast codebook, and the
+    probe is a plain equi-join on the (persistable) cell id."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
     "dedup_embedding_near",
     oracle=f"""
     WITH b0 AS (

@@ -314,3 +314,63 @@ def cisa_kev_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cve").alias("n_cves"),
         )
     )
+
+
+@query(
+    "zeek_conn_traffic_rollup",
+    oracle="""
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'tcp'
+                ELSE 'udp' END AS transport,
+           CASE WHEN user_id % 2 = 0 AND event_id % 2 = 0 THEN 'internal'
+                WHEN user_id % 2 = 0 THEN 'outbound'
+                WHEN event_id % 2 = 0 THEN 'inbound'
+                ELSE 'external' END AS direction,
+           COUNT(*) AS n_conns,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                    + CAST(FLOOR(value * 37) AS BIGINT)) AS BIGINT)
+             AS total_bytes
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def zeek_conn_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic rollup through the ported zeek connection table: events
+    → zeek conn.log JSON (conn 4-tuple + byte counters + locality
+    flags) → zeek/connection compiled transform (ref zeek/tables/
+    connection.yml:61-260: network.bytes = orig+resp ip_bytes,
+    local_orig×local_resp → network.direction) → bytes/conns per
+    (transport, direction)."""
+    td = _table_def("zeek", "connection")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("double").alias("ts"),
+                F.concat(F.lit("C"), F.col("event_id").cast("string")).alias("uid"),
+                F.concat(
+                    F.lit("10.0.0."), (F.col("user_id") % 250).cast("string")
+                ).alias("id.orig_h"),
+                (40000 + F.col("event_id") % 20000).alias("id.orig_p"),
+                F.lit("192.0.2.6").alias("id.resp_h"),
+                F.lit(443).cast("long").alias("id.resp_p"),
+                F.when(F.col("event_type").isin("click", "view"), "tcp")
+                .otherwise("udp")
+                .alias("proto"),
+                F.floor(F.col("value") * 100).cast("long").alias("orig_ip_bytes"),
+                F.floor(F.col("value") * 37).cast("long").alias("resp_ip_bytes"),
+                (F.col("event_id") % 10 + 1).cast("long").alias("orig_pkts"),
+                (F.col("user_id") % 10 + 1).cast("long").alias("resp_pkts"),
+                (F.col("user_id") % 2 == 0).alias("local_orig"),
+                (F.col("event_id") % 2 == 0).alias("local_resp"),
+                F.lit("SF").alias("conn_state"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("network.transport").alias("transport"),
+        F.col("network.direction").alias("direction"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_conns"),
+        F.sum("network.bytes").alias("total_bytes"),
+    )
