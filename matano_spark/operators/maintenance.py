@@ -75,6 +75,40 @@ def compact_parquet_dir(
     return before, after
 
 
+def collect_file_metrics(spark: SparkSession, path: str, ts_col: str = "ts"):
+    """A7: per-data-file metrics — the aggregation the reference's
+    IcebergMetadataWriter extracts from parquet footers before each
+    metadata commit (IcebergMetadataWriter.kt:322-350: record count,
+    file size, partition-column bounds per file; its Netty path reads
+    500 footers concurrently for the same numbers).
+
+    Spark-first form: the hidden `_metadata` struct carries file path +
+    size per split and the scan prunes to the ts column only, so the
+    whole job reads one narrow column distributed across executors —
+    nothing is listed or fetched on the driver. The output is exactly
+    an Iceberg manifest's data_file rows (path, size, record_count,
+    ts bounds), usable for partition pruning and small-file detection
+    (feeds compact_parquet_dir's target selection at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    sel = [
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.file_size").alias("file_size"),
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("record_count"),
+        F.first("file_size").alias("file_size_bytes"),
+    ]
+    if ts_col in df.columns:
+        sel.append(F.col(ts_col))
+        aggs += [
+            F.min(ts_col).alias("min_ts"),
+            F.max(ts_col).alias("max_ts"),
+        ]
+    return df.select(*sel).groupBy("file_path").agg(*aggs)
+
+
 def register_flattened_view(
     spark: SparkSession, table: str, view: str | None = None
 ) -> str:

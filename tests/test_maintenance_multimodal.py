@@ -90,3 +90,25 @@ def test_remote_cache_semantics():
     assert cache.get("k", "gone") == "gone"  # TTL expiry
     now[0] += 60
     assert cache.increment_counter("ip:1.2.3.4") == 1  # counter expired
+
+
+def test_collect_file_metrics(spark, tmpdir):
+    """A7: per-file manifest rows (path, size, record_count, ts bounds)
+    — ref IcebergMetadataWriter.kt:322-350 footer aggregation."""
+    import datetime as dt
+
+    from matano_spark.operators.maintenance import collect_file_metrics
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i)) for i in range(100)],
+        "id long, ts timestamp",
+    )
+    path = str(Path(tmpdir) / "files")
+    df.repartition(4).write.parquet(path)
+    m = collect_file_metrics(spark, path).collect()
+    assert len(m) == 4
+    assert sum(r.record_count for r in m) == 100
+    assert all(r.file_size_bytes > 0 for r in m)
+    assert min(r.min_ts for r in m) == t0
+    assert max(r.max_ts for r in m) == t0 + dt.timedelta(minutes=99)
