@@ -688,3 +688,430 @@ def q11_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("share") > 0.02)
         .select("s_nationkey", "s_suppkey", "bal", "share")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    mincost AS (
+      SELECT l_partkey AS mk, MIN(unit_cost) AS min_cost
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           cost.unit_cost AS min_cost
+    FROM part
+    JOIN cost ON p_partkey = cost.l_partkey
+    JOIN mincost ON p_partkey = mincost.mk
+               AND cost.unit_cost = mincost.min_cost
+    JOIN supplier ON cost.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: per-part minimum-cost supplier via a join back
+    onto a grouped MIN (the correlated-scalar-subquery shape, decorrelated
+    the way Catalyst itself rewrites it). With no partsupp table in the
+    testdata, (l_partkey, l_suppkey, min unit price) plays the part-supplier
+    catalog (ref delegates this surface to Athena SQL; SURVEY §2.8).
+
+    SCALE: both aggregates are map-side-partial groupBys on l_partkey;
+    the min-cost join back is on (partkey, cost) — co-partitioned with
+    the cost aggregate, so one shuffle; dims broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    mincost = cost.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            mincost,
+            (cost.l_partkey == mincost.mk) & (cost.unit_cost == mincost.min_cost),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == cost.l_partkey)
+        .join(F.broadcast(supp), F.col("s_suppkey") == cost.l_suppkey)
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.col("unit_cost").alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q8_nation_market_share",
+    oracle=f"""
+    WITH flows AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {sql_dsum('volume')} AS mkt_share
+    FROM flows GROUP BY o_year
+    """,
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one nation's share of a region's market by
+    year — conditional aggregation as a ratio of two sums over the same
+    8-way join (dims broadcast, facts shuffle once on orderkey)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cn = t(spark, sf_dir, "nation").alias("cn")
+    sn = t(spark, sf_dir, "nation").alias("sn")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flows = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn.n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("cn.n_regionkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn.n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return flows.groupBy("o_year").agg(
+        (dsum(nat_vol) / dsum("volume")).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)'
+                     ' - 0.1 * p_retailprice * l_quantity')} AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: profit by supplier nation and year. The
+    ps_supplycost term becomes 10% of retail price (no partsupp table);
+    the shape — LIKE-filtered part driving a 5-way join into a two-key
+    rollup — is the same."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nat = t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (l_linestatus standing in for l_shipmode, which
+    the testdata lacks): conditional counts split by order priority."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: customers-per-order-count histogram — LEFT
+    OUTER join with a compound join condition (customers with zero
+    qualifying orders must appear as c_count = 0), then a second
+    aggregation over the first."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) achieving the quarter's maximum
+    revenue — a scalar-subquery MAX over a derived aggregate, realized
+    as a 1-row broadcast joined back (exact double equality is safe:
+    both sides carry the identical scaled-integer sum)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_cnt_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 5, 15, 25, 35, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct-supplier counts per part attribute,
+    excluding suppliers with negative balances (the 'complaints' NOT IN
+    becomes a broadcast left-anti join)."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey AS pk, SUM(qty) AS total
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN shipped ON s_suppkey = shipped.l_suppkey
+    JOIN tot ON shipped.l_partkey = tot.pk
+    JOIN part ON p_partkey = shipped.l_partkey
+    WHERE p_name LIKE '%blue%' AND qty > 0.3 * total
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: suppliers who shipped more than 30% of a
+    blue part's yearly volume — nested aggregation (per-pair, then
+    per-part totals) feeding a semi-join-shaped DISTINCT projection.
+    l_quantity values are integral doubles, so the plain SUMs are exact
+    in both engines at any aggregation order."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    supp = t(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total")
+    )
+    return (
+        shipped.join(tot, shipped.l_partkey == tot.pk)
+        .join(F.broadcast(part), F.col("p_partkey") == shipped.l_partkey)
+        .join(F.broadcast(supp), F.col("s_suppkey") == shipped.l_suppkey)
+        .filter(F.col("qty") > 0.3 * F.col("total"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@query(
+    "q21_waiting_sole_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM li GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT li.l_orderkey) AS numwait
+    FROM li
+    JOIN per_order ON li.l_orderkey = per_order.l_orderkey
+    JOIN supplier ON li.l_suppkey = s_suppkey
+    WHERE li.late = 1 AND per_order.n_supp > 1 AND per_order.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: suppliers solely responsible for late completed
+    orders (shipdate > orderdate + 60 days stands in for the missing
+    receipt/commit dates). The EXISTS / NOT EXISTS pair decorrelates
+    into per-order distinct-supplier counts joined back to the late rows
+    — one shuffle on orderkey feeds both the aggregate and the join."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        li.filter(F.col("late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -97,3 +97,40 @@ def test_detections_prefilter_pushes_to_scan(plans):
     scan — the fast path's whole point is JVM-side pre-selection."""
     p = plans("detections_rule_matches")
     assert "EqualNullSafe(event_type,error)" in p
+
+
+def test_new_tpch_analogs_plan_shapes(plans):
+    # Q2 analog: the min-cost join-back must broadcast every dimension
+    # (part/supplier/nation/region) — only the two lineitem aggregates
+    # may shuffle.
+    p = plans("q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+    # Q16 analog: the negative-balance exclusion must be a broadcast
+    # anti join, and the part filters must reach the scan.
+    p = plans("q16_supplier_cnt_by_part")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "Not(EqualTo(p_brand,Brand#5))" in p
+
+    # Q21 analog: the decorrelated per-order aggregate joins back on
+    # l_orderkey; supplier lookup must broadcast, and the final top-k
+    # must be a partial top-k.
+    p = plans("q21_waiting_sole_late_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(o_orderstatus,F)" in p
+
+
+def test_every_registered_query_plans(spark):
+    """Registry-wide smoke: every queries() entry must at least produce
+    a physical plan against the smallest SF — a query that fails
+    analysis would otherwise only surface in the driver's gate."""
+    reg = load_registry()
+    failures = []
+    for name, q in reg.items():
+        try:
+            q.fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {e}")
+    assert not failures, failures
