@@ -804,3 +804,155 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    words AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+      FROM base
+    ),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM base WHERE len(ws) >= 2
+    ),
+    bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram
+    ),
+    bt AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS top_bigram_ratio
+      FROM bc GROUP BY doc_id
+    )
+    SELECT words.doc_id, n_words,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS dup_word_ratio,
+           top_bigram_ratio
+    FROM words JOIN bt ON words.doc_id = bt.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): per-document duplicate-word fraction and most-frequent-
+    bigram share. Highly repetitive documents (boilerplate, keyword
+    stuffing, generation loops) score high on both and are dropped
+    before training.
+
+    SCALE: duplicate-word fraction is a pure array expression (no
+    shuffle); the bigram mode shuffles on (doc_id, bigram) — a key
+    strictly finer than doc_id, so it inherits the corpus's doc
+    partitioning bound and has no global hot key.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    words = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct"),
+    )
+    wsc = F.col("__ws")
+    idx = F.sequence(F.lit(0), F.size(wsc) - 2)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(wsc, i + 1), F.element_at(wsc, i + 2)
+    )
+    bigram_counts = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .filter(F.size(wsc) >= 2)
+        .select("doc_id", F.explode(F.transform(idx, mk)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = bigram_counts.groupBy(F.col("doc_id").alias("bid")).agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_bigram_ratio"
+        )
+    )
+    return (
+        words.join(top, words.doc_id == top.bid)
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+            ).alias("dup_word_ratio"),
+            "top_bigram_ratio",
+        )
+    )
+
+
+@query(
+    "dedup_boilerplate_spans",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                    || ws[i+3] || ' ' || ws[i+4])) AS shingle
+      FROM base WHERE len(ws) >= 5
+    ),
+    hot AS (
+      SELECT shingle, COUNT(*) AS n_docs
+      FROM sh GROUP BY shingle HAVING COUNT(*) >= 3
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN hot.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           CAST(SUM(CASE WHEN hot.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS boilerplate_ratio
+    FROM sh LEFT JOIN hot ON sh.shingle = hot.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span (boilerplate) detection, RefinedWeb-style:
+    5-word shingles occurring in >= 3 distinct documents are boilerplate
+    (headers, footers, license blurbs); each document reports how much
+    of it is made of such spans.
+
+    SCALE: the shingle inventory is distinct-per-document before the
+    frequency count, so a span repeated inside one document counts once
+    — and the join key (shingle) has its fan-out bounded by the number
+    of DOCUMENTS containing the span, not occurrences. The hot side is
+    the aggregated (shingle, n_docs) relation — tiny relative to the
+    corpus — and the per-doc rollup shuffles on doc_id only.
+    """
+    docs = t(spark, sf_dir, "documents")
+    wsc = F.col("__ws")
+    idx = F.sequence(F.lit(0), F.size(wsc) - 5)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(wsc, i + k) for k in range(1, 6)]
+    )
+    sh = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .filter(F.size(wsc) >= 5)
+        .select("doc_id", F.explode(F.transform(idx, mk)).alias("shingle"))
+        .distinct()
+    )
+    hot = (
+        sh.groupBy(F.col("shingle").alias("hs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+    )
+    is_hot = F.when(F.col("hs").isNotNull(), 1).otherwise(0)
+    return (
+        sh.join(hot, sh.shingle == hot.hs, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(is_hot).cast("bigint").alias("n_boilerplate"),
+            (F.sum(is_hot).cast("double") / F.count(F.lit(1))).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
