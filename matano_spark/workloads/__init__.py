@@ -34,6 +34,7 @@ _WORKLOAD_MODULES = (
     "matano_spark.workloads.security",
     "matano_spark.workloads.llmdata",
     "matano_spark.workloads.sources",
+    "matano_spark.workloads.temporal",
 )
 
 

@@ -122,12 +122,19 @@ def test_bruteforce_counter_across_microbatches_with_ttl(spark, tmpdir):
             (45, "brute", "203.0.113.9", "incr", "1"),
         ])
         q.processAllAvailable()
-        latest = (
-            spark.sql(
-                "SELECT counter FROM cache_out WHERE key = '203.0.113.9' "
-                "ORDER BY last_ts DESC LIMIT 1"
-            ).collect()[0].counter
-        )
+
+        def read_latest():
+            return (
+                spark.sql(
+                    "SELECT counter FROM cache_out WHERE key = '203.0.113.9' "
+                    "ORDER BY last_ts DESC LIMIT 1"
+                ).collect()[0].counter
+            )
+
+        latest = read_latest()
+        if latest != 2:  # forgive a memory-sink visibility race, not state loss
+            q.processAllAvailable()
+            latest = read_latest()
         assert latest == 2  # 1+1 after expiry, NOT 7
     finally:
         q.stop()
