@@ -374,3 +374,113 @@ def zeek_conn_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_conns"),
         F.sum("network.bytes").alias("total_bytes"),
     )
+
+
+@query(
+    "msft_signin_risk_rollup",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
+             AS event_outcome,
+           CASE WHEN value >= 15.0 THEN 'high' WHEN value >= 5.0 THEN 'medium'
+                ELSE 'low' END AS risk_level,
+           COUNT(*) AS n_signins,
+           COUNT(DISTINCT concat('user-', CAST(user_id AS VARCHAR)))
+             AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def msft_signin_risk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-in risk rollup through the ported msft/aad_signinlogs pack
+    (the largest ported transform — ref msft/tables/aad_signinlogs.yml):
+    events → AAD SignInLogs JSON (status.errorCode, riskLevelDuringSignIn,
+    userPrincipalName) → compiled transform (errorCode → event.outcome,
+    UPN grok → user.name) → outcomes x risk levels."""
+    td = _table_def("msft", "aad_signinlogs")
+    ev = t(spark, sf_dir, "events")
+    risk = (
+        F.when(F.col("value") >= 15.0, "high")
+        .when(F.col("value") >= 5.0, "medium")
+        .otherwise("low")
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.lit("aad_signinlogs").alias("_table"),
+                F.col("ts").cast("string").alias("createdDateTime"),
+                F.col("event_id").cast("string").alias("id"),
+                F.concat(
+                    F.lit("user-"),
+                    F.col("user_id").cast("string"),
+                    F.lit("@example.com"),
+                ).alias("userPrincipalName"),
+                F.col("user_id").cast("string").alias("userId"),
+                risk.alias("riskLevelDuringSignIn"),
+                F.struct(
+                    F.when(F.col("event_type") == "error", F.lit(50126))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("errorCode")
+                ).alias("status"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("event.outcome").alias("event_outcome"),
+        F.col("azure.aad_signinlogs.risk_level_during_signin").alias("risk_level"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_signins"),
+        F.countDistinct(F.col("user.name")).alias("n_users"),
+    )
+
+
+@query(
+    "crowdstrike_fdr_category_rollup",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'network'
+                WHEN event_type = 'purchase' THEN 'configuration'
+                ELSE 'package' END AS category,
+           CASE WHEN event_type = 'error' THEN 'event'
+                ELSE 'state' END AS kind,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT concat('host-', CAST(user_id % 20 AS VARCHAR)))
+             AS n_hosts
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def crowdstrike_fdr_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event taxonomy rollup through the ported crowdstrike/fdr pack
+    (ref crowdstrike/tables/fdr.yml's 227-entry event_simpleName map):
+    events → FDR records (event_simpleName, ContextTimeStamp,
+    ComputerName) → compiled transform (lookup maps → event.category/
+    kind, ComputerName → host.hostname) → first-category x kind counts
+    and distinct sensor hosts."""
+    td = _table_def("crowdstrike", "fdr")
+    ev = t(spark, sf_dir, "events")
+    simple_name = (
+        F.when(F.col("event_type") == "error", "AgentConnect")
+        .when(F.col("event_type") == "purchase", "AgentOnline")
+        .otherwise("AcUninstallConfirmation")
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                simple_name.alias("event_simpleName"),
+                F.col("ts").cast("long").cast("string").alias("ContextTimeStamp"),
+                F.concat(
+                    F.lit("host-"), (F.col("user_id") % 20).cast("string")
+                ).alias("ComputerName"),
+                F.col("user_id").cast("string").alias("aid"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.element_at(F.col("event.category"), 1).alias("category"),
+        F.col("event.kind").alias("kind"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("host.hostname")).alias("n_hosts"),
+    )
