@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_embedding_near",
     "text_quality_score",
     "text_fingerprint",
+    "asof_purchase_attribution",
+    "range_join_incident_windows",
 ]
 
 
