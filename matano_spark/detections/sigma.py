@@ -5,14 +5,21 @@ Sigma to Python detections via pySigma — README.md:37).
 Supported subset (the common shape of public Sigma rules):
   detection:
     <selection-name>:            # map → AND of field predicates
-      field: value               # equality
+      field: value               # equality (case-insensitive, per spec)
+      field: v*lue?              # wildcards in values (* any, ? one)
       field|contains: v          # substring
       field|startswith: v
       field|endswith: v
-      field|re: regex
+      field|contains|all: [a,b]  # |all chains a list with AND, not OR
+      field|re: regex            # case-SENSITIVE, as written (spec)
+      field|cidr: 10.0.0.0/8     # IPv4 network containment
       field|gt/gte/lt/lte: n     # numeric compare
       field: [v1, v2]            # any-of (OR)
     condition: selection1 and not selection2 | 1 of them | all of them
+               | 1 of sel_* | all of sel_*
+
+Per the Sigma spec, string matching (equality/contains/startswith/
+endswith and wildcard values) is case-INSENSITIVE; `re` is not.
 
 Field names are dotted ECS paths resolved against the DataFrame
 schema (missing → null → predicate false). Compiling to Column
@@ -46,6 +53,26 @@ def _field_col(df: DataFrame, dotted: str) -> Column:
     return col if col is not None else F.lit(None)
 
 
+_WILDCARD = re.compile(r"[*?]")
+
+
+def _wildcard_to_regex(value: str) -> str:
+    """Sigma wildcard value → anchored regex (* = any run, ? = one)."""
+    out = []
+    for ch in value:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _ci(col: Column) -> Column:
+    return F.lower(col.cast("string"))
+
+
 def _predicate(col: Column, modifier: str | None, value: Any) -> Column:
     if isinstance(value, list):
         preds = [_predicate(col, modifier, v) for v in value]
@@ -56,15 +83,33 @@ def _predicate(col: Column, modifier: str | None, value: Any) -> Column:
     if modifier is None:
         if value is None:
             return col.isNull()
+        if isinstance(value, str):
+            if _WILDCARD.search(value):
+                return _ci(col).rlike(_wildcard_to_regex(value.lower()))
+            return _ci(col) == F.lit(value.lower())
         return col == F.lit(value)
     if modifier == "contains":
-        return col.contains(str(value))
+        return _ci(col).contains(str(value).lower())
     if modifier == "startswith":
-        return col.startswith(str(value))
+        return _ci(col).startswith(str(value).lower())
     if modifier == "endswith":
-        return col.endswith(str(value))
+        return _ci(col).endswith(str(value).lower())
     if modifier == "re":
         return col.rlike(str(value))
+    if modifier == "cidr":
+        from matano_spark.transform.functions import _IPV4_RE, _ipv4_to_long
+
+        base_str, prefix_str = str(value).split("/")
+        prefix = int(prefix_str)
+        mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix)) - 1)
+        import ipaddress
+
+        base = int(ipaddress.IPv4Address(base_str)) & mask
+        ip = col.cast("string")
+        return F.when(
+            ip.rlike(_IPV4_RE),
+            _ipv4_to_long(ip).bitwiseAND(F.lit(mask)) == F.lit(base),
+        )
     if modifier == "gt":
         return col > F.lit(value)
     if modifier == "gte":
@@ -83,6 +128,17 @@ def _selection_expr(df: DataFrame, sel: dict[str, Any]) -> Column:
             field, modifier = key.split("|", 1)
         else:
             field, modifier = key, None
+        # `|all` suffix: a list combines with AND instead of any-of OR
+        if modifier is not None and modifier.endswith("|all"):
+            modifier = modifier[: -len("|all")]
+            items = value if isinstance(value, list) else [value]
+            p: Column | None = None
+            for v in items:
+                q = _predicate(_field_col(df, field), modifier, v)
+                p = q if p is None else (p & q)
+            assert p is not None
+            preds.append(F.coalesce(p, F.lit(False)))
+            continue
         preds.append(
             F.coalesce(_predicate(_field_col(df, field), modifier, value), F.lit(False))
         )
@@ -92,7 +148,9 @@ def _selection_expr(df: DataFrame, sel: dict[str, Any]) -> Column:
     return out
 
 
-_COND_TOKEN = re.compile(r"\(|\)|\band\b|\bor\b|\bnot\b|1 of them|all of them|[\w*]+")
+_COND_TOKEN = re.compile(
+    r"\(|\)|\band\b|\bor\b|\bnot\b|1 of [\w*]+|all of [\w*]+|[\w*]+"
+)
 
 
 def compile_sigma(df: DataFrame, rule: dict[str, Any]) -> Column:
@@ -109,15 +167,25 @@ def compile_sigma(df: DataFrame, rule: dict[str, Any]) -> Column:
 
     tokens = _COND_TOKEN.findall(condition)
 
-    def any_of() -> Column:
+    def _group(pattern: str) -> list[Column]:
+        if pattern == "them":
+            return list(selections.values())
+        import fnmatch
+
+        names = [n for n in selections if fnmatch.fnmatchcase(n, pattern)]
+        if not names:
+            raise ValueError(f"no selection matches {pattern!r} in condition")
+        return [selections[n] for n in names]
+
+    def any_of(pattern: str = "them") -> Column:
         out = None
-        for c in selections.values():
+        for c in _group(pattern):
             out = c if out is None else (out | c)
         return out
 
-    def all_of() -> Column:
+    def all_of(pattern: str = "them") -> Column:
         out = None
-        for c in selections.values():
+        for c in _group(pattern):
             out = c if out is None else (out & c)
         return out
 
@@ -154,10 +222,10 @@ def compile_sigma(df: DataFrame, rule: dict[str, Any]) -> Column:
             e = parse_or()
             pos += 1  # ')'
             return e
-        if tok == "1 of them":
-            return any_of()
-        if tok == "all of them":
-            return all_of()
+        if tok.startswith("1 of "):
+            return any_of(tok[len("1 of "):])
+        if tok.startswith("all of "):
+            return all_of(tok[len("all of "):])
         if tok in selections:
             return selections[tok]
         raise ValueError(f"unknown selection {tok!r} in condition")

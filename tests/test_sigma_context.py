@@ -158,3 +158,80 @@ def test_map_value_functions(spark):
     assert r["m"] == {"k1": "10", "k2": "20"}
     assert sorted(r["ks"]) == ["k1", "k2"]
     assert sorted(r["vs"]) == ["10", "20"]
+
+
+def test_sigma_case_insensitive_and_wildcards(spark):
+    # Sigma spec: string equality/contains match case-insensitively;
+    # * and ? wildcards in plain values
+    rule = {
+        "title": "wildcard + case",
+        "detection": {
+            "selection": {"message": "failed password*"},
+            "condition": "selection",
+        },
+    }
+    out = sigma_filter(_events(spark), rule)
+    assert sorted(r.id for r in out.collect()) == [1, 4]
+
+    rule2 = {
+        "title": "ci contains",
+        "detection": {
+            "selection": {"message|contains": "TLS HANDSHAKE"},
+            "condition": "selection",
+        },
+    }
+    assert [r.id for r in sigma_filter(_events(spark), rule2).collect()] == [3]
+
+    rule3 = {
+        "title": "single-char wildcard",
+        "detection": {
+            "selection": {"message": "Failed password for roo?"},
+            "condition": "selection",
+        },
+    }
+    assert [r.id for r in sigma_filter(_events(spark), rule3).collect()] == [1]
+
+
+def test_sigma_contains_all_modifier(spark):
+    rule = {
+        "title": "all-of list",
+        "detection": {
+            "selection": {"message|contains|all": ["failed", "root"]},
+            "condition": "selection",
+        },
+    }
+    assert [r.id for r in sigma_filter(_events(spark), rule).collect()] == [1]
+
+
+def test_sigma_cidr_modifier(spark):
+    rule = {
+        "title": "rfc1918 172.16/12 sources",
+        "detection": {
+            "selection": {"source.ip|cidr": "172.16.0.0/12"},
+            "condition": "selection",
+        },
+    }
+    assert [r.id for r in sigma_filter(_events(spark), rule).collect()] == [4]
+
+
+def test_sigma_group_of_patterns(spark):
+    rule = {
+        "title": "selection groups",
+        "detection": {
+            "sel_auth": {"event.category": "authentication"},
+            "sel_fail": {"event.outcome": "failure"},
+            "filter_int": {"source.ip|startswith": "10."},
+            "condition": "all of sel_* and not filter_int",
+        },
+    }
+    assert [r.id for r in sigma_filter(_events(spark), rule).collect()] == [4]
+
+    rule2 = {
+        "title": "1 of group",
+        "detection": {
+            "sel_net": {"event.category": "network"},
+            "sel_rdp": {"source.port": 3389},
+            "condition": "1 of sel_*",
+        },
+    }
+    assert sorted(r.id for r in sigma_filter(_events(spark), rule2).collect()) == [3, 4]
