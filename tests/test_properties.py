@@ -143,3 +143,74 @@ def test_apply_schema_flags_scalar_where_struct_declared(spark):
     b = bad.collect()
     assert len(b) == 1
     assert sorted(b[0].mismatch_fields) == ["geo", "tags"]
+
+
+# --- as-of join vs pandas merge_asof (independent reference) ---------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0, max_size=30,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import pandas as pd
+
+    from matano_spark.operators.temporal import asof_join
+
+    # unique right (key, ts): merge_asof tie behavior on duplicate right
+    # timestamps is positional, ours is undefined — dedup like any asof
+    # engine requires (keep max payload for determinism)
+    rdict = {}
+    for k, ts, v in right:
+        rdict[(k, ts)] = max(v, rdict.get((k, ts), -1))
+    right_rows = [(k, ts, v) for (k, ts), v in sorted(rdict.items())]
+    left_rows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+
+    ldf = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts))
+         for i, k, ts in left_rows],
+        "row_id long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts), v)
+         for k, ts, v in right_rows],
+        "k long, ts timestamp, v long",
+    ) if right_rows else spark.createDataFrame(
+        [], "k long, ts timestamp, v long"
+    )
+
+    ours = {
+        r.row_id: (r.asof_v, r.asof_ts)
+        for r in asof_join(ldf, rdf, key="k").collect()
+    }
+
+    if not right_rows:
+        assert all(v is None and t is None for v, t in ours.values())
+        return
+
+    lp = pd.DataFrame(
+        [(i, k, pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=ts))
+         for i, k, ts in left_rows],
+        columns=["row_id", "k", "ts"],
+    ).sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=ts), v)
+         for k, ts, v in right_rows],
+        columns=["k", "ts", "v"],
+    ).sort_values("ts", kind="mergesort")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward",
+        suffixes=("", "_r"),
+    )
+    for _, row in merged.iterrows():
+        got_v, got_ts = ours[row.row_id]
+        if pd.isna(row.v):
+            assert got_v is None and got_ts is None
+        else:
+            assert got_v == int(row.v)
