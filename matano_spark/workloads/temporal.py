@@ -120,3 +120,40 @@ def range_join_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_purchases"),
     )
+
+
+@query(
+    "rollup_time_cascade",
+    oracle="""
+    SELECT 'hour' AS resolution,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP), event_type,
+           COUNT(*),
+           CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month', CAST(date_trunc('month', ts) AS TIMESTAMP), event_type,
+           COUNT(*),
+           CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0
+    FROM events GROUP BY 2, 3
+    """,
+)
+def rollup_time_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: hourly, daily,
+    and monthly rollups where each coarser level re-aggregates the
+    finer PRE-AGGREGATE (operators.rollup.time_cascade) — one scan of
+    the fact table total. The oracle computes every level directly
+    from raw, proving the cascade is lossless (scaled-integer carry
+    keeps float sums exact through the levels)."""
+    from matano_spark.operators.rollup import time_cascade
+
+    ev = t(spark, sf_dir, "events")
+    return time_cascade(ev, "ts", ["event_type"], "value")
