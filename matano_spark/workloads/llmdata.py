@@ -956,3 +956,168 @@ def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pii_redaction_stats",
+    oracle="""
+    WITH synth AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'signup'
+                  THEN concat('contact user-', CAST(user_id AS VARCHAR),
+                              '@example.com for onboarding')
+                  WHEN event_type = 'error'
+                  THEN concat('failure from 10.0.',
+                              CAST(user_id % 250 AS VARCHAR),
+                              '.7 dial +1-555-867-5309')
+                  ELSE 'no sensitive content here' END AS text
+      FROM events
+    ),
+    red AS (
+      SELECT event_id, event_type,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(text,
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+             CAST(len(regexp_extract_all(text,
+               '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,6}(?:[-. ][0-9]{2,6})?'))
+               AS BIGINT) AS n_phone,
+             length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,6}(?:[-. ][0-9]{2,6})?',
+               '<PHONE>', 'g')) AS redacted_len
+      FROM synth
+    )
+    SELECT event_type,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(redacted_len) AS BIGINT) AS total_redacted_len
+    FROM red GROUP BY event_type
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit rollup: deterministic PII-bearing text is
+    synthesized from `events` (the documents corpus carries no PII by
+    construction), scrubbed by operators.redact — map-only
+    regexp_replace/regexp_count, patterns in the Java-regex/RE2 common
+    subset — and the per-class counts plus redacted lengths aggregate
+    per event type. The oracle re-runs the same patterns in DuckDB's
+    RE2, proving cross-engine pattern portability."""
+    from matano_spark.operators.redact import redact_documents
+
+    ev = t(spark, sf_dir, "events")
+    synth = ev.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit("contact user-"),
+                F.col("user_id").cast("string"),
+                F.lit("@example.com for onboarding"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.concat(
+                F.lit("failure from 10.0."),
+                (F.col("user_id") % 250).cast("string"),
+                F.lit(".7 dial +1-555-867-5309"),
+            ),
+        )
+        .otherwise(F.lit("no sensitive content here"))
+        .alias("text"),
+    )
+    red = redact_documents(synth)
+    return red.groupBy("event_type").agg(
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum(F.length("text_redacted")).cast("bigint").alias("total_redacted_len"),
+    )
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, s / 24 AS chunk_id,
+             array_to_string(ws[s + 1 : s + 32], ' ') AS chunk
+      FROM base, LATERAL (SELECT unnest(range(0, len(ws), 24)) AS s)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_words,
+           md5(chunk) AS chunk_hash
+    FROM chunks
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-window-bounded training: 32-word
+    windows with 8-word overlap (stride 24), the standard long-document
+    preprocessing step. Pure array expressions — sequence + slice +
+    explode, map-only, no shuffle; chunk content is verified via md5 so
+    the oracle proves byte-identical chunk text, not just counts."""
+    docs = t(spark, sf_dir, "documents")
+    ws = F.col("__ws")
+    starts = F.sequence(F.lit(0), F.size(ws) - 1, F.lit(24))
+    mk = lambda s: F.struct(  # noqa: E731
+        (s / 24).cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", F.slice(ws, s + 1, 32)).alias("chunk"),
+    )
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .select("doc_id", F.explode(F.transform(starts, mk)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size(F.split(F.col("c.chunk"), " ")).cast("bigint").alias(
+                "chunk_words"
+            ),
+            F.md5(F.col("c.chunk")).alias("chunk_hash"),
+        )
+    )
+
+
+from matano_spark.operators.hashing import sql_poly_hash as _sql_ph  # noqa: E402
+
+
+@query(
+    "corpus_split",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, n_chars,
+             {_sql_ph('text')} % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM bucketed GROUP BY 1
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (90/5/5): the
+    split assignment is a pure function of document CONTENT, so it is
+    reproducible across runs, engines, and re-partitioning — and
+    duplicate documents always land in the same split (no train/test
+    leakage through near-identical copies). Map-only + one tiny
+    aggregation."""
+    from matano_spark.operators import hashing
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = hashing.poly_hash(F.col("text")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
