@@ -157,11 +157,27 @@ def compile_sigma(df: DataFrame, rule: dict[str, Any]) -> Column:
     """Sigma rule dict (yaml.safe_load of a rule file) → boolean Column."""
     detection = rule["detection"]
     condition = detection.get("condition", "selection")
-    selections = {
-        name: _selection_expr(df, sel)
-        for name, sel in detection.items()
-        if name != "condition" and isinstance(sel, dict)
-    }
+    selections: dict[str, Column] = {}
+    for name, sel in detection.items():
+        if name in ("condition", "timeframe"):
+            continue
+        if isinstance(sel, dict):
+            selections[name] = _selection_expr(df, sel)
+        elif isinstance(sel, list) and sel and all(
+            isinstance(s, dict) for s in sel
+        ):
+            # Sigma list-of-maps selection = OR of the maps
+            out = _selection_expr(df, sel[0])
+            for s in sel[1:]:
+                out = out | _selection_expr(df, s)
+            selections[name] = out
+        else:
+            # keyword lists (full-text search) and other forms are not
+            # supported — fail loudly rather than silently skipping the
+            # selection (it would corrupt '1 of them' conditions)
+            raise ValueError(
+                f"unsupported sigma selection form for {name!r}"
+            )
     if not selections:
         raise ValueError("sigma rule has no selections")
 

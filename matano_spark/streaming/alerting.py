@@ -18,7 +18,7 @@ key set, not history.
 
 from __future__ import annotations
 
-import os
+
 from typing import Any, Iterable, Tuple
 
 import pandas as pd
@@ -155,13 +155,17 @@ def run_streaming_alerts_to_dir(
         touched = [r.ts_hour for r in new.select("ts_hour").distinct().collect()]
         if not touched:
             return
-        if os.path.exists(out_dir):
-            # partition-pruned read: only the hours this batch touches
+        from pyspark.errors import AnalysisException
+
+        try:
+            # partition-pruned read: only the hours this batch touches.
+            # Probed via the Spark reader (not the driver's local
+            # filesystem) so out_dir may be object storage.
             old = spark.read.parquet(out_dir).filter(
                 F.col("ts_hour").isin(touched)
             )
             merged = old.unionByName(new)
-        else:
+        except AnalysisException:  # PATH_NOT_FOUND on the first batch
             merged = new
         w = W.partitionBy("alert_id").orderBy(
             F.desc("match_count"), F.desc("last_matched_at")

@@ -18,12 +18,48 @@ to a batch recompute (asserted in tests/test_streaming_rollup.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from matano_spark.operators.rollup import SCALE
+
+
+def _hadoop_fs(spark, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _read_marker(spark, marker: str) -> int:
+    """Last committed epoch, via the Hadoop FS API (works on any
+    scheme the cluster can reach, not just the driver's local disk)."""
+    fs, path = _hadoop_fs(spark, marker)
+    if not fs.exists(path):
+        return -1
+    stream = fs.open(path)
+    try:
+        vals = []
+        for _ in range(32):  # epoch ids are short ascii integers
+            b = stream.read()
+            if b == -1:
+                break
+            vals.append(b)
+    finally:
+        stream.close()
+    try:
+        return int(bytes(vals).decode("ascii").strip())
+    except ValueError:
+        return -1
+
+
+def _write_marker(spark, marker: str, epoch_id: int) -> None:
+    fs, path = _hadoop_fs(spark, marker)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(str(epoch_id).encode("ascii")))
+    finally:
+        out.close()
 
 
 def _delta(batch: DataFrame, ts_col: str, key_cols: list[str], value_col: str):
@@ -50,16 +86,32 @@ def streaming_hourly_level(
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        delta = _delta(batch, ts_col, key_cols, value_col).withColumn(
-            "pday", F.date_format("bucket", "yyyy-MM-dd")
+        # Replay guard: foreachBatch is at-least-once; an additive merge
+        # must skip epochs it already committed. The marker lands AFTER
+        # the overwrite, so the residual double-count window is only a
+        # crash between the two writes — the same guarantee class as the
+        # reference's DDB dedup marker (IcebergMetadataWriter.kt:307).
+        marker = out_dir + "_meta/last_epoch"
+        if epoch_id <= _read_marker(spark, marker):
+            return
+        # materialize once: the distinct-pday collect and the merge
+        # below must not each re-run the micro-batch aggregation
+        delta = (
+            _delta(batch, ts_col, key_cols, value_col)
+            .withColumn("pday", F.date_format("bucket", "yyyy-MM-dd"))
+            .localCheckpoint(eager=True)
         )
         touched = [r.pday for r in delta.select("pday").distinct().collect()]
         if not touched:
             return
-        if os.path.exists(out_dir):
+        from pyspark.errors import AnalysisException
+
+        try:
+            # probe via the Spark reader, not the driver's local
+            # filesystem — out_dir may be object storage
             old = spark.read.parquet(out_dir).filter(F.col("pday").isin(touched))
             merged = old.unionByName(delta)
-        else:
+        except AnalysisException:  # PATH_NOT_FOUND on the first batch
             merged = delta
         level = merged.groupBy("bucket", *key_cols, "pday").agg(
             F.sum("n_events").alias("n_events"),
@@ -72,6 +124,7 @@ def streaming_hourly_level(
             .partitionBy("pday")
             .parquet(out_dir)
         )
+        _write_marker(spark, marker, epoch_id)
 
     return (
         events.writeStream.foreachBatch(merge_batch)

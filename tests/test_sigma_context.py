@@ -235,3 +235,28 @@ def test_sigma_group_of_patterns(spark):
         },
     }
     assert sorted(r.id for r in sigma_filter(_events(spark), rule2).collect()) == [3, 4]
+
+
+def test_sigma_list_of_maps_selection(spark):
+    # Sigma list-of-maps = OR of the maps; must also participate in
+    # "of them" conditions instead of being silently dropped
+    rule = {
+        "title": "list selection",
+        "detection": {
+            "selection": [
+                {"source.port": 3389},
+                {"event.category": "network"},
+            ],
+            "condition": "selection",
+        },
+    }
+    assert sorted(r.id for r in sigma_filter(_events(spark), rule).collect()) == [3, 4]
+
+    import pytest as _pytest
+
+    bad = {
+        "title": "keyword list unsupported",
+        "detection": {"selection": ["some keyword"], "condition": "selection"},
+    }
+    with _pytest.raises(ValueError, match="unsupported sigma selection"):
+        sigma_filter(_events(spark), bad)

@@ -122,3 +122,26 @@ def test_coarsen_derives_day_exactly(spark, tmpdir):
     }
     assert day[(T0, "click")] == (2, 3.75)
     assert day[(T0 + dt.timedelta(days=1), "click")] == (1, 4.0)
+
+
+def test_replayed_epoch_is_skipped(spark, tmpdir):
+    """The additive merge must be idempotent under foreachBatch's
+    at-least-once replay: re-running the stream from a wiped checkpoint
+    re-delivers epoch 0, which the marker guard must skip."""
+    src = tmpdir / "src"
+    src.mkdir()
+    _write(src / "b1.json", [(5, "click", 1.0), (6, "click", 2.0)])
+    _run(spark, src, tmpdir)
+    level1 = {
+        (r.bucket, r.event_type): (r.n_events, r.total_value)
+        for r in read_level(spark, str(tmpdir / "level"), ["event_type"]).collect()
+    }
+    # simulate a replay of the same epoch: wipe the checkpoint only
+    shutil.rmtree(tmpdir / "ckpt")
+    _run(spark, src, tmpdir)
+    level2 = {
+        (r.bucket, r.event_type): (r.n_events, r.total_value)
+        for r in read_level(spark, str(tmpdir / "level"), ["event_type"]).collect()
+    }
+    assert level1 == level2  # not double-counted
+    assert level1[(T0, "click")] == (2, 3.0)
