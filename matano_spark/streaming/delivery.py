@@ -32,11 +32,16 @@ class DeliveryLedger:
         self.path = path
 
     def delivered(self) -> DataFrame:
-        if os.path.exists(self.path):
+        from pyspark.errors import AnalysisException
+
+        try:
+            # Spark-reader probe, not driver-local os.path — the ledger
+            # may live on object storage
             return self.spark.read.parquet(self.path)
-        return self.spark.createDataFrame(
-            [], "alert_id string, destination string"
-        )
+        except AnalysisException:  # PATH_NOT_FOUND before first delivery
+            return self.spark.createDataFrame(
+                [], "alert_id string, destination string"
+            )
 
     def record(self, df: DataFrame) -> None:
         df.select("alert_id", "destination").write.mode("append").parquet(self.path)

@@ -117,10 +117,12 @@ def run_ingest(
 def ingest_counts(spark: SparkSession, out_dir: str, quarantine_dir: str):
     """Conservation check (ref matano_log row accounting,
     transformer/src/main.rs:1119-1158): rows written + sidelined."""
-    n_out = spark.read.parquet(out_dir).count() if os.path.exists(out_dir) else 0
-    n_quar = (
-        spark.read.parquet(quarantine_dir).count()
-        if os.path.exists(quarantine_dir)
-        else 0
-    )
-    return n_out, n_quar
+    from pyspark.errors import AnalysisException
+
+    def _count(path: str) -> int:
+        try:  # Spark-reader probe: path may be object storage
+            return spark.read.parquet(path).count()
+        except AnalysisException:
+            return 0
+
+    return _count(out_dir), _count(quarantine_dir)
