@@ -1135,3 +1135,124 @@ def _sha2(args, kw):
 def _format_timestamp(args, kw):
     fmt = strftime_to_java(kw.get("format", "%Y-%m-%dT%H:%M:%SZ"))
     return F.date_format(_c(args[0]), fmt), T.StringType()
+
+
+@fn("encode_base64")
+def _encode_base64(args, kw):
+    """VRL encode_base64 (functions.rs surface; common in CloudTrail /
+    Defender transforms for binary-ish payload fields)."""
+    return F.base64(_c(args[0]).cast("string").cast("binary")), T.StringType()
+
+
+@fn("decode_base64")
+def _decode_base64(args, kw):
+    return F.unbase64(_c(args[0]).cast("string")).cast("string"), T.StringType()
+
+
+@fn("parse_int")
+def _parse_int(args, kw):
+    """VRL parse_int with base= (hex registry values, octal modes).
+    Invalid digits → null (fallible, pairs with ?? like other parses)."""
+    base = kw.get("base", 10)
+    c = _c(args[0]).cast("string")
+    if base == 10:
+        return c.cast("bigint"), T.LongType()
+    pat = {2: "^[01]+$", 8: "^[0-7]+$", 16: "^[0-9a-fA-F]+$"}.get(base)
+    if pat is None:
+        raise ValueError(f"parse_int: unsupported base {base}")
+    return (
+        F.when(c.rlike(pat), F.conv(c, base, 10).cast("bigint")),
+        T.LongType(),
+    )
+
+
+@fn("reverse")
+def _reverse(args, kw):
+    c, t = args[0]
+    if isinstance(t, T.ArrayType):
+        return F.reverse(c), t
+    return F.reverse(_c(args[0]).cast("string")), T.StringType()
+
+
+@fn("sort")
+def _sort(args, kw):
+    c, t = args[0]
+    return F.array_sort(c), t if isinstance(t, T.ArrayType) else T.ArrayType(
+        T.StringType()
+    )
+
+
+@fn("strip_ansi_escape_codes")
+def _strip_ansi(args, kw):
+    return (
+        F.regexp_replace(_c(args[0]).cast("string"), r"\x1b\[[0-9;]*[A-Za-z]", ""),
+        T.StringType(),
+    )
+
+
+@fn("parse_duration")
+def _parse_duration(args, kw):
+    """VRL parse_duration(s, unit: "s"): "250ms"/"1.5s"/"2m"/"1h" →
+    numeric in the requested output unit. Unknown shapes → null."""
+    out_unit = kw.get("unit", "s")
+    per_s = {"ns": 1e9, "us": 1e6, "ms": 1e3, "s": 1.0, "m": 1 / 60.0,
+             "h": 1 / 3600.0}
+    if out_unit not in per_s:
+        raise ValueError(f"parse_duration: unsupported unit {out_unit!r}")
+    c = _c(args[0]).cast("string")
+    num = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)\s*(ns|us|ms|s|m|h)$", 1)
+    unit = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)\s*(ns|us|ms|s|m|h)$", 2)
+    in_s = (
+        F.when(unit == "ns", num.cast("double") / 1e9)
+        .when(unit == "us", num.cast("double") / 1e6)
+        .when(unit == "ms", num.cast("double") / 1e3)
+        .when(unit == "s", num.cast("double"))
+        .when(unit == "m", num.cast("double") * 60)
+        .when(unit == "h", num.cast("double") * 3600)
+    )
+    return in_s * F.lit(per_s[out_unit]), T.DoubleType()
+
+
+@fn("parse_syslog")
+def _parse_syslog(args, kw):
+    """RFC3164 syslog line → struct(priority, facility, severity,
+    timestamp, hostname, appname, procid, message). The standard
+    security-ingest parse (the zeek/panw syslog feeds arrive in this
+    framing); non-syslog lines yield null fields, pairing with ?? /
+    abort like the other fallible parses."""
+    c = _c(args[0]).cast("string")
+    pat = (
+        r"^<(\d{1,3})>"
+        r"([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s"
+        r"(\S+)\s"
+        r"([^\s\[:]+)(?:\[(\d+)\])?:\s?"
+        r"(.*)$"
+    )
+    pri = F.regexp_extract(c, pat, 1)
+    prio = F.when(pri != "", pri.cast("int"))
+    out_t = T.StructType(
+        [
+            T.StructField("priority", T.IntegerType()),
+            T.StructField("facility", T.IntegerType()),
+            T.StructField("severity", T.IntegerType()),
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("hostname", T.StringType()),
+            T.StructField("appname", T.StringType()),
+            T.StructField("procid", T.LongType()),
+            T.StructField("message", T.StringType()),
+        ]
+    )
+    nullif = lambda e: F.when(e != "", e)  # noqa: E731
+    return (
+        F.struct(
+            prio.alias("priority"),
+            (prio / 8).cast("int").alias("facility"),
+            (prio % 8).cast("int").alias("severity"),
+            nullif(F.regexp_extract(c, pat, 2)).alias("timestamp"),
+            nullif(F.regexp_extract(c, pat, 3)).alias("hostname"),
+            nullif(F.regexp_extract(c, pat, 4)).alias("appname"),
+            nullif(F.regexp_extract(c, pat, 5)).cast("long").alias("procid"),
+            nullif(F.regexp_extract(c, pat, 6)).alias("message"),
+        ),
+        out_t,
+    )

@@ -382,3 +382,57 @@ def test_hash_and_format_functions(spark):
     assert r["h_sha1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
     assert r["h_sha256"].startswith("ba7816bf8f01cfea")
     assert r["fmt"] == "2024/05/01 12:30"
+
+
+def test_new_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("hello", "aGVsbG8=", "ff", "250ms", "cba",
+          "<34>Oct 11 22:14:15 host1 su[123]: auth failure for root")],
+        ["s", "b64", "hexv", "dur", "rev", "syslog"],
+    )
+    out = compile_pipeline(
+        [
+            Assign("enc", Fn("encode_base64", P("s"))),
+            Assign("dec", Fn("decode_base64", P("b64"))),
+            Assign("hx", Fn("parse_int", P("hexv"), base=16)),
+            Assign("bad_hex", Fn("parse_int", L("zz"), base=16)),
+            Assign("r", Fn("reverse", P("rev"))),
+            Assign("srt", Fn("sort", Fn("split", P("rev"), pattern=""))),
+            Assign("ms", Fn("parse_duration", P("dur"), unit="ms")),
+            Assign("secs", Fn("parse_duration", P("dur"))),
+            Assign("sl", Fn("parse_syslog", P("syslog"))),
+        ]
+    )(df)
+    r = row(out)
+    assert r["enc"] == "aGVsbG8="
+    assert r["dec"] == "hello"
+    assert r["hx"] == 255
+    assert r["bad_hex"] is None
+    assert r["r"] == "abc"
+    assert r["srt"] == ["a", "b", "c"]
+    assert r["ms"] == 250.0
+    assert r["secs"] == 0.25
+    assert r["sl"]["priority"] == 34
+    assert r["sl"]["facility"] == 4
+    assert r["sl"]["severity"] == 2
+    assert r["sl"]["hostname"] == "host1"
+    assert r["sl"]["appname"] == "su"
+    assert r["sl"]["procid"] == 123
+    assert r["sl"]["message"] == "auth failure for root"
+
+
+def test_parse_syslog_no_pid_and_invalid(spark):
+    df = spark.createDataFrame(
+        [("<13>Feb  5 01:02:03 web nginx: started", "not syslog at all")],
+        ["ok", "bad"],
+    )
+    out = compile_pipeline(
+        [
+            Assign("a", Fn("parse_syslog", P("ok"))),
+            Assign("b", Fn("parse_syslog", P("bad"))),
+        ]
+    )(df)
+    r = row(out)
+    assert r["a"]["appname"] == "nginx" and r["a"]["procid"] is None
+    assert r["a"]["message"] == "started"
+    assert r["b"]["priority"] is None and r["b"]["hostname"] is None
