@@ -48,6 +48,14 @@ def time_cascade(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(scaled).alias("__sv"),
     )
+    # Materialize each level before it fans out (into the next level
+    # AND the output union): without this, Spark recomputes the common
+    # subplan per union branch and the plan scans raw once per
+    # resolution — the exact rescan the cascade exists to avoid
+    # (plan-pinned: one `Scan parquet` total). Levels are aggregates —
+    # tiny relative to raw — so executor-local materialization is the
+    # same cost a real continuous-aggregate table pays by design.
+    level = level.localCheckpoint(eager=True)
     levels = {finest: level}
     for res in resolutions[1:]:
         level = level.groupBy(
@@ -56,6 +64,7 @@ def time_cascade(
             F.sum("n_events").alias("n_events"),
             F.sum("__sv").alias("__sv"),
         )
+        level = level.localCheckpoint(eager=True)
         levels[res] = level
     tagged = [
         lv.select(

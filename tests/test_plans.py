@@ -134,3 +134,21 @@ def test_every_registered_query_plans(spark):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {e}")
     assert not failures, failures
+
+
+def test_llmdata_additions_plan_shapes(plans):
+    # chunking and redaction stats are map-only up to their final
+    # aggregation — chunking must plan NO exchange at all
+    p = plans("doc_chunking")
+    assert "Exchange" not in p
+
+    # corpus_split: map-side bucket assignment, one tiny aggregation
+    p = plans("corpus_split")
+    assert p.count("Exchange") <= 2  # partial+final agg only
+
+    # cascade rollup: the day/month levels must NOT rescan the parquet
+    # source — raw is scanned once while materializing the hourly
+    # level, and the output union reads only the materialized levels
+    p = plans("rollup_time_cascade")
+    assert p.count("Scan parquet") == 0
+    assert "ExistingRDD" in p
