@@ -1,0 +1,81 @@
+"""Connected components over near-duplicate pair sets.
+
+Pairwise near-dup detection (MinHash/SimHash/embedding) yields EDGES;
+a training-data pipeline needs GROUPS — transitive closures of the
+pair relation — so that exactly one representative per component
+survives (A~B and B~C must collapse to one keeper even when A~C was
+never itself emitted as a pair).
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round every node takes the minimum label among
+itself and its neighbors; converged when no label changes. The driver
+loop only CONTROLS iteration (one count() per round for the
+convergence test) — label state and the propagation join stay fully
+distributed, and lineage is truncated per round (localCheckpoint) so
+plans don't grow with iteration count.
+
+Rounds needed equal the graph diameter. Near-dup components are
+overwhelmingly small/star-shaped (diameter ≤ ~3); `max_rounds` guards
+pathological chains, and hitting it raises rather than silently
+returning unconverged labels.
+
+SCALE: each round is one shuffle of the edge list on the join key plus
+a groupBy on node — both keyed on doc ids (uniform). The edge list is
+the OUTPUT of the near-dup stage, orders of magnitude smaller than the
+corpus; components never materialize driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(src, dst) edge list → (node, component) with component = the
+    minimum node id reachable through the pair relation."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )

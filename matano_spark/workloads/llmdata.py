@@ -1121,3 +1121,74 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_sql_minhash_sigs()},
+    {_sql_minhash_bands()},
+    banded_capped AS (
+      SELECT b.* FROM banded b
+      JOIN (SELECT band_id, band_key FROM banded
+            GROUP BY band_id, band_key HAVING COUNT(*) <= 1000) ok
+      USING (band_id, band_key)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded_capped a JOIN banded_capped b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT id_a, id_b, COUNT(*) AS n_common
+      FROM cands
+      JOIN shingles sa ON sa.doc_id = id_a
+      JOIN shingles sb ON sb.doc_id = id_b AND sa.shingle = sb.shingle
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes za ON za.doc_id = id_a
+      JOIN sizes zb ON zb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.35
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT min(lab) AS cluster_id, node AS doc_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the MinHash pair set closed into connected
+    components (operators.graph min-label propagation), assigning every
+    paired document its component id (= min doc_id reachable through
+    the near-dup relation). This is the keeper-selection stage every
+    production dedup pipeline runs after pairwise detection — A~B and
+    B~C collapse to one cluster even though A~C was never emitted.
+
+    The oracle closes the same pair set with a recursive CTE — a
+    completely different transitive-closure algorithm — so the
+    distributed propagation is verified against an independent one.
+    """
+    from matano_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs, "doc_id", "text", threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("component").alias("cluster_id"), F.col("node").alias("doc_id")
+    )

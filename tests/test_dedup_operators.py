@@ -85,3 +85,34 @@ def test_word_shingles_short_doc(spark):
     out = D.word_shingles(df, "doc_id", "text", n=3).collect()
     got = {(r.doc_id, r.shingle) for r in out}
     assert got == {(2, "one two three"), (2, "two three four")}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (diameter 4, needs several propagation rounds),
+    a triangle, and an isolated pair — all must converge to min-id
+    components."""
+    from matano_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain
+         (10, 11), (11, 12), (10, 12),          # triangle
+         (20, 21)],                              # pair
+        "id_a long, id_b long",
+    )
+    comp = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+
+
+def test_connected_components_round_guard(spark):
+    from matano_spark.operators.graph import connected_components
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=2)
