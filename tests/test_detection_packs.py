@@ -1,0 +1,104 @@
+"""Detections-as-code loader: the reference's detection.yml +
+detect.py directory layout drives detection + the alert state machine
+end-to-end."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from matano_spark.detections import run_detections
+from matano_spark.detections.packs import (
+    detections_for_table,
+    load_detection_packs,
+)
+
+PACK_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "detections")
+
+T0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+
+def test_pack_loading_and_config():
+    dets = {d.name: d for d in load_detection_packs(PACK_ROOT)}
+    assert set(dets) == {"aws_root_credentials", "login_brute_force_by_ip"}
+    bf = dets["login_brute_force_by_ip"]
+    assert bf.threshold == 5
+    assert bf.deduplication_window_minutes == 15
+    assert bf.tables == ("okta_system", "aws_cloudtrail")
+    assert dets["aws_root_credentials"].threshold == 1
+
+    bound = detections_for_table(list(dets.values()), "okta_system")
+    assert [d.name for d in bound] == ["login_brute_force_by_ip"]
+
+
+def test_pack_detections_run_and_fold_to_alerts(spark):
+    dets = load_detection_packs(PACK_ROOT)
+    rows = []
+    # 6 failures from one IP within 10 min (crosses the threshold of 5),
+    # 2 from another (stays below), one success
+    for i in range(6):
+        rows.append((T0 + dt.timedelta(minutes=i), ["authentication"],
+                     "failure", "198.51.100.7", f"e{i}"))
+    rows.append((T0, ["authentication"], "failure", "203.0.113.5", "e6"))
+    rows.append((T0 + dt.timedelta(minutes=1), ["authentication"], "failure",
+                 "203.0.113.5", "e7"))
+    rows.append((T0, ["authentication"], "success", "198.51.100.7", "e8"))
+    df = spark.createDataFrame(
+        [
+            (ts, {"category": cat, "outcome": outcome}, {"ip": ip}, eid)
+            for ts, cat, outcome, ip, eid in rows
+        ],
+        "ts timestamp, event struct<category:array<string>, outcome:string>, "
+        "source struct<ip:string>, event_id string",
+    )
+    bound = detections_for_table(dets, "okta_system")
+    matches = run_detections(df, bound, key_col="event_id")
+    got = matches.collect()
+    assert len(got) == 8  # 8 failures, success excluded
+    assert {r.dedupe for r in got} == {"198.51.100.7", "203.0.113.5"}
+    assert all(r.rule_name == "login_brute_force_by_ip" for r in got)
+
+    # fold into the alert state machine with the PACK's config
+    from matano_spark.operators.alerts import aggregate_alerts
+
+    bf = [d for d in dets if d.name == "login_brute_force_by_ip"][0]
+    alerts = aggregate_alerts(
+        matches,
+        threshold=bf.threshold,
+        window_seconds=bf.deduplication_window_minutes * 60,
+    )
+    by_ip = {r.dedupe: r for r in alerts.collect()}
+    assert by_ip["198.51.100.7"].activated is True
+    assert by_ip["198.51.100.7"].match_count == 6
+    assert by_ip["203.0.113.5"].activated is False
+
+
+def test_root_detection_prefilter_compiles(spark):
+    dets = load_detection_packs(PACK_ROOT)
+    root = [d for d in dets if d.name == "aws_root_credentials"]
+    df = spark.createDataFrame(
+        [
+            (T0, ("Root", "AwsApiCall"), "e1", "CreateUser"),
+            (T0, ("Root", "AwsServiceEvent"), "e2", "internal"),
+            (T0, ("IAMUser", "AwsApiCall"), "e3", "PutObject"),
+        ],
+        "ts timestamp, aws_ct struct<t:string, et:string>, event_id string, action string",
+    ).select(
+        "ts",
+        "event_id",
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.col("aws_ct.t").alias("type")
+                ).alias("user_identity"),
+                F.col("aws_ct.et").alias("event_type"),
+            ).alias("cloudtrail")
+        ).alias("aws"),
+        F.struct(F.col("action").alias("action")).alias("event"),
+    )
+    matches = run_detections(df, root, key_col="event_id")
+    got = matches.collect()
+    assert [r.event_key for r in got] == ["e1"]
+    assert "root account used" in got[0].title
