@@ -59,6 +59,7 @@ class Detection:
     threshold: int = 1
     deduplication_window_minutes: int = 60
     tables: tuple[str, ...] = field(default_factory=tuple)
+    destinations: tuple[str, ...] = field(default_factory=tuple)
 
 
 MATCH_SCHEMA = T.StructType(

@@ -54,6 +54,7 @@ def load_detection(dir_path: str) -> Detection | None:
             alert.get("deduplication_window_minutes", 60)
         ),
         tables=tuple(cfg.get("tables") or ()),
+        destinations=tuple(alert.get("destinations") or ()),
     )
 
 

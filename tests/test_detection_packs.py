@@ -27,6 +27,7 @@ def test_pack_loading_and_config():
     assert bf.threshold == 5
     assert bf.deduplication_window_minutes == 15
     assert bf.tables == ("okta_system", "aws_cloudtrail")
+    assert bf.destinations == ("slack_secops",)
     assert dets["aws_root_credentials"].threshold == 1
 
     bound = detections_for_table(list(dets.values()), "okta_system")
