@@ -75,3 +75,12 @@ def detections_for_table(detections: list[Detection], table: str) -> list[Detect
     """The reference fans a table's realtime stream only to detections
     bound to it (detections.ts table→detection wiring)."""
     return [d for d in detections if not d.tables or table in d.tables]
+
+
+def rule_config(detections: list[Detection]) -> dict[str, tuple[int, int]]:
+    """Detection list → per-rule (threshold, window_seconds) map for
+    `aggregate_alerts` / `streaming_alerts` rule_config."""
+    return {
+        d.name: (d.threshold, d.deduplication_window_minutes * 60)
+        for d in detections
+    }

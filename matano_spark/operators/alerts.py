@@ -55,11 +55,18 @@ def aggregate_alerts(
     window_seconds: int = 3600,
     ts_col: str = "ts",
     id_col: str = "match_id",
+    rule_config: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Fold rule matches into alerts (batch form of the state machine).
 
     matches: columns (rule_name, dedupe, ts, match_id). Returns one row
     per alert with ALERT_SCHEMA.
+
+    `rule_config` maps rule_name → (threshold, window_seconds),
+    overriding the global defaults per rule — the reference configures
+    both per detection (detection.yml alert block), so one pass must
+    fold rules with different thresholds/windows together. The map is
+    rule-count-sized and ships in the task closure (no join needed).
 
     Execution shape: repartition by key + sortWithinPartitions + ONE
     mapInPandas pass per partition, carrying the open-alert state
@@ -68,7 +75,11 @@ def aggregate_alerts(
     (one pandas frame per ~10k-row batch instead of one per key), and
     it is the same single-scan shape a 1000-executor run wants.
     """
-    window_us = window_seconds * 1_000_000
+    cfg = {
+        r: (thr, win * 1_000_000)
+        for r, (thr, win) in (rule_config or {}).items()
+    }
+    default_cfg = (threshold, window_seconds * 1_000_000)
 
     def fold_partition(batches):
         import pandas as pd
@@ -76,6 +87,7 @@ def aggregate_alerts(
         out_cols = [f.name for f in ALERT_SCHEMA.fields]
         state: dict | None = None  # open alert of the current key
         cur_key: tuple | None = None
+        thr, window_us = default_cfg
         pending: list[dict] = []
 
         def close():
@@ -93,6 +105,7 @@ def aggregate_alerts(
                 if k != cur_key:
                     close()
                     cur_key = k
+                    thr, window_us = cfg.get(rule, default_cfg)
                 t_us = int(t_us)
                 if state is None or t_us - state["_anchor_us"] >= window_us:
                     close()
@@ -103,9 +116,9 @@ def aggregate_alerts(
                         "first_matched_at": pd.Timestamp(t_us * 1000),
                         "last_matched_at": pd.Timestamp(t_us * 1000),
                         "match_count": 1,
-                        "activated": 1 >= threshold,
+                        "activated": 1 >= thr,
                         "created_at": (
-                            pd.Timestamp(t_us * 1000) if 1 >= threshold else None
+                            pd.Timestamp(t_us * 1000) if 1 >= thr else None
                         ),
                         "_anchor_us": t_us,
                     }
@@ -114,7 +127,7 @@ def aggregate_alerts(
                     state["last_matched_at"] = pd.Timestamp(t_us * 1000)
                     if (
                         not state["activated"]
-                        and state["match_count"] >= threshold
+                        and state["match_count"] >= thr
                     ):
                         state["activated"] = True
                         state["created_at"] = pd.Timestamp(t_us * 1000)

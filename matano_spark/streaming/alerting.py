@@ -40,8 +40,12 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def make_fold(threshold: int, window_seconds: int):
-    window_us = window_seconds * 1_000_000
+def make_fold(
+    threshold: int,
+    window_seconds: int,
+    rule_config: dict[str, tuple[int, int]] | None = None,
+):
+    cfg = dict(rule_config or {})
 
     def fold(
         key: Tuple[str, str],
@@ -49,6 +53,10 @@ def make_fold(threshold: int, window_seconds: int):
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         rule_name, dedupe = key
+        # per-rule alert config (detection.yml alert block); global
+        # defaults for rules not in the map
+        thr, win_s = cfg.get(rule_name, (threshold, window_seconds))
+        window_us = win_s * 1_000_000
         if state.hasTimedOut:
             state.remove()
             return
@@ -79,7 +87,7 @@ def make_fold(threshold: int, window_seconds: int):
                     anchor_us, count, activated, created_us = t_us, 0, False, None
                 count += 1
                 last_us = t_us
-                if not activated and count >= threshold:
+                if not activated and count >= thr:
                     activated = True
                     created_us = t_us
                 snapshot()
@@ -90,7 +98,7 @@ def make_fold(threshold: int, window_seconds: int):
             # match — a replayed/backfilled stream evicts identically
             # (SURVEY W2 "event-time timeout = dedup window")
             state.setTimeoutTimestamp(
-                last_us // 1000 + window_seconds * 1000 * 4
+                last_us // 1000 + win_s * 1000 * 4
             )
         if emitted:
             yield pd.DataFrame(list(emitted.values()))
@@ -103,6 +111,7 @@ def streaming_alerts(
     threshold: int = 1,
     window_seconds: int = 3600,
     watermark_delay: str = "10 minutes",
+    rule_config: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """matches stream (rule_name, dedupe, ts, match_id) → alert upsert
     stream (ALERT_SCHEMA). Output mode must be `update`. Late matches
@@ -113,7 +122,7 @@ def streaming_alerts(
         matches.withWatermark("ts", watermark_delay)
         .groupBy("rule_name", "dedupe")
         .applyInPandasWithState(
-            make_fold(threshold, window_seconds),
+            make_fold(threshold, window_seconds, rule_config),
             outputStructType=ALERT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

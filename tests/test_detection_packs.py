@@ -103,3 +103,43 @@ def test_root_detection_prefilter_compiles(spark):
     got = matches.collect()
     assert [r.event_key for r in got] == ["e1"]
     assert "root account used" in got[0].title
+
+
+def test_per_rule_config_folds_in_one_pass(spark):
+    """Two rules with different thresholds AND windows fold correctly
+    in a single state-machine pass (ref: per-detection alert config)."""
+    from matano_spark.detections import Detection
+    from matano_spark.detections.packs import rule_config
+    from matano_spark.operators.alerts import aggregate_alerts
+
+    dets = [
+        Detection(name="fast", detect=lambda r: True, threshold=1,
+                  deduplication_window_minutes=10),
+        Detection(name="slow", detect=lambda r: True, threshold=3,
+                  deduplication_window_minutes=60),
+    ]
+    rows = []
+    # both rules see the same 3 matches 15 min apart
+    for rule in ("fast", "slow"):
+        for i in range(3):
+            rows.append((rule, "k", T0 + dt.timedelta(minutes=15 * i), f"m{i}"))
+    matches = spark.createDataFrame(
+        rows, "rule_name string, dedupe string, ts timestamp, match_id string"
+    )
+    alerts = aggregate_alerts(matches, rule_config=rule_config(dets))
+    by_rule = {}
+    for r in alerts.collect():
+        by_rule.setdefault(r.rule_name, []).append(r)
+
+    # fast: 10-min window → every match opens a NEW alert; threshold 1
+    # activates each instantly
+    fast = sorted(by_rule["fast"], key=lambda r: r.first_matched_at)
+    assert len(fast) == 3
+    assert all(a.activated and a.match_count == 1 for a in fast)
+
+    # slow: 60-min window → one alert accumulating all 3; threshold 3
+    # activates on the third match
+    slow = by_rule["slow"]
+    assert len(slow) == 1
+    assert slow[0].match_count == 3 and slow[0].activated
+    assert slow[0].created_at == T0 + dt.timedelta(minutes=30)
