@@ -710,3 +710,70 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_from_week0"),
         )
     )
+
+
+@query(
+    "w4_hourly_spike_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    winstats AS (
+      SELECT event_type, hour, n,
+             SUM(n) OVER w AS sum_w,
+             SUM(n * n) OVER w AS ss_w,
+             COUNT(n) OVER w AS cnt_w
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n,
+           CAST(sum_w AS DOUBLE) / cnt_w AS mean24,
+           (n - CAST(sum_w AS DOUBLE) / cnt_w)
+             / sqrt(CAST(ss_w AS DOUBLE) / cnt_w
+                    - (CAST(sum_w AS DOUBLE) / cnt_w)
+                      * (CAST(sum_w AS DOUBLE) / cnt_w) + 1e-9) AS zscore
+    FROM winstats
+    WHERE cnt_w = 24
+    """,
+)
+def w4_hourly_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike detection: each (event_type, hour)'s count scored
+    against its trailing 24-hour mean/stddev — the hunting query behind
+    'alert me when error volume jumps'. Counts are integers, so the
+    windowed sums are exact and the mean/variance/z-score doubles are
+    bit-identical across engines (same expression order; +1e-9 floors
+    the all-constant-window variance).
+
+    SCALE: one shuffle on event_type for the window; the trailing
+    frame is rows-based over the pre-aggregated hourly series — the
+    window input is ~10^4x smaller than raw events.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    sum_w = F.sum("n").over(w)
+    ss_w = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt_w = F.count("n").over(w)
+    mean24 = sum_w.cast("double") / cnt_w
+    var24 = ss_w.cast("double") / cnt_w - mean24 * mean24
+    return (
+        hourly.select(
+            "event_type",
+            "hour",
+            "n",
+            cnt_w.alias("cnt_w"),
+            mean24.alias("mean24"),
+            ((F.col("n") - mean24) / F.sqrt(var24 + F.lit(1e-9))).alias("zscore"),
+        )
+        .filter(F.col("cnt_w") == 24)
+        .drop("cnt_w")
+    )
