@@ -143,3 +143,71 @@ def test_per_rule_config_folds_in_one_pass(spark):
     assert len(slow) == 1
     assert slow[0].match_count == 3 and slow[0].activated
     assert slow[0].created_at == T0 + dt.timedelta(minutes=30)
+
+
+def test_pack_config_drives_streaming_state_machine(spark, tmp_path):
+    """The brute-force pack's threshold/window flow into the STREAMING
+    fold: 5 failures from one IP across two micro-batches activate the
+    alert; 4 from another stay pending."""
+    import json
+
+    from matano_spark.detections.packs import rule_config
+    from matano_spark.streaming.alerting import streaming_alerts
+    from pyspark.sql import types as T
+
+    dets = load_detection_packs(PACK_ROOT)
+    cfg = rule_config(dets)
+    assert cfg["login_brute_force_by_ip"] == (5, 900)
+
+    schema = T.StructType([
+        T.StructField("rule_name", T.StringType()),
+        T.StructField("dedupe", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("match_id", T.StringType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for minute, ip, mid in rows:
+                f.write(json.dumps({
+                    "rule_name": "login_brute_force_by_ip",
+                    "dedupe": ip,
+                    "ts": (T0 + dt.timedelta(minutes=minute)).isoformat(),
+                    "match_id": mid,
+                }) + "\n")
+
+    write("b1.json", [(i, "198.51.100.7", f"a{i}") for i in range(3)]
+          + [(i, "203.0.113.5", f"b{i}") for i in range(2)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_alerts(stream, rule_config=cfg)
+        .writeStream.format("memory")
+        .queryName("pack_alerts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2.json", [(3 + i, "198.51.100.7", f"c{i}") for i in range(2)]
+              + [(5, "203.0.113.5", "b2"), (6, "203.0.113.5", "b3")])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM pack_alerts ORDER BY last_matched_at"
+        ).collect()
+        latest = {}
+        for r in rows:
+            latest[r.dedupe] = r
+        # threshold 5 reached across batches for the first IP only
+        assert latest["198.51.100.7"].match_count == 5
+        assert latest["198.51.100.7"].activated is True
+        assert latest["203.0.113.5"].match_count == 4
+        assert latest["203.0.113.5"].activated is False
+    finally:
+        q.stop()
