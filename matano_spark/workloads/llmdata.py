@@ -1192,3 +1192,76 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("component").alias("cluster_id"), F.col("node").alias("doc_id")
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(dfreq.df AS BIGINT) AS df,
+             CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinguishing terms by TF-IDF. The IDF is
+    the log-free rational form tf * N / df — order-equivalent to the
+    log form for ranking within a document (log is monotone) while
+    keeping every score an exact integer ratio, so ranks AND scores
+    hash-match across engines. The keyword-extraction stage of corpus
+    curation.
+
+    SCALE: tf is a (doc, term) groupBy (one shuffle over the token
+    stream); df aggregates tf's output (already one row per doc-term);
+    N is a 1-row broadcast; top-k per doc is a window over tf-sized
+    data partitioned on doc_id.
+    """
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy(F.col("term").alias("dterm")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, tf.term == dfreq.dterm)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            ((F.col("tf") * F.col("n")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
