@@ -1115,3 +1115,68 @@ def q21_waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT))
+                AS DOUBLE) / 1000000.0 AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with GROUPING() ids — all four aggregation
+    levels (detail, per-flag, per-status, grand total) in one pass;
+    the GROUPING flags disambiguate a NULL dimension value from a
+    subtotal row. Map-side partials expand per grouping set, still one
+    shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus").agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "n_items", "sum_qty",
+        )
+    )
+
+
+@query(
+    "window_rank_functions",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS balance_rank,
+           PERCENT_RANK() OVER w AS balance_pct_rank,
+           CAST(NTILE(4) OVER w AS BIGINT) AS balance_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family over one window: dense_rank,
+    percent_rank (exact rational (rank-1)/(n-1) — bit-identical both
+    engines), and ntile quartiles, partitioned per nation. One shuffle
+    on the partition key; no global sort."""
+    cust = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.dense_rank().over(w).cast("bigint").alias("balance_rank"),
+        F.percent_rank().over(w).alias("balance_pct_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+    )
