@@ -777,3 +777,40 @@ def w4_hourly_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt_w") == 24)
         .drop("cnt_w")
     )
+
+
+@query(
+    "user_journey_bounds",
+    oracle="""
+    SELECT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_event,
+           LAST_VALUE(event_type) OVER w AS last_event,
+           NTH_VALUE(event_type, 2) OVER w AS second_event,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def user_journey_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey bounds via the value-window family:
+    first_value / last_value / nth_value over the full per-user frame
+    (entry event, exit event, second touch) — one row per user via a
+    row_number qualify. One shuffle on user_id serves every window."""
+    ev = t(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    full = order.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(full).alias("first_event"),
+            F.last("event_type").over(full).alias("last_event"),
+            F.nth_value("event_type", 2).over(full).alias("second_event"),
+            F.count(F.lit(1)).over(full).alias("n_events"),
+            F.row_number().over(order).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
