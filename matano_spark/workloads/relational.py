@@ -1180,3 +1180,39 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("balance_pct_rank"),
         F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
     )
+
+
+@query(
+    "unpivot_measures",
+    oracle=f"""
+    SELECT l_returnflag, 'l_quantity' AS measure,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS total
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_returnflag, 'l_extendedprice',
+           COUNT(*), {sql_dsum('l_extendedprice')}
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_returnflag, 'l_discount',
+           COUNT(*), {sql_dsum('l_discount')}
+    FROM lineitem GROUP BY 1
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long reshape, the inverse of the pivot query):
+    three lineitem measures melt into (measure, value) rows and
+    aggregate per (returnflag, measure). Spark's unpivot is a
+    projection-level Expand — one scan, no extra shuffle beyond the
+    final aggregation; the oracle states the same relation as three
+    grouped scans unioned."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total"),
+    )
