@@ -1216,3 +1216,59 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("total"),
     )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH nat_rev AS (
+      SELECT n_name, r_name,
+             SUM(CAST(ROUND(o_totalprice * 1000000.0, 0) AS BIGINT)) AS sv
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY n_name, r_name
+    )
+    SELECT n_name, r_name,
+           CAST(sv AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(sv AS DOUBLE)
+             / CAST(SUM(sv) OVER (PARTITION BY r_name) AS DOUBLE)
+             AS region_share
+    FROM nat_rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total within a group (ratio_to_report): each nation's
+    share of its region's order revenue via a partition-sum window over
+    the pre-aggregated nation level — no self-join, no scalar subquery,
+    one extra window pass over ~25 rows. The windowed denominator sums
+    <= 25 exact scaled values per region, so even the double division
+    is engine-identical."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    sv = F.sum(
+        F.round(F.col("o_totalprice") * F.lit(1000000.0), 0).cast("bigint")
+    ).alias("sv")
+    nat_rev = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(sv)
+    )
+    w = W.partitionBy("r_name")
+    return nat_rev.select(
+        "n_name",
+        "r_name",
+        (F.col("sv").cast("double") / F.lit(1000000.0)).alias("revenue"),
+        (
+            F.col("sv").cast("double")
+            # sum the exact scaled BIGINTS in the window (association-
+            # free), convert once — a windowed double-sum would be
+            # order-dependent at large magnitudes
+            / F.sum("sv").over(w).cast("double")
+        ).alias("region_share"),
+    )
