@@ -107,21 +107,19 @@ def minhash_signatures(
     return shingle_df.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sig_df: DataFrame,
     id_col: str,
     num_hashes: int = NUM_MINHASHES,
     band_size: int = BAND_SIZE,
-    bucket_cap: int | None = 1000,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a < id_b), deduplicated.
+    """Explode signature rows to (id, band_id, band_key) LSH band keys.
 
-    Bands explode to (band_id, band_key) rows; the self-join key is
-    (band_id, band_key) — high cardinality, uniform → a well-behaved
-    shuffle at any scale. Degenerate buckets with more than
-    `bucket_cap` members (boilerplate/empty docs all hashing alike)
-    are dropped via `drop_hot_keys` before the self-join, bounding the
-    worst bucket at cap² pairs.
+    The band key concatenates the band's minhash components; two docs
+    collide on a band iff those components all agree. Shared by the
+    batch self-join (lsh_candidate_pairs) and the incremental
+    streaming probe (streaming.dedup), so both paths bucket
+    identically.
     """
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -139,9 +137,30 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig_df.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col,
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+    bucket_cap: int | None = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated.
+
+    Bands explode to (band_id, band_key) rows; the self-join key is
+    (band_id, band_key) — high cardinality, uniform → a well-behaved
+    shuffle at any scale. Degenerate buckets with more than
+    `bucket_cap` members (boilerplate/empty docs all hashing alike)
+    are dropped via `drop_hot_keys` before the self-join, bounding the
+    worst bucket at cap² pairs.
+    """
+    banded = band_keys(sig_df, id_col, num_hashes, band_size)
     if bucket_cap is not None:
         banded = drop_hot_keys(banded, ["band_id", "band_key"], bucket_cap)
     a = banded.alias("a")

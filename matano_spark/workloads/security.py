@@ -814,3 +814,46 @@ def user_journey_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@query(
+    "events_burst_rate_24h",
+    oracle="""
+    WITH rates AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 86400000000 PRECEDING
+                                      AND CURRENT ROW) AS r
+      FROM events
+    )
+    SELECT user_id, CAST(max(r) AS BIGINT) AS peak_rate_24h
+    FROM rates GROUP BY user_id
+    HAVING max(r) >= 5
+    """,
+)
+def events_burst_rate_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-rate detection over a VALUE-RANGE window frame: each
+    event's trailing-24-hour activity count per user (RANGE over epoch
+    micros, not ROWS — peers at identical timestamps share a frame, and
+    gaps in the series don't shrink it), reduced to each user's peak
+    rate. The physical shape behind rate-limit / brute-force hunting
+    when events are irregularly spaced.
+
+    SCALE: one shuffle on user_id serves both the range window and the
+    peak aggregation (the groupBy reuses the window's partitioning —
+    AQE sees the exchange is already satisfied). The frame is bounded
+    by time, so per-row state in the window operator is O(events in 24
+    hours per user), not O(partition).
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    rates = ev.select("user_id", F.count(F.lit(1)).over(w).alias("r"))
+    return (
+        rates.groupBy("user_id")
+        .agg(F.max("r").cast("bigint").alias("peak_rate_24h"))
+        .filter(F.col("peak_rate_24h") >= 5)
+    )
