@@ -223,7 +223,9 @@ def minhash_near_dups(
     bounds degenerate LSH buckets (see lsh_candidate_pairs).
     """
     shingles = word_shingles(df, id_col, text_col).localCheckpoint()
-    sigs = minhash_signatures(shingles, id_col)
+    # sigs feeds band_keys on BOTH sides of the candidate self-join;
+    # materializing avoids re-running the k-min aggregation per branch.
+    sigs = minhash_signatures(shingles, id_col).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, bucket_cap=bucket_cap)
     return jaccard_for_pairs(shingles, cands, id_col).filter(
         F.col("jaccard") >= threshold

@@ -70,23 +70,45 @@ def plane_sign(j: int, d_col: Column) -> Column:
 def lsh_bucket(arr: Column, n_planes: int = LSH_PLANES) -> Column:
     """Sign-random-projection bucket id in [0, 2^n_planes).
 
-    Bit j = 1 iff sum_d sign(j,d) * x[d] >= 0, evaluated as a
-    sequential fold over the array with the +-1 weight computed from
-    (j, d) by integer mixing — reproducible in any engine.
+    Bit j = 1 iff sum_d sign(j,d) * x[d] >= 0, with the +-1 weight
+    computed from (j, d) by integer mixing — reproducible in any
+    engine. All n_planes projections accumulate in ONE fold over the
+    vector (an n_planes-wide running-sum array updated per element)
+    instead of one fold per plane — per-plane addition order is
+    unchanged, so bucket ids are bit-identical to the per-plane
+    formulation while traversing the array once.
     """
-    bucket: Column = F.lit(0).cast("bigint")
-    for j in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                as_double(arr),
-                F.sequence(F.lit(1), F.size(arr)),
-                lambda x, d: x * plane_sign(j, d.cast("bigint")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(0).cast("bigint")
-    return bucket
+    pairs = F.zip_with(
+        as_double(arr),
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda x, d: F.struct(x.alias("x"), d.cast("bigint").alias("d")),
+    )
+    plane_ids = F.array(
+        *[F.lit(j).cast("bigint") for j in range(n_planes)]
+    )
+    projs = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, p: F.zip_with(
+            acc,
+            plane_ids,
+            lambda a, j: a
+            + p.x
+            * F.when(
+                ((j * _MIX_J + p.d * _MIX_D) % P) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        ),
+    )
+    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            masks,
+            lambda pj, m: F.when(pj >= 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
 
 def cosine_topk(
