@@ -709,6 +709,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media, fake=True)
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(offset_ms // 1000 AS INTEGER) AS frame_idx,
+           CAST(offset_ms AS BIGINT) AS offset_ms
+    FROM (
+      SELECT doc_id,
+             unnest(range(0, CAST(n_chars * 40 AS BIGINT), 1000)) AS offset_ms
+      FROM documents
+      WHERE n_chars > 0
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling grid over video-like media: one row per sampled
+    timestamp, derived from duration metadata ALONE (duration_ms :=
+    n_chars * 40 stands in for real probe metadata). The payload
+    column is never touched — the oracle proves the grid math, and the
+    plan shows the binary column pruned from the scan
+    (operators.multimodal.sample_frame_refs docstring)."""
+    from matano_spark.operators.multimodal import sample_frame_refs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        F.struct(
+            F.col("text").cast("binary").alias("data"),
+            F.struct(
+                F.lit("video/fake").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                (F.col("n_chars") * 40).cast("bigint").alias("duration_ms"),
+                F.lit(16000).alias("sample_rate"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    return sample_frame_refs(media, every_ms=1000).select(
+        F.col("id").alias("doc_id"), "frame_idx", "offset_ms"
+    )
+
+
 def _oracle_of(name: str) -> str:
     from matano_spark.workloads import REGISTRY
 
