@@ -710,6 +710,75 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lm_fluency",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+            FROM toks WHERE len(ws) >= 2)
+    ),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id, (c12 * 1000000) // c1 AS p_micro
+      FROM big b JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_micro) AS BIGINT) AS fluency_micro_sum
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality filter (CCNet-style, log-free): score
+    each document by its bigram transition probabilities under the
+    corpus's own bigram model — boilerplate and fluent text score
+    high, lorem-garbage and mojibake score low. Kept as exact integer
+    micro-probabilities (floor(1e6 * c(w1,w2)/c(w1)) summed per doc)
+    instead of float log-perplexity, so ranks are engine-portable
+    bit-for-bit; a monotone log transform downstream doesn't change
+    the filter decision.
+
+    SCALE: the bigram stream shuffles twice (pair counts, context
+    counts); both count tables are VOCABULARY-sized, orders smaller
+    than the corpus. The context-count join key (w1) is Zipf-skewed —
+    'the' is a hot key — so cnt1 is BROADCAST (vocab fits by
+    construction); the pair-count join shuffles on (w1,w2), whose skew
+    is far milder, with AQE skew-join as the backstop.
+    """
+    docs = t(spark, sf_dir, "documents")
+    with_ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - 2)
+    pair = lambda i: F.struct(  # noqa: E731
+        F.element_at(ws, i + 1).alias("w1"), F.element_at(ws, i + 2).alias("w2")
+    )
+    big = (
+        with_ws.filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(F.transform(idx, pair)).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint()  # feeds cnt2, cnt1, and the scoring join
+    )
+    cnt2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cnt1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(cnt2, ["w1", "w2"])
+        .join(F.broadcast(cnt1), "w1")
+        .select(
+            "doc_id",
+            F.expr("(c12 * 1000000L) div c1").alias("p_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("p_micro").cast("bigint").alias("fluency_micro_sum"),
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,

@@ -152,3 +152,46 @@ def test_llmdata_additions_plan_shapes(plans):
     p = plans("rollup_time_cascade")
     assert p.count("Scan parquet") == 0
     assert "ExistingRDD" in p
+
+
+def test_frame_grid_prunes_payload_from_scan(spark, tmp_path):
+    """sample_frame_refs claims the binary payload never leaves the
+    scan: over a parquet media table, ReadSchema must select only the
+    metadata subtree, not `data`."""
+    from matano_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 64, 2500)], "id LONG, payload BINARY, dur LONG"
+    )
+    import pyspark.sql.functions as F
+
+    media = df.select(
+        "id",
+        F.struct(
+            F.col("payload").alias("data"),
+            F.struct(
+                F.lit("video/fake").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.col("dur").alias("duration_ms"),
+                F.lit(16000).alias("sample_rate"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    path = str(tmp_path / "media_tbl")
+    media.write.parquet(path)
+    grid = M.sample_frame_refs(spark.read.parquet(path), every_ms=1000)
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "data" not in read_schema[0], read_schema[0]
+    assert "duration_ms" in read_schema[0]
+
+
+def test_decontamination_probe_broadcasts_eval_side(plans):
+    """The eval-shingle set must broadcast; the training corpus side
+    must never be broadcast or sort-merge-joined on the shingle."""
+    p = plans("decontamination_overlap")
+    assert "BroadcastHashJoin" in p
+    # the shingle probe join is the broadcast one — no SMJ anywhere
+    assert "SortMergeJoin" not in p
