@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from matano_spark.operators.hashing import P, sql_poly_hash
 from matano_spark.workloads import query
 from matano_spark.workloads.util import dsum, sql_dsum, t
 
@@ -856,4 +857,75 @@ def events_burst_rate_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates.groupBy("user_id")
         .agg(F.max("r").cast("bigint").alias("peak_rate_24h"))
         .filter(F.col("peak_rate_24h") >= 5)
+    )
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             {sql_poly_hash("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n_distinct,
+           CAST(h AS BIGINT) AS hk,
+           CASE WHEN nd >= 64
+                THEN CAST(CAST(63 AS BIGINT) * {P} AS DOUBLE) / CAST(h AS DOUBLE)
+                ELSE CAST(nd AS DOUBLE) END AS est_distinct
+    FROM ranked
+    WHERE rn = CASE WHEN nd >= 64 THEN 64 ELSE nd END
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64: per group,
+    keep the k smallest distinct hash values; the k-th smallest h_k
+    estimates distinct count as (k-1)·P/h_k. The exact distinct count
+    rides along so the estimate's error is visible in the output.
+
+    Why a sketch when COUNT(DISTINCT) exists: KMV states are MERGEABLE
+    (union of two groups' k-mins, re-truncated to k, is the union's
+    sketch), so at 100 TB the per-partition partial state is k values
+    per group instead of the full distinct set — the same reason
+    production engines ship HLL. This query pins the k-th-smallest
+    selection + estimator math against the oracle; the merge identity
+    is pinned by test_llmdata_curation's kmv merge test. Estimator
+    division is a single float op on exact integers — engine-portable.
+    """
+    from matano_spark.operators.hashing import P as _P, poly_hash
+
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        poly_hash(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    wrank = W.partitionBy("event_type").orderBy("h")
+    wall = W.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "h",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+    )
+    kth = ranked.filter(
+        F.col("rn")
+        == F.when(F.col("nd") >= 64, F.lit(64)).otherwise(F.col("nd"))
+    )
+    return kth.select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("n_distinct"),
+        F.col("h").cast("bigint").alias("hk"),
+        F.when(
+            F.col("nd") >= 64,
+            F.lit(float(63 * _P)) / F.col("h").cast("double"),
+        )
+        .otherwise(F.col("nd").cast("double"))
+        .alias("est_distinct"),
     )

@@ -94,3 +94,21 @@ def test_seq_packing_conservation(spark):
             assert r["bin_last"] == (cum + r["n_tokens"] - 1) // 256
             assert r["bin_first"] <= r["bin_last"]
             cum += r["n_tokens"]
+
+
+def test_kmv_sketch_merge_identity(spark):
+    """KMV mergeability: the k smallest distinct hashes of A∪B equal
+    the k smallest of (A's k-mins ∪ B's k-mins) — the property that
+    makes the sketch a valid partial-aggregation state."""
+    from matano_spark.operators.hashing import poly_hash
+
+    k = 8
+    a = spark.range(0, 200).select(poly_hash(F.col("id").cast("string")).alias("h"))
+    b = spark.range(150, 400).select(poly_hash(F.col("id").cast("string")).alias("h"))
+
+    def kmins(df):
+        return [r["h"] for r in df.distinct().orderBy("h").limit(k).collect()]
+
+    union_direct = kmins(a.unionByName(b))
+    merged = sorted(set(kmins(a)) | set(kmins(b)))[:k]
+    assert union_direct == merged
