@@ -100,22 +100,43 @@ def test_s3inventory_pack(spark, tmpdir):
     defs = {d.name: d for d in load_log_source(str(ROOT / "aws_s3inventory"))}
     td = defs["default"]
     p = tmpdir / "inv.csv"
+    # full documented column order; tail columns exercise bool casts,
+    # object-lock nesting, and flexible arity (absent -> null)
     p.write_text(
-        'my-bucket,path/to/object.txt,1024,2024-05-01T00:00:00.000Z,'
-        "d41d8cd98f00b204e9800998ecf8427e\n"
+        "my-bucket,path/to/object.txt,v123,true,false,1024,"
+        "2024-05-01T00:00:00.000Z,d41d8cd98f00b204e9800998ecf8427e,"
+        "STANDARD,false,COMPLETED,SSE-S3,2025-01-01T00:00:00.000Z,"
+        "GOVERNANCE,OFF,,ENABLED,SHA256\n"
+        # short row: only the 5 historical columns present
+        "other-bucket,k2,v1,false,false,7,2024-05-02T00:00:00.000Z,"
+        "aaaa\n"
     )
     raw = readers.read_csv_with_headers(
         spark, str(p), td.ingest["csv_headers"]
     )
     out = td.pipeline(raw)
-    r = out.collect()[0].asDict(recursive=True)
+    r = [x for x in out.collect() if x.asDict(recursive=True)["aws"]["s3inventory"]["bucket"] == "my-bucket"][0].asDict(recursive=True)
     assert r["file"]["path"] == "path/to/object.txt"
     assert r["file"]["size"] == 1024
     assert r["file"]["hash"] == {"md5": "d41d8cd98f00b204e9800998ecf8427e"}
     assert r["related"] == {"hash": ["d41d8cd98f00b204e9800998ecf8427e"]}
-    assert r["cloud"] == {"provider": "aws"}
-    assert r["aws"]["s3inventory"]["bucket"] == "my-bucket"
+    assert r["cloud"]["provider"] == "aws"
+    assert r["cloud"]["service"] == {"name": "s3"}
+    inv = r["aws"]["s3inventory"]
+    assert inv["bucket"] == "my-bucket"
+    assert inv["version_id"] == "v123"
+    assert inv["is_latest"] is True and inv["is_delete_marker"] is False
+    assert inv["storage_class"] == "STANDARD"
+    assert inv["replication_status"] == "COMPLETED"
+    assert inv["encryption_status"] == "SSE-S3"
+    assert inv["object_lock"]["mode"] == "GOVERNANCE"
+    assert inv["object_lock"]["retain_until"] == dt.datetime(2025, 1, 1)
+    assert inv["checksum_algorithm"] == "SHA256"
+    assert r["event"]["category"] == ["file"]
     assert r["ts"] == dt.datetime(2024, 5, 1, 0, 0, 0)
+    short = [x for x in out.collect() if x.asDict(recursive=True)["aws"]["s3inventory"]["bucket"] == "other-bucket"][0].asDict(recursive=True)
+    assert short["aws"]["s3inventory"]["storage_class"] is None
+    assert short["file"]["size"] == 7
 
 
 def test_cloudtrail_pack(spark, tmpdir):
