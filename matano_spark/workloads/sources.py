@@ -484,3 +484,181 @@ def crowdstrike_fdr_category_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct(F.col("host.hostname")).alias("n_hosts"),
     )
+
+
+@query(
+    "github_audit_team_rollup",
+    oracle="""
+    SELECT concat('team.', event_type) AS action,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           'acme/platform' AS group_name,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT concat('user-', CAST(user_id AS VARCHAR)))
+             AS n_actors
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def github_audit_team_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Org-audit rollup through the ported github_audit pack: events →
+    GitHub audit-log JSON (created_at epoch-millis, team.* action) →
+    compiled transform (millis ts extraction, actor → user.name,
+    team.* action → group.name) → per-action-per-day activity with
+    distinct actors."""
+    td = _table_def("github_audit", "default")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.unix_millis(F.col("ts")).alias("created_at"),
+                F.concat(F.lit("doc-"), F.col("event_id").cast("string")).alias(
+                    "_document_id"
+                ),
+                F.concat(F.lit("team."), F.col("event_type")).alias("action"),
+                F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias(
+                    "actor"
+                ),
+                F.lit("acme").alias("org"),
+                F.lit("acme/platform").alias("team"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("event.action").alias("action"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("group.name").alias("group_name"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("user.name")).alias("n_actors"),
+    )
+
+
+@query(
+    "teleport_auth_outcomes",
+    oracle="""
+    SELECT concat('cl-', CAST(user_id % 3 AS VARCHAR)) AS cluster_name,
+           CASE WHEN event_type <> 'error' THEN 'success'
+                ELSE 'failure' END AS outcome,
+           COUNT(*) AS n_logins,
+           COUNT(DISTINCT concat('user-', CAST(user_id AS VARCHAR)))
+             AS n_users
+    FROM events
+    WHERE user_id % 2 = 0
+    GROUP BY 1, 2
+    """,
+)
+def teleport_auth_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authentication-outcome rollup through the ported teleport pack:
+    events → Teleport audit JSON (user.login / session.start events,
+    success boolean) → compiled transform (success → event.outcome,
+    cluster/user mapping) → per-cluster login outcome counts."""
+    td = _table_def("teleport", "audit")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("string").alias("time"),
+                F.when(F.col("user_id") % 2 == 0, "user.login")
+                .otherwise("session.start")
+                .alias("event"),
+                F.col("event_id").cast("string").alias("uid"),
+                (F.col("event_type") != "error").alias("success"),
+                F.concat(
+                    F.lit("cl-"), (F.col("user_id") % 3).cast("string")
+                ).alias("cluster_name"),
+                F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias(
+                    "user"
+                ),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return (
+        ecs.filter(F.col("event.action") == "user.login")
+        .groupBy(
+            F.col("teleport.cluster_name").alias("cluster_name"),
+            F.col("event.outcome").alias("outcome"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_logins"),
+            F.countDistinct(F.col("source.user.name")).alias("n_users"),
+        )
+    )
+
+
+@query(
+    "gcp_audit_method_outcomes",
+    oracle="""
+    SELECT concat('compute.instances.', event_type) AS action,
+           CASE WHEN CAST(floor(value) AS BIGINT) % 5 = 0
+                THEN 'failure' ELSE 'success' END AS outcome,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT concat('dev-', CAST(user_id AS VARCHAR),
+                                 '@example.iam.gserviceaccount.com'))
+             AS n_principals
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def gcp_audit_method_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method/outcome rollup through the ported gcp_audit pack — the
+    heaviest ported transform (AuditLog type gate, status-code outcome
+    logic, principal mapping): events → Cloud Audit Log JSON →
+    compiled transform → per-method outcome counts with distinct
+    service-account principals."""
+    td = _table_def("gcp_audit", "default")
+    ev = t(spark, sf_dir, "events")
+    # status.code 7 (PERMISSION_DENIED) for ~1/5 of events, else 0 (OK)
+    status_code = F.when(
+        F.floor("value").cast("bigint") % 5 == 0, F.lit(7).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("string").alias("insertId"),
+                F.lit(
+                    "projects/my-proj/logs/cloudaudit.googleapis.com%2Factivity"
+                ).alias("logName"),
+                F.lit("NOTICE").alias("severity"),
+                F.col("ts").cast("string").alias("timestamp"),
+                F.struct(
+                    F.lit("gce_instance").alias("type"),
+                    F.struct(F.lit("my-proj").alias("project_id")).alias(
+                        "labels"
+                    ),
+                ).alias("resource"),
+                F.struct(
+                    F.lit(
+                        "type.googleapis.com/google.cloud.audit.AuditLog"
+                    ).alias("@type"),
+                    F.concat(
+                        F.lit("compute.instances."), F.col("event_type")
+                    ).alias("methodName"),
+                    F.lit("compute.googleapis.com").alias("serviceName"),
+                    F.struct(status_code.alias("code")).alias("status"),
+                    F.struct(
+                        F.concat(
+                            F.lit("dev-"),
+                            F.col("user_id").cast("string"),
+                            F.lit("@example.iam.gserviceaccount.com"),
+                        ).alias("principalEmail")
+                    ).alias("authenticationInfo"),
+                    F.struct(
+                        F.concat(
+                            F.lit("203.0.113."),
+                            (F.col("user_id") % 200).cast("string"),
+                        ).alias("callerIp")
+                    ).alias("requestMetadata"),
+                ).alias("protoPayload"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("event.action").alias("action"),
+        F.col("event.outcome").alias("outcome"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("user.email")).alias("n_principals"),
+    )
