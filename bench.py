@@ -47,6 +47,10 @@ HEADLINE = [
     "text_fingerprint",
     "asof_purchase_attribution",
     "range_join_incident_windows",
+    "decontamination_overlap",
+    "text_lm_fluency",
+    "seq_packing_bins",
+    "sketch_kmv_distinct",
 ]
 
 

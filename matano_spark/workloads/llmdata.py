@@ -1572,3 +1572,107 @@ def seq_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_last"
         ),
     )
+
+
+@query(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_sql_minhash_sigs()},
+    {_sql_minhash_bands()},
+    banded_capped AS (
+      SELECT b.* FROM banded b
+      JOIN (SELECT band_id, band_key FROM banded
+            GROUP BY band_id, band_key HAVING COUNT(*) <= 1000) ok
+      USING (band_id, band_key)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded_capped a JOIN banded_capped b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT id_a, id_b, COUNT(*) AS n_common
+      FROM cands
+      JOIN shingles sa ON sa.doc_id = id_a
+      JOIN shingles sb ON sb.doc_id = id_b AND sa.shingle = sb.shingle
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes za ON za.doc_id = id_a
+      JOIN sizes zb ON zb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.35
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    ),
+    exact AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.keeper <> d.doc_id THEN 'exact_dup'
+                WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+                  THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM documents d
+    JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: a per-document keep/drop
+    verdict composing the exact and near-dup stages — 'exact_dup' when
+    another doc with identical content has a smaller id, else
+    'near_dup' when the doc sits in a MinHash cluster whose keeper
+    (min id reachable through the near-dup relation) is someone else,
+    else 'kept'. The list a training run actually consumes.
+
+    SCALE: the exact stage is one window over the content hash
+    (uniform key); the near-dup stage reuses the clustered pair set
+    (operators.graph over capped LSH candidates); the final verdict is
+    two joins on doc_id against corpus-sized relations — no new
+    quadratic structure beyond the already-bounded candidate join.
+    """
+    from matano_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5(F.col("text")))
+    exact = docs.select(
+        "doc_id", F.min("doc_id").over(w).alias("keeper")
+    )
+    pairs = D.minhash_near_dups(docs, "doc_id", "text", threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    status = (
+        F.when(F.col("keeper") != F.col("doc_id"), "exact_dup")
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id")),
+            "near_dup",
+        )
+        .otherwise("kept")
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+    )
