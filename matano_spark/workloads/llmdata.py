@@ -1651,6 +1651,8 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matano_spark.operators.graph import connected_components
 
     docs = t(spark, sf_dir, "documents")
+    # keeper is a window column on docs directly — no corpus-corpus
+    # self-join for the exact stage (one shuffle on the content hash)
     w = W.partitionBy(F.md5(F.col("text")))
     exact = docs.select(
         "doc_id", F.min("doc_id").over(w).alias("keeper")
@@ -1670,9 +1672,6 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("kept")
     )
-    return (
-        docs.select("doc_id")
-        .join(exact, "doc_id")
-        .join(clusters, "doc_id", "left")
-        .select("doc_id", status.alias("status"))
+    return exact.join(clusters, "doc_id", "left").select(
+        "doc_id", status.alias("status")
     )
