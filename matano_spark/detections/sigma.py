@@ -14,6 +14,8 @@ Supported subset (the common shape of public Sigma rules):
       field|re: regex            # case-SENSITIVE, as written (spec)
       field|cidr: 10.0.0.0/8     # IPv4 network containment
       field|gt/gte/lt/lte: n     # numeric compare
+      field|base64[|contains]: v # value base64-encoded at compile time
+      field|windash[|contains]: v# -/ argument-dash variant expansion
       field: [v1, v2]            # any-of (OR)
     condition: selection1 and not selection2 | 1 of them | all of them
                | 1 of sel_* | all of sel_*
@@ -110,6 +112,35 @@ def _predicate(col: Column, modifier: str | None, value: Any) -> Column:
             ip.rlike(_IPV4_RE),
             _ipv4_to_long(ip).bitwiseAND(F.lit(mask)) == F.lit(base),
         )
+    if modifier == "base64" or modifier.startswith("base64|"):
+        # spec: base64 TRANSFORMS the value (encoded at compile time);
+        # any chained modifier (e.g. base64|contains) then applies to
+        # the encoded literal. base64 matching is case-SENSITIVE.
+        import base64 as _b64
+
+        rest = modifier[len("base64|"):] if "|" in modifier else None
+        enc = _b64.b64encode(str(value).encode()).decode()
+        if rest is None:
+            return col.cast("string") == F.lit(enc)
+        if rest == "contains":
+            return col.cast("string").contains(enc)
+        raise ValueError(f"unsupported sigma modifier chain {modifier!r}")
+    if modifier == "windash" or modifier.startswith("windash|"):
+        # spec: windash EXPANDS the value into -/ argument-dash
+        # variants (obfuscated Windows command lines); the chained
+        # modifier applies to each variant, any-of.
+        rest = modifier[len("windash|"):] if "|" in modifier else None
+        variants = {
+            str(value),
+            str(value).replace("-", "/"),
+            str(value).replace("/", "-"),
+        }
+        out: Column | None = None
+        for v in sorted(variants):
+            q = _predicate(col, rest, v)
+            out = q if out is None else (out | q)
+        assert out is not None
+        return out
     if modifier == "gt":
         return col > F.lit(value)
     if modifier == "gte":

@@ -260,3 +260,50 @@ def test_sigma_list_of_maps_selection(spark):
     }
     with _pytest.raises(ValueError, match="unsupported sigma selection"):
         sigma_filter(_events(spark), bad)
+
+
+def test_sigma_base64_modifier(spark):
+    import base64
+
+    enc = base64.b64encode(b"Failed password").decode()
+    df = _events(spark).withColumn(
+        "message_b64",
+        F.concat(F.lit("prefix:"), F.base64(F.col("message").cast("binary"))),
+    )
+    rule = {
+        "title": "b64-embedded credential failure",
+        "detection": {
+            "selection": {"message_b64|base64|contains": "Failed password"},
+            "condition": "selection",
+        },
+    }
+    assert [r.id for r in sigma_filter(df, rule).collect()] == [1, 4]
+    # plain |base64 is exact equality on the encoded literal
+    df2 = df.withColumn("exact_b64", F.lit(enc))
+    rule2 = {
+        "title": "exact b64",
+        "detection": {
+            "selection": {"exact_b64|base64": "Failed password"},
+            "condition": "selection",
+        },
+    }
+    assert sigma_filter(df2, rule2).count() == 4
+
+
+def test_sigma_windash_modifier(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cmd.exe /c whoami -all"),
+            (2, "cmd.exe -c whoami /all"),
+            (3, "powershell -encodedcommand xyz"),
+        ],
+        "id long, message string",
+    )
+    rule = {
+        "title": "dash-variant command flag",
+        "detection": {
+            "selection": {"message|windash|contains": "-c whoami"},
+            "condition": "selection",
+        },
+    }
+    assert sorted(r.id for r in sigma_filter(df, rule).collect()) == [1, 2]
