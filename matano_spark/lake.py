@@ -138,10 +138,31 @@ class LakeTable:
         latest.unpersist()
 
     # -- reads --------------------------------------------------------
-    def read(self) -> DataFrame:
+    def read(self, schema=None) -> DataFrame:
+        """Read the table; pass the RESOLVED table schema to make the
+        parquet fallback schema-evolution-safe.
+
+        A pack upgrade that declares a new field leaves older files
+        without the column; a plain parquet read takes its schema from
+        an arbitrary footer, so the new column can silently vanish (or
+        a query against it fail) depending on which file is sampled.
+        Reading with the resolved schema pins the contract: files
+        missing a declared column yield typed nulls — the same
+        evolution semantics Iceberg provides from its own metadata,
+        which is why the Iceberg path needs no schema argument.
+        """
         if self.iceberg:
             return self.spark.table(self.name)
-        return self.spark.read.parquet(self.path)
+        if schema is None:
+            return self.spark.read.parquet(self.path)
+        import pyspark.sql.types as T
+
+        names = {f.name for f in schema.fields}
+        fields = list(schema.fields) + (
+            [] if "ts_hour" in names
+            else [T.StructField("ts_hour", T.StringType())]
+        )
+        return self.spark.read.schema(T.StructType(fields)).parquet(self.path)
 
     def read_hours(self, start_hour: str, end_hour: str) -> DataFrame:
         """Partition-pruned read over [start_hour, end_hour] — the

@@ -49,3 +49,35 @@ def test_merge_by_key_upsert(spark, tmpdir):
     t.merge_by_key(_df(spark, [("b", 0, 20), ("c", 0, 30)]), ["id"])
     got = {r.id: r.v for r in t.read().collect()}
     assert got == {"a": 1, "b": 20, "c": 30}
+
+
+def test_read_with_resolved_schema_survives_evolution(spark, tmp_path):
+    """Pack upgrade adds a declared field: files written BEFORE the
+    upgrade lack the column. Reading with the resolved schema must
+    yield typed nulls for old files and real values for new ones —
+    never a sampled-footer lottery."""
+    import pyspark.sql.types as T
+
+    t = LakeTable(spark, "evo", str(tmp_path / "evo"), use_iceberg=False)
+    v1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 5, 1, 10, 0, 0))], "id long, ts timestamp"
+    )
+    t.append(v1)
+    v2 = spark.createDataFrame(
+        [(2, dt.datetime(2024, 5, 1, 11, 0, 0), "new")],
+        "id long, ts timestamp, extra string",
+    )
+    t.append(v2)
+
+    resolved = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("extra", T.StringType()),
+        ]
+    )
+    rows = {r["id"]: r for r in t.read(schema=resolved).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["extra"] is None
+    assert rows[2]["extra"] == "new"
+    assert rows[1]["ts_hour"] == "2024-05-01-10"
