@@ -123,6 +123,7 @@ def run_log_source(
             rows_in=rows_transformed,
             rows_out=rows_transformed - n_bad,
             rows_sidelined=n_bad,
+            schema=td.schema,
         )
     return out
 
@@ -131,14 +132,23 @@ class TableResult:
     """Landed table + conservation counters (rows_in = rows_out +
     rows_sidelined). Duck-typed to LakeTable for reads."""
 
-    def __init__(self, table: LakeTable, rows_in: int, rows_out: int, rows_sidelined: int):
+    def __init__(
+        self,
+        table: LakeTable,
+        rows_in: int,
+        rows_out: int,
+        rows_sidelined: int,
+        schema=None,
+    ):
         self.table = table
         self.rows_in = rows_in
         self.rows_out = rows_out
         self.rows_sidelined = rows_sidelined
+        self.schema = schema
 
     def read(self) -> DataFrame:
-        return self.table.read()
+        # resolved-schema read: evolution-safe on the parquet fallback
+        return self.table.read(schema=self.schema)
 
     def as_log(self) -> dict:
         """The matano_log JSON shape: one structured counters record."""
