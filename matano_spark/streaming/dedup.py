@@ -196,3 +196,55 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curation_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    store_dir: str,
+    dupes_dir: str,
+    rejects_dir: str,
+    checkpoint_dir: str,
+    quality_predicate,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """The curation pipeline as ONE stream: quality gate → incremental
+    near-dup check → signature store append. Every batch row lands in
+    exactly one of {kept (store), dupes ledger, rejects ledger} —
+    conservation mirrors the ingest pipeline's rows_in = rows_out +
+    sidelined invariant.
+
+    quality_predicate is a Column over the stream's columns (built
+    from the same expressions the batch text_quality_score query
+    pins), so the gate stays in whole-stage codegen — only documents
+    that SURVIVE it pay for shingling and the store probe.
+    """
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = batch_df.withColumn("__pass", quality_predicate)
+        rejects = scored.filter(~F.col("__pass")).drop("__pass")
+        survivors = scored.filter(F.col("__pass")).drop("__pass")
+        store = read_signature_store(spark, store_dir, id_col)
+        kept, dupes = dedup_batch_against_store(
+            survivors, store, id_col, text_col, threshold
+        )
+        kept.filter(F.col("m1").isNotNull()).select(
+            id_col, *_SIG_COLS
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"epoch={epoch_id}")
+        )
+        dupes.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dupes_dir, f"epoch={epoch_id}")
+        )
+        rejects.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(rejects_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

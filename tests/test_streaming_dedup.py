@@ -97,3 +97,38 @@ def test_incremental_stream_two_deliveries(spark, tmp_path):
     d = {r["doc_id"]: r["matched_id"] for r in dupes.collect()}
     assert d == {20: 1}
     assert os.path.isdir(os.path.join(store_dir, "epoch=1"))
+
+
+def test_curation_stream_quality_gate_plus_dedup(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    dirs = {k: str(tmp_path / k) for k in ("store", "dupes", "rejects", "ckpt")}
+
+    rows = [
+        (1, DOC_A),               # kept
+        (2, "bad"),               # rejected: too short
+        (3, DOC_A + " extended"), # near-dup of 1 (high overlap)
+        (4, DOC_C),               # kept
+    ]
+    with open(src / "b1.jsonl", "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    from matano_spark.streaming.dedup import curation_stream
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    pred = F.size(F.split(F.col("text"), " ")) >= 5
+    q = curation_stream(
+        spark, stream, dirs["store"], dirs["dupes"], dirs["rejects"],
+        dirs["ckpt"], pred, threshold=0.5,
+    )
+    q.awaitTermination(120)
+
+    store = {r["doc_id"] for r in read_signature_store(spark, dirs["store"]).collect()}
+    dupes = {r["doc_id"]: r["matched_id"] for r in spark.read.parquet(dirs["dupes"]).collect()}
+    rejects = {r["doc_id"] for r in spark.read.parquet(dirs["rejects"]).collect()}
+    assert rejects == {2}
+    assert dupes == {3: 1}
+    assert store == {1, 4}
+    # conservation: every input row in exactly one output
+    assert store | set(dupes) | rejects == {1, 2, 3, 4}
