@@ -195,3 +195,14 @@ def test_decontamination_probe_broadcasts_eval_side(plans):
     assert "BroadcastHashJoin" in p
     # the shingle probe join is the broadcast one — no SMJ anywhere
     assert "SortMergeJoin" not in p
+
+
+def test_curation_single_shuffle_claims(plans):
+    """seq_packing and stratified sampling claim ONE shuffle (per-
+    stratum windows, no global sort); the KMV sketch claims two
+    (distinct hashes, then the per-group window). Pin the exchange
+    counts so a planner or refactor regression is loud."""
+    assert plans("seq_packing_bins").count("Exchange") == 1
+    assert plans("corpus_sample_stratified").count("Exchange") == 1
+    assert plans("sketch_kmv_distinct").count("Exchange") <= 2
+    assert "SortMergeJoin" not in plans("seq_packing_bins")
