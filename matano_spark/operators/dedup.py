@@ -227,7 +227,20 @@ def minhash_near_dups(
     # materializing avoids re-running the k-min aggregation per branch.
     sigs = minhash_signatures(shingles, id_col).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, bucket_cap=bucket_cap)
-    return jaccard_for_pairs(shingles, cands, id_col).filter(
+    # Only candidate docs' shingles enter the verification join: at
+    # 100 TB the candidate set is a sliver of the corpus, so this
+    # semi-join keeps the O(corpus) shingle relation out of the
+    # pair-verification shuffle entirely (AQE broadcasts the id list
+    # when it is small). Results are identical — the restriction keeps
+    # every shingle of every candidate doc, so sizes and intersections
+    # are unchanged.
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_shingles = shingles.join(cand_ids, id_col, "left_semi")
+    return jaccard_for_pairs(cand_shingles, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )
 
