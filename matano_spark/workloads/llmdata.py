@@ -1675,3 +1675,56 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(clusters, "doc_id", "left").select(
         "doc_id", status.alias("status")
     )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_langs FROM toks)
+    SELECT lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((n_tokens * 1000000) // total AS BIGINT) AS actual_share_micro,
+           CAST(((1000000 // n_langs) * 1000000)
+                // ((n_tokens * 1000000) // total) AS BIGINT) AS weight_micro
+    FROM toks CROSS JOIN tot
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-stratum sampling multipliers that
+    rebalance the corpus toward a target token distribution (uniform
+    across languages here) — the static form of the mixture-tuning
+    stage every multilingual pretraining run performs. weight > 1e6
+    means upsample, < 1e6 downsample. All integer micro-unit math, so
+    the weight table is bit-identical across engines.
+
+    SCALE: ONE shuffle (token counts per stratum); the total is a
+    1-row broadcast. The weight table is strata-sized (~10²) — it
+    broadcasts back to the corpus for the actual resampling pass.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    tot = toks.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    actual = F.expr("(n_tokens * 1000000L) div total")
+    target = F.expr("1000000L div n_langs")
+    return toks.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        actual.alias("actual_share_micro"),
+        (
+            F.expr(
+                "((1000000L div n_langs) * 1000000L) div "
+                "((n_tokens * 1000000L) div total)"
+            )
+        ).alias("weight_micro"),
+    )
