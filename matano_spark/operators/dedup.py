@@ -226,7 +226,11 @@ def minhash_near_dups(
     # sigs feeds band_keys on BOTH sides of the candidate self-join;
     # materializing avoids re-running the k-min aggregation per branch.
     sigs = minhash_signatures(shingles, id_col).localCheckpoint()
-    cands = lsh_candidate_pairs(sigs, id_col, bucket_cap=bucket_cap)
+    # cands feeds the id-set semi-join AND both sides of the verify
+    # join — materialize, or the banded self-join re-runs per branch.
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bucket_cap=bucket_cap
+    ).localCheckpoint()
     # Only candidate docs' shingles enter the verification join: at
     # 100 TB the candidate set is a sliver of the corpus, so this
     # semi-join keeps the O(corpus) shingle relation out of the
