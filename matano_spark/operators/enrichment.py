@@ -136,3 +136,76 @@ def sync_enrichment(store: EnrichmentStore, pack_dir: str, raw: DataFrame) -> Da
     )
     store.write(ed.name, projected, mode=ed.write_mode, primary_key=ed.primary_key)
     return store.read(ed.name)
+
+
+def lpm_join(
+    events: DataFrame,
+    cidrs: DataFrame,
+    ip_col: str = "ip",
+    cidr_col: str = "cidr",
+) -> DataFrame:
+    """Longest-prefix-match CIDR enrichment (GeoIP/ASN-style lookup).
+
+    The naive formulation is a theta join (ip BETWEEN range_start AND
+    range_end) with per-row candidate scans; this one is a UNION of
+    EQUI-joins: for each distinct prefix length L in the dim table,
+    events compute `ip & mask(L)` map-side and equi-join against the
+    dim rows of that length; the longest match per event wins via one
+    max-prefix aggregation. CIDR tables (GeoIP ~3M rows, ~30 distinct
+    lengths) BROADCAST; the event side never shuffles for the probe —
+    only the final longest-wins reduction keys on the event id.
+
+    Adds: every column of `cidrs` except the cidr string lands on the
+    matched rows; events with no covering prefix are dropped (inner
+    semantics — wrap with a left join on the output for keep-all).
+    """
+    from pyspark.sql import functions as F
+
+    def ip_long(c):
+        o = F.split(c, r"\.")
+        return (
+            F.element_at(o, 1).cast("bigint") * 16777216
+            + F.element_at(o, 2).cast("bigint") * 65536
+            + F.element_at(o, 3).cast("bigint") * 256
+            + F.element_at(o, 4).cast("bigint")
+        )
+
+    dim = cidrs.select(
+        "*",
+        F.split(F.col(cidr_col), "/").alias("__p"),
+    ).select(
+        "*",
+        ip_long(F.element_at(F.col("__p"), 1)).alias("__base"),
+        F.element_at(F.col("__p"), 2).cast("int").alias("__len"),
+    ).drop("__p")
+    # normalize the base to its network address at its own length
+    shift = F.pow(F.lit(2.0), 32 - F.col("__len")).cast("bigint")
+    dim = dim.withColumn("__net", F.col("__base") - (F.col("__base") % shift)).drop(
+        "__base"
+    )
+    lengths = [r["__len"] for r in dim.select("__len").distinct().collect()]
+
+    parts = []
+    ev_ip = ip_long(F.col(ip_col))
+    for ln in sorted(lengths):
+        block = 1 << (32 - ln)
+        masked = ev_ip - (ev_ip % F.lit(block))
+        d = dim.filter(F.col("__len") == ln)
+        parts.append(
+            events.withColumn("__net", masked).join(
+                F.broadcast(d), "__net"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # longest prefix wins per event row
+    from pyspark.sql import Window as W
+
+    event_cols = [c for c in events.columns]
+    w = W.partitionBy(*event_cols).orderBy(F.desc("__len"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__net", "__len", cidr_col)
+    )

@@ -929,3 +929,54 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("nd").cast("double"))
         .alias("est_distinct"),
     )
+
+
+@query(
+    "lpm_geo_enrichment",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, user_id % 40 AS oct2 FROM events
+    )
+    SELECT COALESCE(n.n_name, 'global') AS region,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM ev LEFT JOIN nation n ON n.n_nationkey = ev.oct2
+    GROUP BY 1
+    """,
+)
+def lpm_geo_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match CIDR enrichment (GeoIP/ASN shape): event
+    IPs against a prefix table holding 25 /16 networks (one per
+    nation) plus a /8 catch-all — the /16 must win where both match
+    (longest prefix), the /8 only where no /16 covers. Exercises
+    operators.enrichment.lpm_join: per-prefix-length equi-joins over a
+    broadcast dim, union, longest-wins reduction — never a theta join.
+    """
+    from matano_spark.operators.enrichment import lpm_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 40).cast("string"),
+            F.lit("."),
+            (F.col("user_id") % 250).cast("string"),
+            F.lit(".7"),
+        ).alias("ip"),
+    )
+    nation = t(spark, sf_dir, "nation")
+    dim16 = nation.select(
+        F.concat(
+            F.lit("10."), F.col("n_nationkey").cast("string"), F.lit(".0.0/16")
+        ).alias("cidr"),
+        F.col("n_name").alias("region"),
+    )
+    dim = dim16.unionByName(
+        spark.createDataFrame([("10.0.0.0/8", "global")], ["cidr", "region"])
+    )
+    enriched = lpm_join(ev, dim, ip_col="ip")
+    return enriched.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -112,3 +112,27 @@ def test_kmv_sketch_merge_identity(spark):
     union_direct = kmins(a.unionByName(b))
     merged = sorted(set(kmins(a)) | set(kmins(b)))[:k]
     assert union_direct == merged
+
+
+def test_lpm_join_longest_prefix_wins(spark):
+    from matano_spark.operators.enrichment import lpm_join
+
+    ev = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.9.0.1"), (3, "192.168.0.1")],
+        "id long, ip string",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "wide"),
+            ("10.1.0.0/16", "narrow"),
+            ("10.1.2.0/24", "narrowest"),
+        ],
+        ["cidr", "label"],
+    )
+    out = {r["id"]: r["label"] for r in lpm_join(ev, dim).collect()}
+    # /24 beats /16 beats /8; uncovered ip (192.168...) is dropped
+    assert out == {1: "narrowest", 2: "wide"}
+    # non-network base address is normalized to its network
+    dim2 = spark.createDataFrame([("10.1.2.99/24", "norm")], ["cidr", "label"])
+    out2 = {r["id"]: r["label"] for r in lpm_join(ev, dim2).collect()}
+    assert out2 == {1: "norm"}
