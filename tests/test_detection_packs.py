@@ -22,7 +22,7 @@ T0 = dt.datetime(2024, 5, 1, 12, 0, 0)
 
 def test_pack_loading_and_config():
     dets = {d.name: d for d in load_detection_packs(PACK_ROOT)}
-    assert set(dets) == {"aws_root_credentials", "login_brute_force_by_ip"}
+    assert set(dets) == {"aws_root_credentials", "login_brute_force_by_ip", "zeek_events"}
     bf = dets["login_brute_force_by_ip"]
     assert bf.threshold == 5
     assert bf.deduplication_window_minutes == 15
