@@ -662,3 +662,154 @@ def gcp_audit_method_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct(F.col("user.email")).alias("n_principals"),
     )
+
+
+@query(
+    "cloudflare_status_rollup",
+    oracle="""
+    SELECT CASE event_type WHEN 'error' THEN 503
+                           WHEN 'purchase' THEN 200
+                           ELSE 404 END AS status_code,
+           COUNT(*) AS n_requests,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT concat('198.51.100.',
+                                 CAST(user_id % 200 AS VARCHAR))) AS n_ips
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cloudflare_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-status rollup through the ported cloudflare http_request
+    pack: events → HTTP request JSON → compiled transform
+    (EdgeResponseStatus → http.response.status_code, ClientIP →
+    source.ip, ClientRequestBytes int cast) → status histogram with
+    byte totals and distinct clients."""
+    td = _table_def("cloudflare", "http_request")
+    ev = t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", 503)
+        .when(F.col("event_type") == "purchase", 200)
+        .otherwise(404)
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("string").alias("EdgeStartTimestamp"),
+                status.cast("long").alias("EdgeResponseStatus"),
+                F.concat(
+                    F.lit("198.51.100."), (F.col("user_id") % 200).cast("string")
+                ).alias("ClientIP"),
+                F.floor("value").cast("long").alias("ClientRequestBytes"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("http.response.status_code").alias("status_code")
+    ).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum(F.col("cloudflare.http_request.client.request.bytes"))
+        .cast("bigint")
+        .alias("total_bytes"),
+        F.countDistinct(F.col("source.ip")).alias("n_ips"),
+    )
+
+
+@query(
+    "duo_auth_factor_outcomes",
+    oracle="""
+    SELECT CASE user_id % 3 WHEN 0 THEN 'duo_push'
+                            WHEN 1 THEN 'sms'
+                            ELSE 'phone_call' END AS factor,
+           CASE WHEN event_type = 'error' THEN 'failure'
+                ELSE 'success' END AS outcome,
+           COUNT(*) AS n_attempts,
+           COUNT(DISTINCT concat('user-', CAST(user_id AS VARCHAR)))
+             AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def duo_auth_factor_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFA factor/outcome rollup through the ported duo auth pack:
+    events → Duo Auth API JSON (epoch-seconds timestamp, nested user
+    struct) → compiled transform (result → event.outcome, factor
+    passthrough, user.name mapping) → attempts per factor/outcome."""
+    td = _table_def("duo", "auth")
+    ev = t(spark, sf_dir, "events")
+    factor = (
+        F.when(F.col("user_id") % 3 == 0, "duo_push")
+        .when(F.col("user_id") % 3 == 1, "sms")
+        .otherwise("phone_call")
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.unix_timestamp(F.col("ts")).alias("timestamp"),
+                F.when(F.col("event_type") == "error", "failure")
+                .otherwise("success")
+                .alias("result"),
+                factor.alias("factor"),
+                F.struct(
+                    F.col("user_id").cast("string").alias("key"),
+                    F.concat(
+                        F.lit("user-"), F.col("user_id").cast("string")
+                    ).alias("name"),
+                ).alias("user"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("duo.auth.factor").alias("factor"),
+        F.col("event.outcome").alias("outcome"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_attempts"),
+        F.countDistinct(F.col("user.name")).alias("n_users"),
+    )
+
+
+@query(
+    "o365_workload_actions",
+    oracle="""
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'Exchange'
+                ELSE 'SharePoint' END AS provider,
+           event_type AS action,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_ops
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def o365_workload_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload/operation rollup through the ported o365 audit pack:
+    events → Office 365 Management Activity JSON (CreationTime with
+    the transform's Z-splitting quirk) → compiled transform (Workload
+    → event.provider, Operation → event.action) → per-day operation
+    counts."""
+    td = _table_def("o365", "audit")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.concat(
+                    F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+                    F.lit("Z"),
+                ).alias("CreationTime"),
+                F.col("event_id").cast("string").alias("Id"),
+                F.when(F.col("user_id") % 2 == 0, "Exchange")
+                .otherwise("SharePoint")
+                .alias("Workload"),
+                F.col("event_type").alias("Operation"),
+                F.concat(
+                    F.lit("user-"), F.col("user_id").cast("string")
+                ).alias("UserId"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("event.provider").alias("provider"),
+        F.col("event.action").alias("action"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_ops"))
