@@ -813,3 +813,110 @@ def o365_workload_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event.action").alias("action"),
         F.date_trunc("day", F.col("ts")).alias("day"),
     ).agg(F.count(F.lit(1)).alias("n_ops"))
+
+
+@query(
+    "vpcflow_action_rollup",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'REJECT'
+                ELSE 'ACCEPT' END AS action,
+           COUNT(*) AS n_flows,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT concat('10.0.', CAST(user_id % 250 AS VARCHAR),
+                                 '.9')) AS n_sources
+    FROM events
+    GROUP BY 1
+    """,
+)
+def vpcflow_action_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow-action rollup through the ported aws_vpcflow pack: events
+    → space-separated v2 flow-log lines → the pack's
+    parse_aws_vpc_flow_log positional transform (srcaddr → source.ip,
+    bytes → network.bytes, action passthrough) → accept/reject totals.
+    Exercises the custom VPC-flow scalar function end-to-end."""
+    td = _table_def("aws_vpcflow", "default")
+    ev = t(spark, sf_dir, "events")
+    action = F.when(F.col("event_type") == "error", "REJECT").otherwise(
+        "ACCEPT"
+    )
+    start = F.unix_timestamp(F.col("ts")).cast("string")
+    line = F.concat_ws(
+        " ",
+        F.lit("2"),
+        F.lit("123456789012"),
+        F.concat(F.lit("eni-"), F.col("event_id").cast("string")),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 250).cast("string"), F.lit(".9")),
+        F.lit("203.0.113.12"),
+        F.lit("44321"),
+        F.lit("443"),
+        F.lit("6"),
+        F.lit("10"),
+        F.floor("value").cast("bigint").cast("string"),
+        start,
+        start,
+        action,
+        F.lit("OK"),
+    )
+    raw = ev.select(line.alias("message"))
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(F.col("aws.vpcflow.action").alias("action")).agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("network.bytes").cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.col("source.ip")).alias("n_sources"),
+    )
+
+
+@query(
+    "elb_status_rollup",
+    oracle="""
+    SELECT CASE event_type WHEN 'error' THEN 503
+                           WHEN 'purchase' THEN 200
+                           ELSE 404 END AS status_code,
+           COUNT(*) AS n_requests,
+           COUNT(DISTINCT concat('192.0.2.', CAST(user_id % 200 AS VARCHAR)))
+             AS n_clients
+    FROM events
+    GROUP BY 1
+    """,
+)
+def elb_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status rollup through the ported aws_elb pack: events → ALB
+    access-log lines → the pack's grok-cascade transform (ELBHTTPLOG
+    pattern: status extraction, client ip:port split) → status
+    histogram with distinct clients. Exercises the grok compiler on
+    its heaviest shipped pattern."""
+    td = _table_def("aws_elb", "default")
+    ev = t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", "503")
+        .when(F.col("event_type") == "purchase", "200")
+        .otherwise("404")
+    )
+    ts_str = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z")
+    )
+    client = F.concat(F.lit("192.0.2."), (F.col("user_id") % 200).cast("string"))
+    line = F.concat(
+        F.lit("http "),
+        ts_str,
+        F.lit(" app/my-alb/50dc6c495c0c9188 "),
+        client,
+        F.lit(":34567 10.0.1.5:80 0.000 0.001 0.000 "),
+        status,
+        F.lit(" "),
+        status,
+        F.lit(' 34 366 "GET http://www.example.com:80/path?q=1 HTTP/1.1" '),
+        F.lit('"curl/7.46.0" - - '),
+        F.lit("arn:aws:elasticloadbalancing:us-east-1:1:targetgroup/tg/abc "),
+        F.lit('"Root=1-58337262-36d228ad5d99923122bbe354" "-" "-" 0 '),
+        ts_str,
+        F.lit(' "forward" "-" "-"'),
+    )
+    raw = ev.select(line.alias("message"))
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("http.response.status_code").alias("status_code")
+    ).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct(F.col("source.ip")).alias("n_clients"),
+    )
