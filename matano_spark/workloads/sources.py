@@ -920,3 +920,309 @@ def elb_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_requests"),
         F.countDistinct(F.col("source.ip")).alias("n_clients"),
     )
+
+
+@query(
+    "onepassword_signin_outcomes",
+    oracle="""
+    SELECT CASE event_type WHEN 'purchase' THEN 'success'
+                           WHEN 'error' THEN 'credentials_failed'
+                           ELSE 'firewall_reported_success' END AS action,
+           CASE WHEN event_type = 'error' THEN 'failure'
+                ELSE 'success' END AS outcome,
+           COUNT(*) AS n_attempts,
+           COUNT(DISTINCT concat('user-', CAST(user_id AS VARCHAR),
+                                 '@example.com')) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def onepassword_signin_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-in outcome rollup through the ported onepassword pack:
+    events → 1Password signinattempts JSON (epoch-seconds timestamp,
+    nested target_user/client) → compiled transform (category →
+    event.action, success-category list → event.outcome)."""
+    td = _table_def("onepassword", "signin_attempts")
+    ev = t(spark, sf_dir, "events")
+    category = (
+        F.when(F.col("event_type") == "purchase", "success")
+        .when(F.col("event_type") == "error", "credentials_failed")
+        .otherwise("firewall_reported_success")
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.unix_timestamp(F.col("ts")).alias("timestamp"),
+                F.col("event_id").cast("string").alias("uuid"),
+                category.alias("category"),
+                F.struct(
+                    F.col("user_id").cast("string").alias("uuid"),
+                    F.concat(
+                        F.lit("user-"), F.col("user_id").cast("string")
+                    ).alias("name"),
+                    F.concat(
+                        F.lit("user-"),
+                        F.col("user_id").cast("string"),
+                        F.lit("@example.com"),
+                    ).alias("email"),
+                ).alias("target_user"),
+                F.struct(
+                    F.concat(
+                        F.lit("198.51.100."),
+                        (F.col("user_id") % 200).cast("string"),
+                    ).alias("ip_address")
+                ).alias("client"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("event.action").alias("action"),
+        F.col("event.outcome").alias("outcome"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_attempts"),
+        F.countDistinct(F.col("user.email")).alias("n_users"),
+    )
+
+
+@query(
+    "snyk_audit_actions",
+    oracle="""
+    SELECT concat('org.project.', event_type) AS action,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT concat('u-', CAST(user_id AS VARCHAR))) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def snyk_audit_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-action rollup through the ported snyk pack: events →
+    Snyk group audit JSON (epoch-seconds created) → compiled transform
+    (event → event.action, userId → user.id)."""
+    td = _table_def("snyk", "audit")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.unix_timestamp(F.col("ts")).alias("created"),
+                F.concat(F.lit("org.project."), F.col("event_type")).alias(
+                    "event"
+                ),
+                F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias(
+                    "userId"
+                ),
+                F.lit("g-1").alias("groupId"),
+                F.lit("o-1").alias("orgId"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(F.col("event.action").alias("action")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("user.id")).alias("n_users"),
+    )
+
+
+@query(
+    "waf_action_rollup",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'BLOCK'
+                ELSE 'ALLOW' END AS action,
+           COUNT(*) AS n_requests,
+           COUNT(DISTINCT concat('203.0.113.',
+                                 CAST(user_id % 200 AS VARCHAR))) AS n_clients
+    FROM events
+    GROUP BY 1
+    """,
+)
+def waf_action_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allow/block rollup through the ported aws_waf pack: events →
+    WAF log JSON (epoch-millis timestamp, webaclId ARN regex-parsed,
+    nested httpRequest) → compiled transform."""
+    td = _table_def("aws_waf", "default")
+    ev = t(spark, sf_dir, "events")
+    action = F.when(F.col("event_type") == "error", "BLOCK").otherwise("ALLOW")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.unix_millis(F.col("ts")).alias("timestamp"),
+                action.alias("action"),
+                F.lit(
+                    "arn:aws:wafv2:us-east-1:123456789012:regional/webacl/acl/1"
+                ).alias("webaclId"),
+                F.struct(
+                    F.concat(
+                        F.lit("203.0.113."),
+                        (F.col("user_id") % 200).cast("string"),
+                    ).alias("clientIp"),
+                    F.lit("US").alias("country"),
+                    F.lit("HTTP/1.1").alias("httpVersion"),
+                    F.lit("GET").alias("httpMethod"),
+                    F.lit("/index.html").alias("uri"),
+                ).alias("httpRequest"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(F.col("event.action").alias("action")).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct(F.col("source.ip")).alias("n_clients"),
+    )
+
+
+@query(
+    "route53_qtype_rcode_rollup",
+    oracle="""
+    SELECT CASE user_id % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'AAAA'
+                            ELSE 'TXT' END AS qtype,
+           CASE WHEN event_type = 'error' THEN 'SERVFAIL'
+                ELSE 'NOERROR' END AS rcode,
+           COUNT(*) AS n_queries,
+           COUNT(DISTINCT concat('host', CAST(user_id AS VARCHAR),
+                                 '.example.com')) AS n_names
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def route53_qtype_rcode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DNS query-type/response-code rollup through the ported
+    aws_route53_resolver_logs pack: events → resolver query-log JSON →
+    compiled transform (trailing-dot strip on question names, rcode
+    passthrough)."""
+    td = _table_def("aws_route53_resolver_logs", "default")
+    ev = t(spark, sf_dir, "events")
+    qtype = (
+        F.when(F.col("user_id") % 3 == 0, "A")
+        .when(F.col("user_id") % 3 == 1, "AAAA")
+        .otherwise("TXT")
+    )
+    rcode = F.when(F.col("event_type") == "error", "SERVFAIL").otherwise(
+        "NOERROR"
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("string").alias("query_timestamp"),
+                F.lit("123456789012").alias("account_id"),
+                F.lit("us-east-1").alias("region"),
+                F.concat(
+                    F.lit("host"),
+                    F.col("user_id").cast("string"),
+                    F.lit(".example.com."),
+                ).alias("query_name"),
+                qtype.alias("query_type"),
+                F.lit("IN").alias("query_class"),
+                rcode.alias("rcode"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("dns.question.type").alias("qtype"),
+        F.col("dns.response_code").alias("rcode"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.countDistinct(F.col("dns.question.name")).alias("n_names"),
+    )
+
+
+@query(
+    "gworkspace_login_actions",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'login_failure'
+                WHEN event_type = 'purchase' THEN 'login_success'
+                ELSE 'logout' END AS action,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT concat('user-', CAST(user_id AS VARCHAR)))
+             AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def gworkspace_login_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Login-activity rollup through the ported google_workspace login
+    pack: events → Reports API JSON (nested id/actor/events[]) →
+    compiled transform (events[0].name → event.action, email
+    splitting into user.name/domain)."""
+    td = _table_def("google_workspace", "login")
+    ev = t(spark, sf_dir, "events")
+    action = (
+        F.when(F.col("event_type") == "error", "login_failure")
+        .when(F.col("event_type") == "purchase", "login_success")
+        .otherwise("logout")
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.lit("admin#reports#activity").alias("kind"),
+                F.struct(
+                    F.col("ts").cast("string").alias("time"),
+                    F.col("event_id").cast("string").alias("uniqueQualifier"),
+                    F.lit("login").alias("applicationName"),
+                    F.lit("C0123").alias("customerId"),
+                ).alias("id"),
+                F.struct(
+                    F.concat(
+                        F.lit("user-"),
+                        F.col("user_id").cast("string"),
+                        F.lit("@example.com"),
+                    ).alias("email"),
+                    F.col("user_id").cast("string").alias("profileId"),
+                ).alias("actor"),
+                F.array(
+                    F.struct(
+                        action.alias("name"), F.lit("login").alias("type")
+                    )
+                ).alias("events"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(F.col("event.action").alias("action")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("user.name")).alias("n_users"),
+    )
+
+
+@query(
+    "cloudtrail_api_action_rollup",
+    oracle="""
+    SELECT concat('Api', event_type) AS action,
+           COUNT(*) AS n_calls,
+           COUNT(DISTINCT concat('arn:aws:iam::1:user/u',
+                                 CAST(user_id AS VARCHAR))) AS n_arns
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cloudtrail_api_action_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API action rollup through the ported aws_cloudtrail pack (the
+    reference's flagship source): events → CloudTrail records →
+    compiled transform (eventName → event.action, userIdentity.arn
+    nesting, del-based field moves)."""
+    td = _table_def("aws_cloudtrail", "default")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("string").alias("eventTime"),
+                F.concat(F.lit("Api"), F.col("event_type")).alias("eventName"),
+                F.lit("iam.amazonaws.com").alias("eventSource"),
+                F.struct(
+                    F.lit("IAMUser").alias("type"),
+                    F.col("user_id").cast("string").alias("principalId"),
+                    F.concat(
+                        F.lit("arn:aws:iam::1:user/u"),
+                        F.col("user_id").cast("string"),
+                    ).alias("arn"),
+                ).alias("userIdentity"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(F.col("event.action").alias("action")).agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.countDistinct(
+            F.col("aws.cloudtrail.user_identity.arn")
+        ).alias("n_arns"),
+    )
