@@ -1226,3 +1226,326 @@ def cloudtrail_api_action_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("aws.cloudtrail.user_identity.arn")
         ).alias("n_arns"),
     )
+
+
+@query(
+    "s3access_operation_rollup",
+    oracle="""
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'REST.GET.OBJECT'
+                ELSE 'REST.PUT.OBJECT' END AS operation,
+           CASE event_type WHEN 'error' THEN 403
+                           WHEN 'purchase' THEN 200
+                           ELSE 404 END AS status_code,
+           COUNT(*) AS n_requests,
+           COUNT(DISTINCT concat('192.0.2.', CAST(user_id % 200 AS VARCHAR)))
+             AS n_clients
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s3access_operation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operation/status rollup through the ported aws_s3access pack:
+    events → S3 server-access log lines → the pack's grok transform
+    (bracketed strftime date, operation token, status extraction)."""
+    td = _table_def("aws_s3access", "default")
+    ev = t(spark, sf_dir, "events")
+    op = F.when(F.col("user_id") % 2 == 0, "REST.GET.OBJECT").otherwise(
+        "REST.PUT.OBJECT"
+    )
+    status = (
+        F.when(F.col("event_type") == "error", "403")
+        .when(F.col("event_type") == "purchase", "200")
+        .otherwise("404")
+    )
+    ts_str = F.concat(
+        F.lit("["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000]"),
+    )
+    client = F.concat(F.lit("192.0.2."), (F.col("user_id") % 200).cast("string"))
+    line = F.concat_ws(
+        " ",
+        F.lit("79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be"),
+        F.lit("mybucket"),
+        ts_str,
+        client,
+        F.lit("requester-id"),
+        F.col("event_id").cast("string"),
+        op,
+        F.lit("some/key.txt"),
+        F.lit('"GET /mybucket/some/key.txt HTTP/1.1"'),
+        status,
+        F.lit("-"),
+        F.lit("113"),
+        F.lit("4096"),
+        F.lit("7"),
+        F.lit("-"),
+        F.lit('"-"'),
+        F.lit('"S3Console/0.4"'),
+        F.lit("-"),
+        F.lit("hostidhostid="),
+        F.lit("SigV4"),
+        F.lit("ECDHE-RSA-AES128-GCM-SHA256"),
+        F.lit("AuthHeader"),
+        F.lit("mybucket.s3.us-west-1.amazonaws.com"),
+        F.lit("TLSV1.2"),
+    )
+    raw = ev.select(line.alias("message"))
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("aws.s3access.operation").alias("operation"),
+        F.col("http.response.status_code").alias("status_code"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct(F.col("client.ip")).alias("n_clients"),
+    )
+
+
+@query(
+    "config_history_status_rollup",
+    oracle="""
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'AWS::EC2::Instance'
+                ELSE 'AWS::S3::Bucket' END AS resource_type,
+           CASE WHEN event_type = 'error' THEN 'ResourceDeleted'
+                ELSE 'OK' END AS status,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT concat('res-', CAST(user_id AS VARCHAR)))
+             AS n_resources
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def config_history_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Configuration-item rollup through the ported aws_config_history
+    pack: events → Config history records → compiled transform
+    (resourceType/status/resourceId mapping)."""
+    td = _table_def("aws_config_history", "default")
+    ev = t(spark, sf_dir, "events")
+    rtype = F.when(
+        F.col("user_id") % 2 == 0, "AWS::EC2::Instance"
+    ).otherwise("AWS::S3::Bucket")
+    status = F.when(F.col("event_type") == "error", "ResourceDeleted").otherwise(
+        "OK"
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.lit("1.3").alias("version"),
+                F.col("ts").cast("string").alias("configurationItemCaptureTime"),
+                status.alias("configurationItemStatus"),
+                rtype.alias("resourceType"),
+                F.concat(F.lit("res-"), F.col("user_id").cast("string")).alias(
+                    "resourceId"
+                ),
+                F.lit("us-east-1").alias("awsRegion"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("aws.config_history.resource.type").alias("resource_type"),
+        F.col("aws.config_history.item.status").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct(F.col("aws.config_history.resource.id")).alias(
+            "n_resources"
+        ),
+    )
+
+
+@query(
+    "inspector_severity_rollup",
+    oracle="""
+    SELECT CASE event_type WHEN 'error' THEN 'CRITICAL'
+                           WHEN 'purchase' THEN 'HIGH'
+                           ELSE 'MEDIUM' END AS severity,
+           COUNT(*) AS n_findings,
+           COUNT(DISTINCT concat('123456789', CAST(user_id % 100 AS VARCHAR)))
+             AS n_accounts
+    FROM events
+    GROUP BY 1
+    """,
+)
+def inspector_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finding-severity rollup through the ported aws_inspector pack:
+    events → Inspector2 findings JSON → compiled transform (updatedAt
+    → ts, severity/account mapping)."""
+    td = _table_def("aws_inspector", "default")
+    ev = t(spark, sf_dir, "events")
+    sev = (
+        F.when(F.col("event_type") == "error", "CRITICAL")
+        .when(F.col("event_type") == "purchase", "HIGH")
+        .otherwise("MEDIUM")
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("string").alias("updatedAt"),
+                sev.alias("severity"),
+                F.concat(
+                    F.lit("123456789"), (F.col("user_id") % 100).cast("string")
+                ).alias("awsAccountId"),
+                F.lit("A finding").alias("description"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("aws.inspector.severity").alias("severity")
+    ).agg(
+        F.count(F.lit(1)).alias("n_findings"),
+        F.countDistinct(F.col("cloud.account.id")).alias("n_accounts"),
+    )
+
+
+@query(
+    "falcon_severity_rollup",
+    oracle="""
+    SELECT CASE event_type WHEN 'error' THEN 'Critical'
+                           WHEN 'purchase' THEN 'High'
+                           ELSE 'Informational' END AS severity_name,
+           COUNT(*) AS n_detections,
+           COUNT(DISTINCT concat('user-', CAST(user_id AS VARCHAR)))
+             AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def falcon_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection-severity rollup through the ported crowdstrike_falcon
+    pack: events → Falcon streaming-API JSON (metadata + event blocks,
+    epoch-ms creation time) → compiled transform (tmp_ev stash,
+    SeverityName/UserName mapping)."""
+    td = _table_def("crowdstrike_falcon", "default")
+    ev = t(spark, sf_dir, "events")
+    sev = (
+        F.when(F.col("event_type") == "error", "Critical")
+        .when(F.col("event_type") == "purchase", "High")
+        .otherwise("Informational")
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("cid-1").alias("customerIDString"),
+                    F.unix_millis(F.col("ts")).alias("eventCreationTime"),
+                    F.lit("DetectionSummaryEvent").alias("eventType"),
+                ).alias("metadata"),
+                F.struct(
+                    sev.alias("SeverityName"),
+                    F.concat(
+                        F.lit("user-"), F.col("user_id").cast("string")
+                    ).alias("UserName"),
+                    F.concat(
+                        F.lit("host-"), (F.col("user_id") % 20).cast("string")
+                    ).alias("ComputerName"),
+                ).alias("event"),
+            )
+        ).alias("json")
+    )
+    ecs = _through_pipeline(td, raw)
+    return ecs.groupBy(
+        F.col("crowdstrike.event.SeverityName").alias("severity_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_detections"),
+        F.countDistinct(F.col("user.name")).alias("n_users"),
+    )
+
+
+@query(
+    "matano_alerts_rule_rollup",
+    oracle="""
+    SELECT concat('rule-', CAST(user_id % 5 AS VARCHAR)) AS rule_name,
+           CASE WHEN event_type = 'error' THEN 'high'
+                ELSE 'info' END AS severity,
+           COUNT(*) AS n_alerts
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def matano_alerts_rule_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-feed rollup through the ported matano_alerts loopback
+    pack: events → alert-sink JSON rows → from_json over the FULL
+    resolved alert schema (parse_with_schema) → per-rule severity
+    counts — the query a SOC dashboard runs over the alert table."""
+    td = _table_def("matano_alerts", "default")
+    ev = t(spark, sf_dir, "events")
+    sev = F.when(F.col("event_type") == "error", "high").otherwise("info")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.struct(
+                    F.struct(
+                        F.col("event_id").cast("string").alias("id"),
+                        sev.alias("severity"),
+                        F.struct(
+                            F.concat(
+                                F.lit("rule-"),
+                                (F.col("user_id") % 5).cast("string"),
+                            ).alias("name"),
+                            sev.alias("severity"),
+                        ).alias("rule"),
+                    ).alias("alert")
+                ).alias("matano"),
+            )
+        ).alias("value")
+    )
+    from matano_spark.sources import readers  # noqa: F401
+
+    parsed = raw.select(
+        F.from_json("value", td.schema).alias("r")
+    ).select("r.*")
+    ecs = td.pipeline(parsed)
+    return ecs.groupBy(
+        F.col("matano.alert.rule.name").alias("rule_name"),
+        F.col("matano.alert.severity").alias("severity"),
+    ).agg(F.count(F.lit(1)).alias("n_alerts"))
+
+
+@query(
+    "s3inventory_storage_rollup",
+    oracle="""
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'STANDARD'
+                ELSE 'GLACIER' END AS storage_class,
+           COUNT(*) AS n_objects,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_bytes
+    FROM events
+    GROUP BY 1
+    """,
+)
+def s3inventory_storage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-class rollup through the ported aws_s3inventory pack
+    (CSV ingest — configured headers, no JSON hop): events → full
+    18-column inventory rows → compiled transform (bool/size casts,
+    object-lock nesting) → bytes by storage class."""
+    td = _table_def("aws_s3inventory", "default")
+    ev = t(spark, sf_dir, "events")
+    sc = F.when(F.col("user_id") % 2 == 0, "STANDARD").otherwise("GLACIER")
+    n = F.lit(None).cast("string")
+    raw = ev.select(
+        F.lit("mybucket").alias("bucket"),
+        F.concat(F.lit("k/"), F.col("event_id").cast("string")).alias("key"),
+        F.lit("v1").alias("version_id"),
+        F.lit("true").alias("is_latest"),
+        F.lit("false").alias("is_delete_marker"),
+        F.floor("value").cast("bigint").cast("string").alias("size"),
+        F.col("ts").cast("string").alias("last_modified"),
+        F.md5(F.col("event_id").cast("string")).alias("e_tag"),
+        sc.alias("storage_class"),
+        F.lit("false").alias("is_multipart_uploaded"),
+        n.alias("replication_status"),
+        n.alias("encryption_status"),
+        n.alias("object_lock_retain_until"),
+        n.alias("object_lock_mode"),
+        n.alias("object_lock_legal_hold"),
+        n.alias("intelligent_tiering_tier"),
+        n.alias("bucket_key_status"),
+        n.alias("checksum_algorithm"),
+    )
+    ecs = td.pipeline(raw)
+    return ecs.groupBy(
+        F.col("aws.s3inventory.storage_class").alias("storage_class")
+    ).agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.sum("file.size").cast("bigint").alias("total_bytes"),
+    )
