@@ -1728,3 +1728,61 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("weight_micro"),
     )
+
+
+@query(
+    "curation_pipeline_stats",
+    oracle=None,  # composed below from the verified stage oracles
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION pipeline as ONE composition of verified stages:
+    eval-slice exclusion + decontamination → dedup keep-list ('kept'
+    only) → quality filter (>= 0.5) → per-language corpus totals. The
+    number a data team actually reports: what survives into training,
+    by stratum. Both sides compose the SAME verified building blocks,
+    so the composite checks stage WIRING, not just stages.
+    """
+    from matano_spark.workloads import REGISTRY
+
+    decon = REGISTRY["decontamination_overlap"].fn(spark, sf_dir)
+    keep = REGISTRY["dedup_keep_list"].fn(spark, sf_dir)
+    quality = REGISTRY["text_quality_score"].fn(spark, sf_dir)
+    tokens = REGISTRY["text_token_stats"].fn(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    survivors = (
+        decon.filter(~F.col("contaminated"))
+        .select("doc_id")
+        .join(keep.filter(F.col("status") == "kept").select("doc_id"), "doc_id")
+        .join(
+            quality.filter(F.col("quality_score") >= 0.5).select("doc_id"),
+            "doc_id",
+        )
+    )
+    return (
+        survivors.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(tokens.select("doc_id", "ws_tokens"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
+        )
+    )
+
+
+_REG["curation_pipeline_stats"].oracle = f"""
+    WITH decon AS ({_oracle_of("decontamination_overlap")}),
+    keep AS ({_oracle_of("dedup_keep_list")}),
+    quality AS ({_oracle_of("text_quality_score")}),
+    tokens AS ({_oracle_of("text_token_stats")})
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tokens.ws_tokens) AS BIGINT) AS total_ws_tokens
+    FROM decon
+    JOIN keep ON keep.doc_id = decon.doc_id AND keep.status = 'kept'
+    JOIN quality ON quality.doc_id = decon.doc_id
+               AND quality.quality_score >= 0.5
+    JOIN tokens ON tokens.doc_id = decon.doc_id
+    JOIN documents d ON d.doc_id = decon.doc_id
+    WHERE NOT decon.contaminated
+    GROUP BY d.lang
+"""
