@@ -1,0 +1,200 @@
+"""Snapshot log for the parquet fallback: time travel, compaction,
+and snapshot expiry WITHOUT an Iceberg catalog.
+
+Where the Iceberg jar is on the classpath, LakeTable gets snapshots /
+`VERSION AS OF` / `expire_snapshots` from Iceberg metadata for free
+(ref IcebergMetadataWriter.kt commits; iceberg-maintenance.ts VACUUM
+cadence). This module gives the SAME contract to the parquet fallback,
+so the maintenance operators (M1/M2/M3 analogs) are executable — not
+just SQL-emitted — in catalogs-less environments:
+
+  - every write lands in a fresh immutable directory `d<id>/`,
+  - a manifest `_snapshots/<id>.json` records the LIVE directory set
+    after the operation (append = parent dirs + new; overwrite /
+    compact = just the new dir),
+  - reads resolve a manifest (latest or `at_snapshot`) and scan only
+    its directories — time travel is manifest selection,
+  - expiry deletes manifests beyond the retention and any directory
+    no retained manifest references (the orphan-file sweep VACUUM
+    performs).
+
+All filesystem access goes through the Hadoop FS API, so the layout
+works on any scheme the cluster can reach, not just the driver's local
+disk (same rule as streaming/rollup.py's markers).
+
+Concurrency note: the manifest id is allocated by listing — a single
+writer per table is assumed, exactly the reference's per-table Lambda
+writer model (SURVEY §3.1); multi-writer needs the catalog's atomic
+swap, which is precisely what real Iceberg adds.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matano_spark.lake import ts_hour_utc
+
+
+def _fs(spark, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+class SnapshotLakeTable:
+    def __init__(
+        self, spark: SparkSession, name: str, path: str, ts_col: str = "ts"
+    ):
+        self.spark = spark
+        self.name = name
+        self.path = path.rstrip("/")
+        self.ts_col = ts_col
+
+    # -- manifest I/O --------------------------------------------------
+    def _manifest_dir(self) -> str:
+        return f"{self.path}/_snapshots"
+
+    def snapshots(self) -> list[dict]:
+        """All retained manifests, oldest first."""
+        fs, p = _fs(self.spark, self._manifest_dir())
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            nm = st.getPath().getName()
+            if not nm.endswith(".json"):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                # py4j can't fill a Python buffer in place; commons-io
+                # (shipped with Hadoop) drains the stream JVM-side.
+                text = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            out.append(json.loads(text))
+        return sorted(out, key=lambda m: m["id"])
+
+    def _write_manifest(self, manifest: dict) -> None:
+        fs, _ = _fs(self.spark, self.path)
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{self._manifest_dir()}/{manifest['id']}.json"
+        )
+        stream = fs.create(p, True)
+        try:
+            stream.write(bytearray(json.dumps(manifest).encode()))
+        finally:
+            stream.close()
+
+    def _latest(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    # -- writes --------------------------------------------------------
+    def _land(self, df: DataFrame, snap_id: int) -> str:
+        d = f"d{snap_id}"
+        out = df
+        if self.ts_col in df.columns and "ts_hour" not in df.columns:
+            out = df.withColumn("ts_hour", ts_hour_utc(self.ts_col))
+        writer = out.write.mode("overwrite")
+        if "ts_hour" in out.columns:
+            writer = writer.partitionBy("ts_hour")
+        writer.parquet(f"{self.path}/{d}")
+        return d
+
+    def _commit(self, dirs: list[str], op: str, parent: int | None) -> int:
+        snap_id = (parent if parent is not None else -1) + 1
+        self._write_manifest(
+            {"id": snap_id, "parent": parent, "dirs": sorted(dirs), "op": op}
+        )
+        return snap_id
+
+    def append(self, df: DataFrame) -> int:
+        prev = self._latest()
+        snap_id = (prev["id"] if prev else -1) + 1
+        d = self._land(df, snap_id)
+        live = (prev["dirs"] if prev else []) + [d]
+        return self._commit(live, "append", prev["id"] if prev else None)
+
+    def overwrite(self, df: DataFrame) -> int:
+        prev = self._latest()
+        snap_id = (prev["id"] if prev else -1) + 1
+        d = self._land(df, snap_id)
+        return self._commit([d], "overwrite", prev["id"] if prev else None)
+
+    def compact(self) -> int:
+        """BIN_PACK analog (M1/M3): rewrite the live directory set into
+        ONE directory and commit a snapshot referencing only it. Old
+        directories stay on disk for time travel until expiry."""
+        prev = self._latest()
+        if prev is None or len(prev["dirs"]) <= 1:
+            return prev["id"] if prev else -1
+        snap_id = prev["id"] + 1
+        data = self.read()
+        d = self._land(data, snap_id)
+        return self._commit([d], "compact", prev["id"])
+
+    # -- reads ---------------------------------------------------------
+    def read(self, at_snapshot: int | None = None) -> DataFrame:
+        """Scan the directory set of one manifest (latest by default) —
+        `VERSION AS OF` is just manifest selection."""
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        if at_snapshot is None:
+            m = snaps[-1]
+        else:
+            match = [s for s in snaps if s["id"] == at_snapshot]
+            if not match:
+                raise KeyError(
+                    f"snapshot {at_snapshot} expired or never existed "
+                    f"(retained: {[s['id'] for s in snaps]})"
+                )
+            m = match[0]
+        # One scan per manifest directory, unioned — the same shape as
+        # Iceberg planning a scan from its manifest list; per-dir scans
+        # also keep schema evolution safe (allowMissingColumns).
+        dfs = [
+            self.spark.read.parquet(f"{self.path}/{d}") for d in m["dirs"]
+        ]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    # -- maintenance ---------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """M2 analog (VACUUM / expire_snapshots): drop manifests beyond
+        the retention, then delete any data directory no retained
+        manifest references — the orphan sweep that actually frees
+        storage after overwrites/compactions."""
+        snaps = self.snapshots()
+        keep = snaps[-keep_last:] if keep_last > 0 else []
+        drop = snaps[: len(snaps) - len(keep)]
+        live_dirs = {d for m in keep for d in m["dirs"]}
+        fs, _ = _fs(self.spark, self.path)
+        jvm = self.spark._jvm
+        for m in drop:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{self._manifest_dir()}/{m['id']}.json"
+                ),
+                False,
+            )
+        removed_dirs = []
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        for st in fs.listStatus(root):
+            nm = st.getPath().getName()
+            if nm.startswith("d") and nm[1:].isdigit() and nm not in live_dirs:
+                fs.delete(st.getPath(), True)
+                removed_dirs.append(nm)
+        return {
+            "expired_snapshots": [m["id"] for m in drop],
+            "removed_dirs": sorted(removed_dirs),
+            "retained": [m["id"] for m in keep],
+        }

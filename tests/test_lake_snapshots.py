@@ -1,0 +1,62 @@
+"""Snapshot log on the parquet fallback: time travel, compaction,
+expiry — the Iceberg contract without a catalog."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from matano_spark.lake_snapshots import SnapshotLakeTable
+
+
+def _rows(spark, ids, hour):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 5, 1, hour, 0, 0)) for i in ids],
+        "id long, ts timestamp",
+    )
+
+
+def test_append_time_travel_and_read(spark, tmp_path):
+    t = SnapshotLakeTable(spark, "snap_t", str(tmp_path / "t"))
+    s0 = t.append(_rows(spark, [1, 2], 10))
+    s1 = t.append(_rows(spark, [3], 11))
+    assert (s0, s1) == (0, 1)
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+    assert {r["id"] for r in t.read(at_snapshot=0).collect()} == {1, 2}
+    # hour partition column landed
+    assert t.read().select("ts_hour").distinct().count() == 2
+
+
+def test_overwrite_keeps_history_until_expiry(spark, tmp_path):
+    t = SnapshotLakeTable(spark, "snap_t", str(tmp_path / "t"))
+    t.append(_rows(spark, [1, 2], 10))
+    t.overwrite(_rows(spark, [9], 12))
+    assert {r["id"] for r in t.read().collect()} == {9}
+    # history still readable
+    assert {r["id"] for r in t.read(at_snapshot=0).collect()} == {1, 2}
+
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] == [0]
+    assert res["removed_dirs"] == ["d0"]  # orphaned by the overwrite
+    # current read unaffected; time travel to 0 now refuses
+    assert {r["id"] for r in t.read().collect()} == {9}
+    with pytest.raises(KeyError):
+        t.read(at_snapshot=0)
+
+
+def test_compact_rewrites_to_one_dir_same_rows(spark, tmp_path):
+    t = SnapshotLakeTable(spark, "snap_t", str(tmp_path / "t"))
+    for batch in ([1], [2], [3]):
+        t.append(_rows(spark, batch, 10))
+    before = {r["id"] for r in t.read().collect()}
+    sid = t.compact()
+    snaps = {m["id"]: m for m in t.snapshots()}
+    assert snaps[sid]["op"] == "compact"
+    assert len(snaps[sid]["dirs"]) == 1
+    assert {r["id"] for r in t.read().collect()} == before == {1, 2, 3}
+    # expiry after compaction frees the three small append dirs
+    res = t.expire_snapshots(keep_last=1)
+    assert set(res["removed_dirs"]) == {"d0", "d1", "d2"}
+    assert {r["id"] for r in t.read().collect()} == before
