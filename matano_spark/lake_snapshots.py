@@ -139,6 +139,30 @@ class SnapshotLakeTable:
         d = self._land(data, snap_id)
         return self._commit([d], "compact", prev["id"])
 
+    def merge_by_key(self, df: DataFrame, key_cols: list[str]) -> int:
+        """MERGE INTO analog with history: latest-wins upsert committed
+        as a fresh snapshot — the pre-merge state stays time-travelable
+        until expiry (Iceberg's copy-on-write MERGE behaves the same
+        way at the snapshot level)."""
+        from pyspark.sql import Window as W
+
+        prev = self._latest()
+        new = df.withColumn("__gen", F.lit(1))
+        if prev is not None:
+            old = self.read().withColumn("__gen", F.lit(0))
+            if "ts_hour" in old.columns and "ts_hour" not in new.columns:
+                old = old.drop("ts_hour")
+            merged = old.unionByName(new, allowMissingColumns=True)
+        else:
+            merged = new
+        w = W.partitionBy(*key_cols).orderBy(F.desc("__gen"))
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__gen")
+        )
+        return self.overwrite(latest)
+
     # -- reads ---------------------------------------------------------
     def read(self, at_snapshot: int | None = None) -> DataFrame:
         """Scan the directory set of one manifest (latest by default) —

@@ -60,3 +60,22 @@ def test_compact_rewrites_to_one_dir_same_rows(spark, tmp_path):
     res = t.expire_snapshots(keep_last=1)
     assert set(res["removed_dirs"]) == {"d0", "d1", "d2"}
     assert {r["id"] for r in t.read().collect()} == before
+
+
+def test_merge_by_key_upserts_with_history(spark, tmp_path):
+    t = SnapshotLakeTable(spark, "snap_t", str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 5, 1, 10)), (2, "b", dt.datetime(2024, 5, 1, 10))],
+        "id long, v string, ts timestamp",
+    )
+    t.append(base)
+    upd = spark.createDataFrame(
+        [(2, "B2", dt.datetime(2024, 5, 1, 11)), (3, "c", dt.datetime(2024, 5, 1, 11))],
+        "id long, v string, ts timestamp",
+    )
+    sid = t.merge_by_key(upd, ["id"])
+    now = {r["id"]: r["v"] for r in t.read().collect()}
+    assert now == {1: "a", 2: "B2", 3: "c"}
+    # the pre-merge state is still a snapshot away
+    before = {r["id"]: r["v"] for r in t.read(at_snapshot=sid - 1).collect()}
+    assert before == {1: "a", 2: "b"}
