@@ -126,3 +126,73 @@ def ingest_counts(spark: SparkSession, out_dir: str, quarantine_dir: str):
             return 0
 
     return _count(out_dir), _count(quarantine_dir)
+
+
+def run_ingest_snapshots(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    pipeline: Callable[[DataFrame], DataFrame],
+    table_path: str,
+    checkpoint_dir: str,
+    quarantine_dir: str,
+    table_name: str = "default",
+    ts_col: str = "ts",
+):
+    """run_ingest with a SNAPSHOT-LOG sink: each micro-batch commits
+    one snapshot whose directory is named by the epoch id, so a
+    checkpoint replay OVERWRITES the same directory and re-commits the
+    same manifest — idempotent end to end (the parquet-append sink can
+    duplicate rows on replay-after-write-before-commit; this one
+    cannot). Every batch is also time-travelable: `read(at_snapshot=
+    epoch)` is the lake exactly as of that micro-batch — the
+    Iceberg-commit-per-batch behavior (IcebergMetadataWriter.kt) on
+    the fallback."""
+    from matano_spark.lake_snapshots import SnapshotLakeTable
+
+    table = SnapshotLakeTable(spark, table_name, table_path, ts_col=ts_col)
+    stream = read_json_stream(spark, source_dir, schema)
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            bad = batch.filter(F.col(CORRUPT_COL).isNotNull())
+            good = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            if bad.count():
+                (
+                    bad.select(
+                        F.lit(table_name).alias("log_source"),
+                        F.lit("parse_error").alias("error_kind"),
+                        F.col(CORRUPT_COL).alias("raw"),
+                        F.lit(epoch_id).alias("epoch_id"),
+                    ).write.mode("overwrite").parquet(
+                        f"{quarantine_dir}/epoch={epoch_id}"
+                    )
+                )
+            # idempotent replay: if this epoch already committed, the
+            # re-run lands in the SAME dir and re-writes the SAME
+            # manifest (manifest ids == epoch ids by construction).
+            prev = table._latest()
+            d = table._land(pipeline(good), epoch_id)
+            live = [
+                x
+                for x in (prev["dirs"] if prev else [])
+                if int(x[1:]) < epoch_id
+            ] + [d]
+            table._write_manifest(
+                {
+                    "id": epoch_id,
+                    "parent": epoch_id - 1 if epoch_id > 0 else None,
+                    "dirs": sorted(live),
+                    "op": "append",
+                }
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -79,3 +79,44 @@ def test_merge_by_key_upserts_with_history(spark, tmp_path):
     # the pre-merge state is still a snapshot away
     before = {r["id"]: r["v"] for r in t.read(at_snapshot=sid - 1).collect()}
     assert before == {1: "a", 2: "b"}
+
+
+def test_snapshot_ingest_epoch_commits_and_replay(spark, tmp_path):
+    """One snapshot per micro-batch; a checkpoint replay of an epoch
+    rewrites the same directory + manifest instead of duplicating."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from matano_spark.streaming.ingest import run_ingest_snapshots
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+
+    def deliver(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(
+                    _json.dumps({"id": i, "ts": "2024-05-01T10:00:00Z"}) + "\n"
+                )
+
+    deliver("b0.jsonl", [1, 2])
+    q = run_ingest_snapshots(
+        spark, str(src), schema, lambda df: df,
+        str(tmp_path / "lake"), str(tmp_path / "ckpt"), str(tmp_path / "q"),
+    )
+    q.awaitTermination(120)
+    deliver("b1.jsonl", [3])
+    q = run_ingest_snapshots(
+        spark, str(src), schema, lambda df: df,
+        str(tmp_path / "lake"), str(tmp_path / "ckpt"), str(tmp_path / "q"),
+    )
+    q.awaitTermination(120)
+
+    t = SnapshotLakeTable(spark, "default", str(tmp_path / "lake"))
+    assert [m["id"] for m in t.snapshots()] == [0, 1]
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+    assert {r["id"] for r in t.read(at_snapshot=0).collect()} == {1, 2}
