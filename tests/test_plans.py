@@ -206,3 +206,15 @@ def test_curation_single_shuffle_claims(plans):
     assert plans("corpus_sample_stratified").count("Exchange") == 1
     assert plans("sketch_kmv_distinct").count("Exchange") <= 2
     assert "SortMergeJoin" not in plans("seq_packing_bins")
+
+
+def test_lpm_and_fuzzy_never_theta_join(plans):
+    """The LPM CIDR join must be per-length broadcast equi-joins and
+    the fuzzy matcher a gram-bucket equi-join — a cartesian or
+    nested-loop node here is the scale failure these operators exist
+    to avoid."""
+    for q in ("lpm_geo_enrichment", "fuzzy_name_pairs"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+    assert "BroadcastHashJoin" in plans("lpm_geo_enrichment")
