@@ -1549,3 +1549,90 @@ def s3inventory_storage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_objects"),
         F.sum("file.size").cast("bigint").alias("total_bytes"),
     )
+
+
+@query(
+    "threatfox_ioc_merge_lookup",
+    oracle="""
+    WITH conf AS (
+      SELECT p_partkey AS k,
+             CASE WHEN p_partkey <= 100 THEN 'High' ELSE 'Low' END
+               AS confidence
+      FROM part WHERE p_partkey BETWEEN 1 AND 150
+    ),
+    ev AS (SELECT user_id % 250 AS o FROM events)
+    SELECT confidence,
+           COUNT(*) AS n_hits,
+           COUNT(DISTINCT o) AS n_ips
+    FROM ev JOIN conf ON conf.k = ev.o
+    GROUP BY 1
+    """,
+)
+def threatfox_ioc_merge_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 MERGE mode through a REAL enrichment pack: two ThreatFox
+    feed deliveries sync into the abusech_threatfox store (write_mode:
+    merge on event.id) — the second raises confidence for half the
+    indicators, and latest-wins must show through the subsequent
+    broadcast lookup. Exercises ip:port ioc splitting, the confidence
+    tiering, AND the upsert write path inside the oracle gate.
+    """
+    import tempfile
+
+    from matano_spark.operators.enrichment import (
+        EnrichmentStore,
+        enrich,
+        sync_enrichment,
+    )
+
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_partkey").between(1, 150)
+    )
+
+    def feed(conf_col):
+        return part.select(
+            F.to_json(
+                F.struct(
+                    F.concat(
+                        F.lit("tf-"), F.col("p_partkey").cast("string")
+                    ).alias("id"),
+                    F.concat(
+                        F.lit("203.0.113."),
+                        F.col("p_partkey").cast("string"),
+                        F.lit(":443"),
+                    ).alias("ioc"),
+                    F.lit("ip:port").alias("ioc_type"),
+                    conf_col.cast("int").alias("confidence_level"),
+                    F.lit("rep").alias("reporter"),
+                )
+            ).alias("json")
+        )
+
+    pack = os.path.join(_PACK_ROOT, "..", "enrichment", "abusech_threatfox")
+    store = EnrichmentStore(spark, tempfile.mkdtemp(prefix="tf_oracle_"))
+    sync_enrichment(store, pack, feed(F.lit(20)))  # initial: all Low
+    # second delivery: first 100 indicators re-reported at High
+    updated = sync_enrichment(
+        store,
+        pack,
+        feed(
+            F.when(F.col("p_partkey") <= 100, F.lit(80)).otherwise(F.lit(20))
+        ),
+    )
+    flat = updated.selectExpr(
+        "threat.indicator.ip AS ip",
+        "threat.indicator.confidence AS confidence",
+    )
+    events = t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("203.0.113."), (F.col("user_id") % 250).cast("string")
+        ).alias("ip")
+    )
+    hits = enrich(events, flat, on={"ip": "ip"}, select=["confidence"], target="tf")
+    return (
+        hits.filter(F.col("tf").isNotNull())
+        .groupBy(F.col("tf.confidence").alias("confidence"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("ip").alias("n_ips"),
+        )
+    )
