@@ -1636,3 +1636,66 @@ def threatfox_ioc_merge_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("ip").alias("n_ips"),
         )
     )
+
+
+@query(
+    "otx_append_indicator_lookup",
+    oracle="""
+    WITH iocs AS (
+      SELECT DISTINCT n_nationkey AS k FROM nation          -- pulse 1
+      UNION ALL
+      SELECT DISTINCT n_nationkey + 100 FROM nation         -- pulse 2
+    ),
+    ev AS (SELECT user_id % 250 AS o FROM events)
+    SELECT COUNT(*) AS n_hits, COUNT(DISTINCT o) AS n_ips
+    FROM ev JOIN iocs ON iocs.k = ev.o
+    """,
+)
+def otx_append_indicator_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND write mode through the otx enrichment pack: two pulse
+    deliveries accumulate (append — unlike cisa_kev's overwrite or
+    threatfox's merge), and indicators from BOTH must hit from the
+    lookup side. All three reference write modes now sit inside the
+    gate."""
+    import tempfile
+
+    from matano_spark.operators.enrichment import (
+        EnrichmentStore,
+        enrich,
+        sync_enrichment,
+    )
+
+    nation = t(spark, sf_dir, "nation")
+
+    def pulse(offset: int):
+        return nation.select(
+            F.to_json(
+                F.struct(
+                    (F.col("n_nationkey") + offset).cast("long").alias("id"),
+                    F.concat(
+                        F.lit("203.0.113."),
+                        (F.col("n_nationkey") + offset).cast("string"),
+                    ).alias("indicator"),
+                    F.lit("IPv4").alias("type"),
+                    F.lit("c2").alias("description"),
+                    F.lit("white").alias("tlp"),
+                )
+            ).alias("json")
+        )
+
+    pack = os.path.join(_PACK_ROOT, "..", "enrichment", "otx")
+    store = EnrichmentStore(spark, tempfile.mkdtemp(prefix="otx_oracle_"))
+    sync_enrichment(store, pack, pulse(0))
+    landed = sync_enrichment(store, pack, pulse(100))
+    flat = landed.selectExpr("threat.indicator.ip AS ip").distinct()
+    events = t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("203.0.113."), (F.col("user_id") % 250).cast("string")
+        ).alias("ip")
+    )
+    hits = enrich(events, flat.withColumn("seen", F.lit(1)), on={"ip": "ip"},
+                  select=["seen"], target="otx")
+    return hits.filter(F.col("otx").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("ip").alias("n_ips"),
+    )
