@@ -138,6 +138,17 @@ def sync_enrichment(store: EnrichmentStore, pack_dir: str, raw: DataFrame) -> Da
     return store.read(ed.name)
 
 
+def ip4_long(c: Column) -> Column:
+    """Dotted-quad IPv4 string → bigint (ref VRL ip_pton analog)."""
+    o = F.split(c, r"\.")
+    return (
+        F.element_at(o, 1).cast("bigint") * 16777216
+        + F.element_at(o, 2).cast("bigint") * 65536
+        + F.element_at(o, 3).cast("bigint") * 256
+        + F.element_at(o, 4).cast("bigint")
+    )
+
+
 def lpm_join(
     events: DataFrame,
     cidrs: DataFrame,
@@ -147,35 +158,34 @@ def lpm_join(
     """Longest-prefix-match CIDR enrichment (GeoIP/ASN-style lookup).
 
     The naive formulation is a theta join (ip BETWEEN range_start AND
-    range_end) with per-row candidate scans; this one is a UNION of
-    EQUI-joins: for each distinct prefix length L in the dim table,
-    events compute `ip & mask(L)` map-side and equi-join against the
-    dim rows of that length; the longest match per event wins via one
-    max-prefix aggregation. CIDR tables (GeoIP ~3M rows, ~30 distinct
-    lengths) BROADCAST; the event side never shuffles for the probe —
-    only the final longest-wins reduction keys on the event id.
+    range_end) with per-row candidate scans. This one is a CHAIN of
+    broadcast LEFT equi-joins, one per distinct prefix length in the
+    dim table, probed longest-first, folded with `coalesce`:
+
+        events ⟕ dim/32 ⟕ dim/31 ⟕ ... ⟕ dim/8
+        match = coalesce(m32, m31, ..., m8)
+
+    Each per-length join keys on `ip & mask(L)` computed map-side, so
+    the whole probe chain is broadcast hash joins inside ONE codegen
+    stage: the 100 TB event side is scanned exactly once and NEVER
+    shuffles — not for the probe, not for the longest-wins pick
+    (coalesce is a row-local expression, so there is no reduction
+    step at all, and duplicate event rows trivially survive). CIDR
+    tables (GeoIP ~3M rows, ~30 distinct lengths) broadcast.
 
     Adds: every column of `cidrs` except the cidr string lands on the
     matched rows; events with no covering prefix are dropped (inner
-    semantics — wrap with a left join on the output for keep-all).
+    semantics — the `__m` struct is exposed pre-filter for callers
+    wanting left semantics). Dim rows duplicated on the same network
+    are deduplicated deterministically (stable-hash keeper).
     """
-    from pyspark.sql import functions as F
-
-    def ip_long(c):
-        o = F.split(c, r"\.")
-        return (
-            F.element_at(o, 1).cast("bigint") * 16777216
-            + F.element_at(o, 2).cast("bigint") * 65536
-            + F.element_at(o, 3).cast("bigint") * 256
-            + F.element_at(o, 4).cast("bigint")
-        )
-
+    payload = [c for c in cidrs.columns if c != cidr_col]
     dim = cidrs.select(
         "*",
         F.split(F.col(cidr_col), "/").alias("__p"),
     ).select(
         "*",
-        ip_long(F.element_at(F.col("__p"), 1)).alias("__base"),
+        ip4_long(F.element_at(F.col("__p"), 1)).alias("__base"),
         F.element_at(F.col("__p"), 2).cast("int").alias("__len"),
     ).drop("__p")
     # normalize the base to its network address at its own length
@@ -183,29 +193,38 @@ def lpm_join(
     dim = dim.withColumn("__net", F.col("__base") - (F.col("__base") % shift)).drop(
         "__base"
     )
-    lengths = [r["__len"] for r in dim.select("__len").distinct().collect()]
+    # deterministic keeper for dim rows that collapse to one network
+    wd = W.partitionBy("__len", "__net").orderBy(F.xxhash64(*payload))
+    dim = (
+        dim.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # control-plane: the distinct-length list (≤33 rows for v4)
+    lengths = sorted(
+        (r["__len"] for r in dim.select("__len").distinct().collect()),
+        reverse=True,
+    )
+    if not lengths:
+        empty = events.limit(0)
+        for fld in [f for f in dim.schema.fields if f.name in payload]:
+            empty = empty.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        return empty
 
-    parts = []
-    ev_ip = ip_long(F.col(ip_col))
-    for ln in sorted(lengths):
+    ev_ip = ip4_long(F.col(ip_col))
+    out = events
+    probes = []
+    for ln in lengths:
         block = 1 << (32 - ln)
         masked = ev_ip - (ev_ip % F.lit(block))
-        d = dim.filter(F.col("__len") == ln)
-        parts.append(
-            events.withColumn("__net", masked).join(
-                F.broadcast(d), "__net"
-            )
+        d = dim.filter(F.col("__len") == ln).select(
+            F.col("__net").alias(f"__net_{ln}"),
+            F.struct(*payload).alias(f"__m_{ln}"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    # longest prefix wins per event row
-    from pyspark.sql import Window as W
-
-    event_cols = [c for c in events.columns]
-    w = W.partitionBy(*event_cols).orderBy(F.desc("__len"))
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__net", "__len", cidr_col)
-    )
+        out = out.join(F.broadcast(d), masked == F.col(f"__net_{ln}"), "left").drop(
+            f"__net_{ln}"
+        )
+        probes.append(f"__m_{ln}")
+    # longest prefix wins — a row-local coalesce, no shuffle, no window
+    out = out.withColumn("__m", F.coalesce(*probes)).drop(*probes)
+    return out.filter(F.col("__m").isNotNull()).select(*events.columns, "__m.*")

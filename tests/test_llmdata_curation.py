@@ -136,3 +136,29 @@ def test_lpm_join_longest_prefix_wins(spark):
     dim2 = spark.createDataFrame([("10.1.2.99/24", "norm")], ["cidr", "label"])
     out2 = {r["id"]: r["label"] for r in lpm_join(ev, dim2).collect()}
     assert out2 == {1: "norm"}
+
+
+def test_lpm_join_duplicate_event_rows_survive(spark):
+    """r4 verdict regression: identical event rows must each produce
+    an output row (the old all-columns window collapsed them)."""
+    from matano_spark.operators.enrichment import lpm_join
+
+    ev = spark.createDataFrame(
+        [("u1", "10.1.2.3"), ("u1", "10.1.2.3"), ("u1", "10.1.2.3")],
+        "user string, ip string",
+    )
+    dim = spark.createDataFrame(
+        [("10.0.0.0/8", "wide"), ("10.1.0.0/16", "narrow")],
+        ["cidr", "label"],
+    )
+    out = lpm_join(ev, dim).collect()
+    assert len(out) == 3
+    assert {r["label"] for r in out} == {"narrow"}
+    # and a duplicated NETWORK in the dim keeps a single deterministic
+    # keeper rather than duplicating every matching event
+    dim_dup = spark.createDataFrame(
+        [("10.1.0.0/16", "a"), ("10.1.0.99/16", "b")], ["cidr", "label"]
+    )
+    out2 = lpm_join(ev, dim_dup).collect()
+    assert len(out2) == 3
+    assert len({r["label"] for r in out2}) == 1
