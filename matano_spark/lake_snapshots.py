@@ -96,8 +96,7 @@ class SnapshotLakeTable:
         return snaps[-1] if snaps else None
 
     # -- writes --------------------------------------------------------
-    def _land(self, df: DataFrame, snap_id: int) -> str:
-        d = f"d{snap_id}"
+    def _land(self, df: DataFrame, d: str) -> str:
         out = df
         if self.ts_col in df.columns and "ts_hour" not in df.columns:
             out = df.withColumn("ts_hour", ts_hour_utc(self.ts_col))
@@ -117,15 +116,47 @@ class SnapshotLakeTable:
     def append(self, df: DataFrame) -> int:
         prev = self._latest()
         snap_id = (prev["id"] if prev else -1) + 1
-        d = self._land(df, snap_id)
+        d = self._land(df, f"d{snap_id}")
         live = (prev["dirs"] if prev else []) + [d]
         return self._commit(live, "append", prev["id"] if prev else None)
 
     def overwrite(self, df: DataFrame) -> int:
         prev = self._latest()
         snap_id = (prev["id"] if prev else -1) + 1
-        d = self._land(df, snap_id)
+        d = self._land(df, f"d{snap_id}")
         return self._commit([d], "overwrite", prev["id"] if prev else None)
+
+    def commit_epoch(self, df: DataFrame, epoch_id: int) -> int:
+        """Streaming-sink commit: one snapshot per micro-batch,
+        idempotent under checkpoint replay.
+
+        The data directory is named by the EPOCH (`e<epoch>`), so a
+        replay re-lands identical bytes into the same directory; the
+        manifest id comes from the table's monotonic snapshot counter
+        and records the epoch it belongs to. This keeps streaming
+        commits and maintenance snapshots (compact/overwrite/merge,
+        which allocate latest+1) in ONE id space — a compact() between
+        micro-batches can no longer be overwritten or filtered out by
+        the next epoch (the r4 epoch-id/snapshot-id collision)."""
+        d = self._land(df, f"e{epoch_id}")
+        snaps = self.snapshots()
+        existing = [m for m in snaps if m.get("epoch") == epoch_id]
+        if existing:
+            # Replay: the data dir was re-landed (identical content);
+            # the original manifest IS the commit — nothing to add.
+            return existing[-1]["id"]
+        prev = snaps[-1] if snaps else None
+        snap_id = (prev["id"] if prev else -1) + 1
+        self._write_manifest(
+            {
+                "id": snap_id,
+                "parent": prev["id"] if prev else None,
+                "dirs": sorted((prev["dirs"] if prev else []) + [d]),
+                "op": "append",
+                "epoch": epoch_id,
+            }
+        )
+        return snap_id
 
     def compact(self) -> int:
         """BIN_PACK analog (M1/M3): rewrite the live directory set into
@@ -136,14 +167,20 @@ class SnapshotLakeTable:
             return prev["id"] if prev else -1
         snap_id = prev["id"] + 1
         data = self.read()
-        d = self._land(data, snap_id)
+        d = self._land(data, f"d{snap_id}")
         return self._commit([d], "compact", prev["id"])
 
     def merge_by_key(self, df: DataFrame, key_cols: list[str]) -> int:
         """MERGE INTO analog with history: latest-wins upsert committed
         as a fresh snapshot — the pre-merge state stays time-travelable
         until expiry (Iceberg's copy-on-write MERGE behaves the same
-        way at the snapshot level)."""
+        way at the snapshot level).
+
+        Tiebreaker: when the INCOMING batch itself carries several rows
+        for one key, `__gen` alone leaves the keeper partition-order-
+        dependent; a stable content hash over the non-key columns makes
+        the pick deterministic across runs (engine-portable-determinism
+        convention)."""
         from pyspark.sql import Window as W
 
         prev = self._latest()
@@ -155,7 +192,10 @@ class SnapshotLakeTable:
             merged = old.unionByName(new, allowMissingColumns=True)
         else:
             merged = new
-        w = W.partitionBy(*key_cols).orderBy(F.desc("__gen"))
+        payload = [c for c in merged.columns if c not in (*key_cols, "__gen")]
+        w = W.partitionBy(*key_cols).orderBy(
+            F.desc("__gen"), F.xxhash64(*payload) if payload else F.lit(0)
+        )
         latest = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -214,7 +254,7 @@ class SnapshotLakeTable:
         root = jvm.org.apache.hadoop.fs.Path(self.path)
         for st in fs.listStatus(root):
             nm = st.getPath().getName()
-            if nm.startswith("d") and nm[1:].isdigit() and nm not in live_dirs:
+            if nm[:1] in ("d", "e") and nm[1:].isdigit() and nm not in live_dirs:
                 fs.delete(st.getPath(), True)
                 removed_dirs.append(nm)
         return {

@@ -140,14 +140,16 @@ def run_ingest_snapshots(
     ts_col: str = "ts",
 ):
     """run_ingest with a SNAPSHOT-LOG sink: each micro-batch commits
-    one snapshot whose directory is named by the epoch id, so a
-    checkpoint replay OVERWRITES the same directory and re-commits the
-    same manifest — idempotent end to end (the parquet-append sink can
-    duplicate rows on replay-after-write-before-commit; this one
-    cannot). Every batch is also time-travelable: `read(at_snapshot=
-    epoch)` is the lake exactly as of that micro-batch — the
-    Iceberg-commit-per-batch behavior (IcebergMetadataWriter.kt) on
-    the fallback."""
+    one snapshot whose DATA DIRECTORY is named by the epoch id, so a
+    checkpoint replay OVERWRITES the same directory and keeps the
+    original manifest — idempotent end to end (the parquet-append sink
+    can duplicate rows on replay-after-write-before-commit; this one
+    cannot). Manifest ids come from the table's monotonic snapshot
+    counter (shared with compact/overwrite/merge), so maintenance ops
+    interleave safely between micro-batches. Every batch is also
+    time-travelable: the manifest whose `epoch` field matches is the
+    lake exactly as of that micro-batch — the Iceberg-commit-per-batch
+    behavior (IcebergMetadataWriter.kt) on the fallback."""
     from matano_spark.lake_snapshots import SnapshotLakeTable
 
     table = SnapshotLakeTable(spark, table_name, table_path, ts_col=ts_col)
@@ -169,24 +171,11 @@ def run_ingest_snapshots(
                         f"{quarantine_dir}/epoch={epoch_id}"
                     )
                 )
-            # idempotent replay: if this epoch already committed, the
-            # re-run lands in the SAME dir and re-writes the SAME
-            # manifest (manifest ids == epoch ids by construction).
-            prev = table._latest()
-            d = table._land(pipeline(good), epoch_id)
-            live = [
-                x
-                for x in (prev["dirs"] if prev else [])
-                if int(x[1:]) < epoch_id
-            ] + [d]
-            table._write_manifest(
-                {
-                    "id": epoch_id,
-                    "parent": epoch_id - 1 if epoch_id > 0 else None,
-                    "dirs": sorted(live),
-                    "op": "append",
-                }
-            )
+            # idempotent replay: commit_epoch re-lands the epoch-named
+            # dir and reuses the original manifest; maintenance
+            # snapshots (compact etc.) interleave safely because the
+            # manifest counter is shared, not the epoch id.
+            table.commit_epoch(pipeline(good), epoch_id)
         finally:
             batch.unpersist()
 

@@ -120,3 +120,48 @@ def test_snapshot_ingest_epoch_commits_and_replay(spark, tmp_path):
     assert [m["id"] for m in t.snapshots()] == [0, 1]
     assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
     assert {r["id"] for r in t.read(at_snapshot=0).collect()} == {1, 2}
+
+
+def test_compact_between_epochs_survives_next_commit(spark, tmp_path):
+    """r4 ADVICE regression: a compact() between micro-batches used to
+    allocate the id the next epoch would reuse, so the next epoch's
+    commit silently dropped the compacted data. Epoch dirs + the
+    shared monotonic manifest counter keep both."""
+    t = SnapshotLakeTable(spark, "snap_t", str(tmp_path / "t"))
+    t.commit_epoch(_rows(spark, [1, 2], 10), epoch_id=0)
+    t.commit_epoch(_rows(spark, [3], 10), epoch_id=1)
+    cid = t.compact()
+    t.commit_epoch(_rows(spark, [4], 11), epoch_id=2)
+    # all rows — including the compacted ones — are in the latest view
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3, 4}
+    snaps = t.snapshots()
+    assert [m["id"] for m in snaps] == [0, 1, 2, 3]
+    assert snaps[2]["op"] == "compact" and snaps[2]["id"] == cid
+    # epoch replay is still idempotent: re-commit of epoch 2 adds no
+    # manifest and no rows
+    t.commit_epoch(_rows(spark, [4], 11), epoch_id=2)
+    assert [m["id"] for m in t.snapshots()] == [0, 1, 2, 3]
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4]
+    # expiry sweeps orphaned EPOCH dirs too once compaction supersedes
+    t.compact()
+    res = t.expire_snapshots(keep_last=1)
+    assert "e0" in res["removed_dirs"] and "e1" in res["removed_dirs"]
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4]
+
+
+def test_merge_by_key_deterministic_on_duplicate_incoming(spark, tmp_path):
+    """ADVICE regression: duplicate keys WITHIN one incoming batch must
+    resolve to the same keeper on every run (stable-hash tiebreaker)."""
+    t = SnapshotLakeTable(spark, "snap_t", str(tmp_path / "t"), ts_col="nope")
+    base = spark.createDataFrame([(1, "x")], "id long, v string")
+    t.overwrite(base)
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, v string"
+    )
+    picks = set()
+    for _ in range(3):
+        t2 = SnapshotLakeTable(spark, "snap_t", str(tmp_path / "t"), ts_col="nope")
+        t2.merge_by_key(dup.repartition(7), ["id"])
+        picks.add(tuple(sorted((r["id"], r["v"]) for r in t2.read().collect())))
+    assert len(picks) == 1
+    assert dict(next(iter(picks)))[2] == "c"
