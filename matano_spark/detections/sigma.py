@@ -126,21 +126,23 @@ def _predicate(col: Column, modifier: str | None, value: Any) -> Column:
             return col.cast("string").contains(enc)
         raise ValueError(f"unsupported sigma modifier chain {modifier!r}")
     if modifier == "windash" or modifier.startswith("windash|"):
-        # spec: windash EXPANDS the value into -/ argument-dash
-        # variants (obfuscated Windows command lines); the chained
-        # modifier applies to each variant, any-of.
+        # spec: windash expands EVERY dash-like occurrence (-, /, en
+        # dash, em dash, horizontal bar) INDEPENDENTLY — a per-
+        # occurrence cartesian product of variants, so '-foo /bar'
+        # must match the value '-foo -bar'. Equivalent O(1) form
+        # instead of 5^k OR'd predicates: fold all dash variants to
+        # '-' on BOTH sides (JVM-side translate) and match once — a
+        # string is in the expansion set iff it equals the value
+        # everywhere except dash positions, where any dash char sits.
         rest = modifier[len("windash|"):] if "|" in modifier else None
-        variants = {
-            str(value),
-            str(value).replace("-", "/"),
-            str(value).replace("/", "-"),
-        }
-        out: Column | None = None
-        for v in sorted(variants):
-            q = _predicate(col, rest, v)
-            out = q if out is None else (out | q)
-        assert out is not None
-        return out
+        if rest not in (None, "contains", "startswith", "endswith"):
+            raise ValueError(f"unsupported sigma modifier chain {modifier!r}")
+        dash = "/–—―"
+        norm_val = str(value)
+        for ch in dash:
+            norm_val = norm_val.replace(ch, "-")
+        norm_col = F.translate(col.cast("string"), dash, "----")
+        return _predicate(norm_col, rest, norm_val)
     if modifier == "gt":
         return col > F.lit(value)
     if modifier == "gte":

@@ -52,13 +52,22 @@ def read_signature_store(
 
     Existence is probed with a read attempt, not os.path (driver-local
     fs probes are wrong on object storage)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return (
             spark.read.schema(_store_schema(id_col))
             .parquet(store_dir)
             .select(id_col, *_SIG_COLS)  # shed discovered epoch= partition col
         )
-    except Exception:
+    except AnalysisException as e:
+        # ONLY missing-path means "store not yet written"; a transient
+        # read failure must propagate, not silently disable dedup
+        # history for the batch (known dupes would be kept AND
+        # appended to the store with no error surfaced).
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: ""))()
+        if cond != "PATH_NOT_FOUND":
+            raise
         return spark.createDataFrame([], _store_schema(id_col))
 
 

@@ -307,3 +307,26 @@ def test_sigma_windash_modifier(spark):
         },
     }
     assert sorted(r.id for r in sigma_filter(df, rule).collect()) == [1, 2]
+
+
+def test_sigma_windash_per_occurrence_and_unicode_dashes(spark):
+    """ADVICE regression: multi-flag values must match MIXED
+    obfuscation ('-foo /bar' for value '-foo -bar'), and the modern
+    spec's en/em-dash variants must match too."""
+    df = spark.createDataFrame(
+        [
+            (1, "x -foo /bar y"),   # mixed per-occurrence substitution
+            (2, "x /foo -bar y"),
+            (3, "x –foo —bar y"),  # en dash + em dash
+            (4, "x -foo .bar y"),   # '.' is not a dash variant
+        ],
+        "id long, message string",
+    )
+    rule = {
+        "title": "mixed dash obfuscation",
+        "detection": {
+            "selection": {"message|windash|contains": "-foo -bar"},
+            "condition": "selection",
+        },
+    }
+    assert sorted(r.id for r in sigma_filter(df, rule).collect()) == [1, 2, 3]
