@@ -22,15 +22,22 @@ All filesystem access goes through the Hadoop FS API, so the layout
 works on any scheme the cluster can reach, not just the driver's local
 disk (same rule as streaming/rollup.py's markers).
 
-Concurrency note: the manifest id is allocated by listing — a single
-writer per table is assumed, exactly the reference's per-table Lambda
-writer model (SURVEY §3.1); multi-writer needs the catalog's atomic
-swap, which is precisely what real Iceberg adds.
+Concurrency: commits are OPTIMISTIC — data lands once in a
+write-once uniquely-named directory, then the manifest is published
+via create-if-absent (the CAS primitive: `fs.create(path,
+overwrite=False)`); a loser re-reads the new latest, recomputes its
+live set (and, for compact/merge, its derived data) and retries with
+the next id. This is Iceberg's commit protocol shape
+(ref IcebergMetadataWriter.kt:271-302 — Iceberg commit + DDB
+conditional put). Atomic create-no-overwrite holds on HDFS and local
+filesystems; raw S3 needs conditional PUTs or a catalog in front —
+the same caveat Iceberg documents.
 """
 
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,17 +86,47 @@ class SnapshotLakeTable:
             out.append(json.loads(text))
         return sorted(out, key=lambda m: m["id"])
 
-    def _write_manifest(self, manifest: dict) -> None:
+    def _try_commit(self, manifest: dict) -> bool:
+        """CAS publish: create-if-absent of `_snapshots/<id>.json`.
+        Returns False when another writer already took this id."""
         fs, _ = _fs(self.spark, self.path)
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(
             f"{self._manifest_dir()}/{manifest['id']}.json"
         )
-        stream = fs.create(p, True)
+        if fs.exists(p):
+            return False
+        try:
+            stream = fs.create(p, False)  # atomic create-no-overwrite
+        except Exception:
+            if fs.exists(p):  # lost the race inside the window
+                return False
+            raise
         try:
             stream.write(bytearray(json.dumps(manifest).encode()))
         finally:
             stream.close()
+        return True
+
+    MAX_COMMIT_RETRIES = 20
+
+    def _commit_retry(self, attempt) -> dict | None:
+        """Run `attempt(prev_manifest) -> manifest | None` against the
+        current latest until the CAS publish wins; returns the
+        committed manifest (None if `attempt` resolved without one).
+        A loser's attempt runs again against the NEW latest, so derived
+        ops (compact, merge) recompute from the winner's state — no
+        lost updates."""
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            m = attempt(self._latest())
+            if m is None:
+                return None
+            if self._try_commit(m):
+                return m
+        raise RuntimeError(
+            f"snapshot commit on {self.path} lost {self.MAX_COMMIT_RETRIES} "
+            "CAS races — livelock or misconfigured shared writer set"
+        )
 
     def _latest(self) -> dict | None:
         snaps = self.snapshots()
@@ -106,25 +143,37 @@ class SnapshotLakeTable:
         writer.parquet(f"{self.path}/{d}")
         return d
 
-    def _commit(self, dirs: list[str], op: str, parent: int | None) -> int:
-        snap_id = (parent if parent is not None else -1) + 1
-        self._write_manifest(
-            {"id": snap_id, "parent": parent, "dirs": sorted(dirs), "op": op}
-        )
-        return snap_id
+    @staticmethod
+    def _token_dir() -> str:
+        # write-once data dir: named by a random token, never reused,
+        # so a CAS loser's landed data never collides with the winner's
+        return f"d{uuid.uuid4().hex[:10]}"
 
     def append(self, df: DataFrame) -> int:
-        prev = self._latest()
-        snap_id = (prev["id"] if prev else -1) + 1
-        d = self._land(df, f"d{snap_id}")
-        live = (prev["dirs"] if prev else []) + [d]
-        return self._commit(live, "append", prev["id"] if prev else None)
+        d = self._land(df, self._token_dir())  # land once, commit many
+
+        def attempt(prev):
+            return {
+                "id": (prev["id"] if prev else -1) + 1,
+                "parent": prev["id"] if prev else None,
+                "dirs": sorted((prev["dirs"] if prev else []) + [d]),
+                "op": "append",
+            }
+
+        return self._commit_retry(attempt)["id"]
 
     def overwrite(self, df: DataFrame) -> int:
-        prev = self._latest()
-        snap_id = (prev["id"] if prev else -1) + 1
-        d = self._land(df, f"d{snap_id}")
-        return self._commit([d], "overwrite", prev["id"] if prev else None)
+        d = self._land(df, self._token_dir())
+
+        def attempt(prev):
+            return {
+                "id": (prev["id"] if prev else -1) + 1,
+                "parent": prev["id"] if prev else None,
+                "dirs": [d],
+                "op": "overwrite",
+            }
+
+        return self._commit_retry(attempt)["id"]
 
     def commit_epoch(self, df: DataFrame, epoch_id: int) -> int:
         """Streaming-sink commit: one snapshot per micro-batch,
@@ -138,37 +187,52 @@ class SnapshotLakeTable:
         which allocate latest+1) in ONE id space — a compact() between
         micro-batches can no longer be overwritten or filtered out by
         the next epoch (the r4 epoch-id/snapshot-id collision)."""
-        d = self._land(df, f"e{epoch_id}")
-        snaps = self.snapshots()
-        existing = [m for m in snaps if m.get("epoch") == epoch_id]
-        if existing:
-            # Replay: the data dir was re-landed (identical content);
-            # the original manifest IS the commit — nothing to add.
-            return existing[-1]["id"]
-        prev = snaps[-1] if snaps else None
-        snap_id = (prev["id"] if prev else -1) + 1
-        self._write_manifest(
-            {
-                "id": snap_id,
+        d = self._land(df, f"e{epoch_id}")  # epoch-stable: replay re-lands
+        done: dict = {}
+
+        def attempt(prev):
+            existing = [
+                m for m in self.snapshots() if m.get("epoch") == epoch_id
+            ]
+            if existing:
+                # Replay: the data dir was re-landed (identical
+                # content); the original manifest IS the commit.
+                done["id"] = existing[-1]["id"]
+                return None
+            return {
+                "id": (prev["id"] if prev else -1) + 1,
                 "parent": prev["id"] if prev else None,
                 "dirs": sorted((prev["dirs"] if prev else []) + [d]),
                 "op": "append",
                 "epoch": epoch_id,
             }
-        )
-        return snap_id
+
+        m = self._commit_retry(attempt)
+        return m["id"] if m else done["id"]
 
     def compact(self) -> int:
         """BIN_PACK analog (M1/M3): rewrite the live directory set into
         ONE directory and commit a snapshot referencing only it. Old
-        directories stay on disk for time travel until expiry."""
-        prev = self._latest()
-        if prev is None or len(prev["dirs"]) <= 1:
-            return prev["id"] if prev else -1
-        snap_id = prev["id"] + 1
-        data = self.read()
-        d = self._land(data, f"d{snap_id}")
-        return self._commit([d], "compact", prev["id"])
+        directories stay on disk for time travel until expiry. On a CAS
+        loss the rewrite recomputes from the winner's snapshot, so a
+        concurrent append is never dropped."""
+        done: dict = {}
+
+        def attempt(prev):
+            if prev is None or len(prev["dirs"]) <= 1:
+                done["id"] = prev["id"] if prev else -1
+                return None
+            data = self.read(at_snapshot=prev["id"])
+            d = self._land(data, self._token_dir())
+            return {
+                "id": prev["id"] + 1,
+                "parent": prev["id"],
+                "dirs": [d],
+                "op": "compact",
+            }
+
+        m = self._commit_retry(attempt)
+        return m["id"] if m else done["id"]
 
     def merge_by_key(self, df: DataFrame, key_cols: list[str]) -> int:
         """MERGE INTO analog with history: latest-wins upsert committed
@@ -180,28 +244,45 @@ class SnapshotLakeTable:
         for one key, `__gen` alone leaves the keeper partition-order-
         dependent; a stable content hash over the non-key columns makes
         the pick deterministic across runs (engine-portable-determinism
-        convention)."""
+        convention).
+
+        Concurrency: the merge is DERIVED from the basis snapshot it
+        read, so the CAS commit pins the basis's successor id; a loser
+        recomputes against the winner's state rather than publishing a
+        merge of a stale table (lost-update prevention)."""
         from pyspark.sql import Window as W
 
-        prev = self._latest()
-        new = df.withColumn("__gen", F.lit(1))
-        if prev is not None:
-            old = self.read().withColumn("__gen", F.lit(0))
-            if "ts_hour" in old.columns and "ts_hour" not in new.columns:
-                old = old.drop("ts_hour")
-            merged = old.unionByName(new, allowMissingColumns=True)
-        else:
-            merged = new
-        payload = [c for c in merged.columns if c not in (*key_cols, "__gen")]
-        w = W.partitionBy(*key_cols).orderBy(
-            F.desc("__gen"), F.xxhash64(*payload) if payload else F.lit(0)
-        )
-        latest = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__gen")
-        )
-        return self.overwrite(latest)
+        def attempt(prev):
+            new = df.withColumn("__gen", F.lit(1))
+            if prev is not None:
+                old = self.read(at_snapshot=prev["id"]).withColumn(
+                    "__gen", F.lit(0)
+                )
+                if "ts_hour" in old.columns and "ts_hour" not in new.columns:
+                    old = old.drop("ts_hour")
+                merged = old.unionByName(new, allowMissingColumns=True)
+            else:
+                merged = new
+            payload = [
+                c for c in merged.columns if c not in (*key_cols, "__gen")
+            ]
+            w = W.partitionBy(*key_cols).orderBy(
+                F.desc("__gen"), F.xxhash64(*payload) if payload else F.lit(0)
+            )
+            latest = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__gen")
+            )
+            d = self._land(latest, self._token_dir())
+            return {
+                "id": (prev["id"] if prev else -1) + 1,
+                "parent": prev["id"] if prev else None,
+                "dirs": [d],
+                "op": "overwrite",
+            }
+
+        return self._commit_retry(attempt)["id"]
 
     # -- reads ---------------------------------------------------------
     def read(self, at_snapshot: int | None = None) -> DataFrame:
@@ -254,7 +335,11 @@ class SnapshotLakeTable:
         root = jvm.org.apache.hadoop.fs.Path(self.path)
         for st in fs.listStatus(root):
             nm = st.getPath().getName()
-            if nm[:1] in ("d", "e") and nm[1:].isdigit() and nm not in live_dirs:
+            if (
+                st.isDirectory()
+                and not nm.startswith("_")
+                and nm not in live_dirs
+            ):
                 fs.delete(st.getPath(), True)
                 removed_dirs.append(nm)
         return {

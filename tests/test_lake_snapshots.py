@@ -39,7 +39,7 @@ def test_overwrite_keeps_history_until_expiry(spark, tmp_path):
 
     res = t.expire_snapshots(keep_last=1)
     assert res["expired_snapshots"] == [0]
-    assert res["removed_dirs"] == ["d0"]  # orphaned by the overwrite
+    assert len(res["removed_dirs"]) == 1  # orphaned by the overwrite
     # current read unaffected; time travel to 0 now refuses
     assert {r["id"] for r in t.read().collect()} == {9}
     with pytest.raises(KeyError):
@@ -58,7 +58,7 @@ def test_compact_rewrites_to_one_dir_same_rows(spark, tmp_path):
     assert {r["id"] for r in t.read().collect()} == before == {1, 2, 3}
     # expiry after compaction frees the three small append dirs
     res = t.expire_snapshots(keep_last=1)
-    assert set(res["removed_dirs"]) == {"d0", "d1", "d2"}
+    assert len(res["removed_dirs"]) == 3  # the three small append dirs
     assert {r["id"] for r in t.read().collect()} == before
 
 
@@ -165,3 +165,70 @@ def test_merge_by_key_deterministic_on_duplicate_incoming(spark, tmp_path):
         picks.add(tuple(sorted((r["id"], r["v"]) for r in t2.read().collect())))
     assert len(picks) == 1
     assert dict(next(iter(picks)))[2] == "c"
+
+
+def test_cas_commit_refuses_taken_id(spark, tmp_path):
+    """The CAS primitive: a manifest id can be published exactly once."""
+    t = SnapshotLakeTable(spark, "snap_t", str(tmp_path / "t"))
+    t.append(_rows(spark, [1], 10))
+    stale = {"id": 0, "parent": None, "dirs": ["dffffffffff"], "op": "append"}
+    assert t._try_commit(stale) is False
+    # and the real manifest is untouched
+    assert {r["id"] for r in t.read().collect()} == {1}
+
+
+def test_concurrent_appenders_no_lost_update(spark, tmp_path):
+    """Two writers interleaving appends on the same table: every row
+    lands, the snapshot chain is linear, and no commit is overwritten
+    (verdict r4 task: multi-writer safety net without a catalog)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    errs: list[Exception] = []
+
+    def writer(offset):
+        try:
+            w = SnapshotLakeTable(spark, "snap_t", path)
+            for i in range(4):
+                w.append(_rows(spark, [offset + i], 10))
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    t = SnapshotLakeTable(spark, "snap_t", path)
+    snaps = t.snapshots()
+    # linear chain: ids 0..7, each parent = predecessor
+    assert [m["id"] for m in snaps] == list(range(8))
+    assert [m["parent"] for m in snaps] == [None] + list(range(7))
+    # union of both writers' rows — nothing lost
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [100, 101, 102, 103, 200, 201, 202, 203]
+
+
+def test_merge_lost_update_protection(spark, tmp_path):
+    """A merge computed against a stale basis must not publish: simulate
+    by committing an append between the merge's basis read and its CAS
+    (the retry recomputes and keeps the interleaved row)."""
+    path = str(tmp_path / "t")
+    t = SnapshotLakeTable(spark, "snap_t", path, ts_col="nope")
+    t.overwrite(spark.createDataFrame([(1, "x")], "id long, v string"))
+
+    racer = SnapshotLakeTable(spark, "snap_t", path, ts_col="nope")
+    orig_try = t._try_commit
+    fired = {}
+
+    def interleave(manifest):
+        if not fired:
+            fired["yes"] = True
+            racer.append(spark.createDataFrame([(7, "z")], "id long, v string"))
+        return orig_try(manifest)
+
+    t._try_commit = interleave  # type: ignore[method-assign]
+    t.merge_by_key(
+        spark.createDataFrame([(1, "y")], "id long, v string"), ["id"]
+    )
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "y", 7: "z"}  # merged AND the racer's row kept
