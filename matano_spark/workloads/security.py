@@ -125,6 +125,71 @@ def a4_context_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a5_context_diff",
+    oracle="""
+    WITH m AS (
+      SELECT user_id AS alert_key, event_id,
+             lpad(regexp_extract(props, '"k": (\\d+)', 1), 3, '0') AS ctx_k,
+             CAST(CAST(FLOOR(value/100) AS BIGINT) AS VARCHAR) AS ctx_vtier
+      FROM events WHERE event_type = 'error'
+    ),
+    kv AS (
+      SELECT alert_key, 'ctx_k' AS field, ctx_k AS val, event_id FROM m
+      UNION ALL
+      SELECT alert_key, 'ctx_vtier', ctx_vtier, event_id FROM m
+    ),
+    new_agg AS (
+      SELECT alert_key, field,
+             string_agg(DISTINCT val, ',' ORDER BY val) AS vals
+      FROM kv GROUP BY 1, 2
+    ),
+    old_agg AS (
+      SELECT alert_key, field,
+             string_agg(DISTINCT val, ',' ORDER BY val) AS vals
+      FROM kv WHERE event_id % 3 != 0 GROUP BY 1, 2
+    )
+    SELECT n.alert_key, n.field, n.vals AS new_vals
+    FROM new_agg n LEFT JOIN old_agg o
+      ON n.alert_key = o.alert_key AND n.field = o.field
+    WHERE o.vals IS NULL OR o.vals != n.vals
+    """,
+)
+def a5_context_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 context CDC (ref: alert_writer/src/main.rs:400+): diff two
+    context-aggregation generations — the 'old' generation aggregates
+    a deterministic subset of the matches (event_id % 3 != 0), the
+    'new' one aggregates all of them; the diff emits, per alert, each
+    context field whose value set changed or appeared, flattened to
+    (alert_key, field, new_vals) for engine-portable comparison."""
+    from matano_spark.operators.alerts import aggregate_context, context_diff
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    matches = ev.select(
+        F.col("user_id").alias("alert_key"),
+        F.col("event_id"),
+        F.lpad(F.regexp_extract(F.col("props"), '"k": (\\d+)', 1), 3, "0").alias(
+            "ctx_k"
+        ),
+        F.floor(F.col("value") / 100).cast("bigint").cast("string").alias(
+            "ctx_vtier"
+        ),
+    )
+    ctx_cols = ["ctx_k", "ctx_vtier"]
+    old_agg = aggregate_context(
+        matches.filter(F.col("event_id") % 3 != 0), ["alert_key"], ctx_cols
+    )
+    new_agg = aggregate_context(matches, ["alert_key"], ctx_cols)
+    diff = context_diff(old_agg, new_agg, ["alert_key"])
+    return diff.select(
+        "alert_key", F.explode("changed").alias("field", "vals")
+    ).select(
+        "alert_key",
+        "field",
+        F.array_join(F.col("vals"), ",").alias("new_vals"),
+    )
+
+
+@query(
     "a8_exact_dedup_first",
     oracle="""
     SELECT user_id, event_type, event_id, ts
