@@ -20,6 +20,17 @@ def _coerce(col: Column, src: T.DataType | None, dst: T.DataType) -> tuple[Colum
     if src is not None and src.simpleString() == dst.simpleString():
         return col, []
     if isinstance(dst, T.StructType):
+        if isinstance(src, T.MapType):
+            # dynamic VRL object (loop-built map) landing where a
+            # struct is declared: per-field key lookup + leaf coercion
+            cols, flags = [], []
+            for f in dst.fields:
+                c, fl = _coerce(
+                    F.element_at(col, F.lit(f.name)), src.valueType, f.dataType
+                )
+                cols.append(c.alias(f.name))
+                flags.extend(fl)
+            return F.struct(*cols), flags
         src_fields = {f.name: f.dataType for f in src.fields} if isinstance(src, T.StructType) else {}
         cols, flags = [], []
         # non-struct value (e.g. a string) sitting where a struct is

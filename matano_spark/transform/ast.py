@@ -198,7 +198,47 @@ class When:
         object.__setattr__(self, "orelse", tuple(orelse))
 
 
-Step = Union[Assign, Move, Delete, AbortIf, When, "Enrich"]
+@dataclass(frozen=True)
+class LetVar:
+    """Local-variable assignment statement (`risk = string!(...)`,
+    `debug_data.flattened.risk = ...` — VRL locals may carry nested
+    path writes). Locals live per row, per program; they never reach
+    the output unless assigned to a row path."""
+
+    path: str
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class LetErr:
+    """VRL error destructuring: `val, err = f(...)`. Our function
+    builders are try_* (null on error), so err is approximated as
+    'error' when the call yields null — the `err == null` guard
+    pattern (zeek dns ip_pton) behaves identically. `_` discards."""
+
+    val_path: str | None
+    err_path: str | None
+    expr: Expr
+
+
+@dataclass(frozen=True, eq=False)
+class ForEach:
+    """Statement-position `for_each(coll) -> |i_or_k, v| { steps }`
+    with outer-variable mutation — compiled to ONE JVM-side
+    F.aggregate fold whose accumulator is a struct of the mutated
+    targets (see compiler._for_each)."""
+
+    coll: Any
+    params: tuple
+    steps: tuple
+
+    def __init__(self, coll, params, steps):
+        object.__setattr__(self, "coll", coll)
+        object.__setattr__(self, "params", tuple(params))
+        object.__setattr__(self, "steps", tuple(steps))
+
+
+Step = Union[Assign, Move, Delete, AbortIf, When, LetVar, LetErr, ForEach, "Enrich"]
 
 
 @dataclass(frozen=True, eq=False)

@@ -192,6 +192,23 @@ class _RowState:
         return out
 
 
+def _copy_node(n):
+    """Structural copy of a state node: trees re-dict (so sub-scope
+    writes don't leak out), leaves shared (immutable)."""
+    if isinstance(n, _Tree):
+        return _Tree({k: _copy_node(v) for k, v in n.children.items()})
+    return n
+
+
+class _VarState(_RowState):
+    """Local-variable namespace (VRL `name = ...`): the same lazy-tree
+    row model, starting empty. Locals never reach the output."""
+
+    def __init__(self, nodes: dict | None = None):
+        self.nodes = nodes or {}
+        self.filters: list[Column] = []
+
+
 def _infer_type(value: Any) -> T.DataType:
     if value is None:
         # typed as NULL so ternary/coalesce arms adopt the OTHER arm's
@@ -209,38 +226,76 @@ def _infer_type(value: Any) -> T.DataType:
 
 
 class Compiler:
-    def __init__(self, state: _RowState):
+    def __init__(self, state: _RowState, variables: _VarState | None = None):
         self.state = state
-        self.env: dict[str, tuple[Column, T.DataType | None]] = {}
+        self.vars = variables if variables is not None else _VarState()
 
     def _compile_lambda(self, lam: ast.Lambda):
-        """ast.Lambda → typed callable evaluated with params bound in
-        self.env (the builders call it per element/leaf)."""
+        """ast.Lambda → typed callable evaluated with params bound as
+        locals (the builders call it per element/leaf)."""
         from matano_spark.transform.functions import TypedLambda
 
         def call(*typed_args):
             # accepts (col, dtype) pairs — one per closure param
-            saved = {p: self.env.get(p) for p in lam.params}
+            saved = {p: self.vars.nodes.get(p) for p in lam.params}
             for p, (c, t) in zip(lam.params, typed_args):
-                self.env[p] = (c, t)
+                self.vars.nodes[p] = _Leaf(c, t)
             try:
                 return self.expr(lam.body)
             finally:
                 for p, old in saved.items():
                     if old is None:
-                        self.env.pop(p, None)
+                        self.vars.nodes.pop(p, None)
                     else:
-                        self.env[p] = old
+                        self.vars.nodes[p] = old
 
         return TypedLambda(call, n_params=len(lam.params))
 
     # expression → (Column, best-effort DataType)
     def expr(self, e: Any) -> tuple[Column, T.DataType]:
         if isinstance(e, ast.Var):
-            if e.name not in self.env:
+            if e.name not in self.vars.nodes:
                 raise ValueError(f"unbound variable {e.name!r}")
-            c, t = self.env[e.name]
-            return c, t or T.StringType()
+            return (
+                self.vars.get((e.name,)),
+                self.vars.get_type((e.name,)) or T.StringType(),
+            )
+        if (
+            isinstance(e, ast.Fn)
+            and e.name == "__field"
+            and e.args
+            and isinstance(e.args[0], ast.Var)
+        ):
+            # local-variable member read: resolve through the locals
+            # tree (maps/variants descend; edited trees stay exact)
+            parts = (e.args[0].name,) + ast.split_path(e.kwargs["path"])
+            if parts[0] in self.vars.nodes:
+                return (
+                    self.vars.get(parts),
+                    self.vars.get_type(parts) or T.StringType(),
+                )
+        if (
+            isinstance(e, ast.Fn)
+            and e.name == "flatten"
+            and len(e.args) == 1
+            and isinstance(e.args[0], ast.Fn)
+            and e.args[0].name == "__array"
+        ):
+            # VRL flatten([scalar, arr, ...]) mixes element kinds —
+            # lift non-arrays to singletons and concat (a plain array
+            # literal can't hold heterogeneous members in Spark)
+            lifted, et = [], T.StringType()
+            for a in e.args[0].args:
+                c, t = self.expr(a)
+                if isinstance(t, T.ArrayType):
+                    lifted.append(c)
+                    et = t.elementType
+                else:
+                    lifted.append(F.array(c))
+                    if not isinstance(t, T.NullType):
+                        et = t
+            out_t = T.ArrayType(et)
+            return F.concat(*[c.cast(out_t) for c in lifted]), out_t
         if isinstance(e, ast.P):
             return self.state.get(e.parts), self.state.get_type(e.parts) or T.StringType()
         if isinstance(e, ast.L):
@@ -302,7 +357,20 @@ class Compiler:
             if op == "&":
                 return lc & rc, T.BooleanType()
             if op == "|":
-                return lc | rc, T.BooleanType()
+                # VRL `||` is value-or: lhs unless null/false. Between
+                # booleans that's logical OR; with any non-boolean side
+                # it's the null-coalesce idiom (`.a || ""`)
+                def _boolish(t):
+                    return t is None or isinstance(
+                        t, (T.BooleanType, T.NullType)
+                    )
+
+                if _boolish(lt) and _boolish(rt):
+                    return lc | rc, T.BooleanType()
+                return (
+                    F.coalesce(lc, rc),
+                    (lt if not isinstance(lt, (T.NullType,)) and lt else rt),
+                )
             if op == "+":
                 return lc + rc, lt
             if op == "-":
@@ -327,62 +395,329 @@ class Compiler:
         for step in steps:
             self.step(step, cond)
 
+    @staticmethod
+    def _is_self_ref(arg: Any, parts: tuple[str, ...], is_var: bool) -> bool:
+        """Does `arg` read exactly the assignment target? (push/append
+        self-reference detection, for both row paths and locals.)"""
+        if not is_var:
+            return isinstance(arg, ast.P) and arg.parts == tuple(parts)
+        if isinstance(arg, ast.Var):
+            return (arg.name,) == tuple(parts)
+        if (
+            isinstance(arg, ast.Fn)
+            and arg.name == "__field"
+            and isinstance(arg.args[0], ast.Var)
+        ):
+            full = (arg.args[0].name,) + ast.split_path(arg.kwargs["path"])
+            return full == tuple(parts)
+        return False
+
+    def _assign(
+        self,
+        target,
+        parts: tuple[str, ...],
+        expr: Any,
+        cond: Column | None,
+        is_var: bool,
+    ) -> None:
+        """One assignment against `target` (_RowState row or _VarState
+        locals), shared by Assign and LetVar."""
+        # conditional self-append (`if c { .p = push(.p, v) }`) is the
+        # dominant shape in managed-source transforms (ECS category/
+        # type tagging). The generic form CASE WHEN c THEN push(old,v)
+        # ELSE old END embeds `old` twice, doubling the expression per
+        # step (2^n over a transform's tag chain). Compile it instead
+        # to old ++ compact([CASE WHEN c THEN v END]) — `old` appears
+        # once and growth stays linear.
+        if (
+            cond is not None
+            and isinstance(expr, ast.Fn)
+            and expr.name in ("push", "append")
+            and expr.args
+            and self._is_self_ref(expr.args[0], parts, is_var)
+        ):
+            old = target.get(parts)
+            oldt = target.get_type(parts)
+            v, vt = self.expr(expr.args[1])
+            if expr.name == "push":
+                et = (
+                    oldt.elementType
+                    if isinstance(oldt, T.ArrayType)
+                    else (vt or T.StringType())
+                )
+                out_t = T.ArrayType(et)
+                tail = F.array(v)
+            else:  # append: second arg is already an array
+                out_t = (
+                    oldt
+                    if isinstance(oldt, T.ArrayType)
+                    else (vt if isinstance(vt, T.ArrayType) else T.ArrayType(T.StringType()))
+                )
+                tail = F.coalesce(v, F.array().cast(out_t))
+            empty = F.array().cast(out_t)
+            # When the guard is FALSE the assignment never ran in
+            # VRL: the target keeps its old value (null stays null —
+            # NOT coalesced to []). Built so `old` appears ONCE:
+            # chained conditional pushes (o365's event.type chain)
+            # would otherwise double the expression per step.
+            # concat propagates null: old null + guard false →
+            # coalesce picks the null branch → whole concat null.
+            value = F.concat(
+                F.coalesce(old, F.when(cond, empty)),
+                F.when(cond, tail).otherwise(empty),
+            )
+            target.set(parts, value, out_t)
+            return
+        value, vtype = self.expr(expr)
+        if cond is not None:
+            old = target.get(parts)
+            value = F.when(cond, value).otherwise(old)
+        target.set(parts, value, vtype)
+
+    # -- for_each: closure loop → one JVM-side fold ---------------------
+    @staticmethod
+    def _loop_targets(steps, outer_vars: set[str], params: set[str]):
+        """The loop's ACCUMULATOR targets: row paths it assigns, plus
+        locals that exist before the loop (VRL closures mutate outer
+        variables in place — okta's curr_key carries across
+        iterations). Locals first assigned inside the body (and
+        closure params) are per-iteration temporaries, not state."""
+        found: list[tuple[bool, tuple[str, ...]]] = []
+
+        def add(is_var: bool, path: str):
+            key = (is_var, ast.split_path(path))
+            if key not in found:
+                found.append(key)
+
+        def walk(ss):
+            for s in ss:
+                if isinstance(s, ast.Assign):
+                    add(False, s.path)
+                elif isinstance(s, ast.Move):
+                    add(False, s.dst)
+                elif isinstance(s, ast.LetVar):
+                    add(True, s.path)
+                elif isinstance(s, ast.LetErr):
+                    if s.val_path:
+                        add(True, s.val_path)
+                    if s.err_path:
+                        add(True, s.err_path)
+                elif isinstance(s, ast.When):
+                    walk(s.steps)
+                    walk(s.orelse)
+                elif isinstance(s, ast.ForEach):
+                    walk(s.steps)
+                elif isinstance(s, (ast.AbortIf, ast.Delete)):
+                    raise ValueError(
+                        "abort/del inside for_each is not supported"
+                    )
+        walk(steps)
+        out = []
+        for is_var, parts in found:
+            if is_var and (parts[0] in params or parts[0] not in outer_vars):
+                continue  # per-iteration temporary
+            out.append((is_var, parts))
+        # drop targets shadowed by a strict-prefix target (same space)
+        return [
+            (iv, p)
+            for iv, p in out
+            if not any(
+                iv == iv2 and len(p2) < len(p) and p[: len(p2)] == p2
+                for iv2, p2 in out
+            )
+        ]
+
+    def _for_each(self, fe: ast.ForEach, cond: Column | None) -> None:
+        """Compile `for_each(coll) -> |i_or_k, v| { steps }` to ONE
+        F.aggregate fold: the accumulator is a struct holding every
+        mutated outer target (+ the element index), the merge lambda
+        compiles the body against a sub-scope whose target reads come
+        from the accumulator and whose other reads are loop-invariant
+        outer columns. Two passes: pass 1 compiles with untyped
+        accumulator fields to DISCOVER each target's steady-state type
+        (e.g. `.dns.answers = []` then push(struct) ⇒ array<struct>),
+        pass 2 builds the final fold with stable accumulator types.
+        Stays entirely JVM-side — no UDF, no shuffle."""
+        coll_c, coll_t = self.expr(fe.coll)
+        if isinstance(coll_t, T.MapType):
+            # VRL object iteration is key-ordered (BTreeMap)
+            entries = F.array_sort(F.map_entries(coll_c))
+            elem_t: T.DataType = T.StructType(
+                [
+                    T.StructField("key", coll_t.keyType),
+                    T.StructField("value", coll_t.valueType),
+                ]
+            )
+            is_object = True
+        elif isinstance(coll_t, T.StructType):
+            vt = (
+                coll_t.fields[0].dataType
+                if coll_t.fields
+                and len({f.dataType.simpleString() for f in coll_t.fields}) == 1
+                else T.StringType()
+            )
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(f.name).alias("key"),
+                        coll_c.getField(f.name).cast(vt).alias("value"),
+                    )
+                    for f in sorted(coll_t.fields, key=lambda f: f.name)
+                ]
+            )
+            elem_t = T.StructType(
+                [
+                    T.StructField("key", T.StringType()),
+                    T.StructField("value", vt),
+                ]
+            )
+            is_object = True
+        else:
+            entries = coll_c
+            elem_t = (
+                coll_t.elementType
+                if isinstance(coll_t, T.ArrayType)
+                else T.StringType()
+            )
+            is_object = False
+
+        targets = self._loop_targets(
+            fe.steps, set(self.vars.nodes), set(fe.params)
+        )
+        inits = []
+        for is_var, parts in targets:
+            st = self.vars if is_var else self.state
+            inits.append((st.get(parts), st.get_type(parts)))
+
+        def run_body(acc, elem, acc_types):
+            """Compile the body in a sub-scope; returns per-target
+            (Column, DataType) results."""
+            sub_state = _RowState.__new__(_RowState)
+            sub_state.nodes = {
+                k: _copy_node(v) for k, v in self.state.nodes.items()
+            }
+            sub_state.filters = []
+            sub_vars = _VarState(
+                {k: _copy_node(v) for k, v in self.vars.nodes.items()}
+            )
+            for i, (is_var, parts) in enumerate(targets):
+                st = sub_vars if is_var else sub_state
+                st.set(parts, acc.getField(f"t{i}"), acc_types[i])
+            if is_object:
+                binds = [
+                    (elem.getField("key"), elem_t["key"].dataType),
+                    (elem.getField("value"), elem_t["value"].dataType),
+                ]
+            else:
+                binds = [
+                    (acc.getField("__i"), T.IntegerType()),
+                    (elem, elem_t),
+                ]
+            for p, (c, t) in zip(fe.params, binds):
+                sub_vars.nodes[p] = _Leaf(c, t)
+            sub = Compiler(sub_state, sub_vars)
+            sub.run(fe.steps)
+            out = []
+            for is_var, parts in targets:
+                st = sub_vars if is_var else sub_state
+                out.append((st.get(parts), st.get_type(parts)))
+            return out
+
+        # pass 1: discover steady-state accumulator types
+        probe = run_body(
+            F.lit(None), F.lit(None).cast(elem_t.simpleString())
+            if not isinstance(elem_t, T.StringType)
+            else F.lit(None).cast("string"),
+            [None] * len(targets),
+        )
+        acc_types: list[T.DataType] = []
+        for (_c0, discovered), (_i0, init_t) in zip(probe, inits):
+            t = discovered
+            if t is None or isinstance(t, T.NullType):
+                t = init_t
+            if t is None or isinstance(t, T.NullType):
+                t = T.StringType()
+            acc_types.append(t)
+
+        # pass 2: the real fold with stable types
+        def zero_field(init_c, init_t, t):
+            if init_t is not None and init_t.simpleString() == t.simpleString():
+                # cast anyway: a python-literal init (j = 1) may carry a
+                # narrower physical type than its declared DataType
+                return init_c.cast(t)
+            if isinstance(t, T.ArrayType) and isinstance(init_t, T.ArrayType):
+                return F.array().cast(t)  # `[]` re-typed by the body
+            if (
+                init_t is None
+                or isinstance(init_t, T.NullType)
+                or (isinstance(init_t, T.StructType) and not init_t.fields)
+            ):
+                return F.lit(None).cast(t)
+            return init_c.cast(t)
+
+        zero = F.struct(
+            *[
+                zero_field(ic, it, t).alias(f"t{i}")
+                for i, ((ic, it), t) in enumerate(zip(inits, acc_types))
+            ],
+            F.lit(0).cast("int").alias("__i"),
+        )
+
+        def merge(acc, elem):
+            results = run_body(acc, elem, acc_types)
+            return F.struct(
+                *[
+                    rc.cast(t).alias(f"t{i}")
+                    for i, ((rc, _rt), t) in enumerate(
+                        zip(results, acc_types)
+                    )
+                ],
+                (acc.getField("__i") + 1).alias("__i"),
+            )
+
+        safe_entries = F.coalesce(
+            entries, F.array().cast(T.ArrayType(elem_t).simpleString())
+        )
+        folded = F.aggregate(safe_entries, zero, merge)
+        for i, ((is_var, parts), t) in enumerate(zip(targets, acc_types)):
+            st = self.vars if is_var else self.state
+            value = folded.getField(f"t{i}")
+            if cond is not None:
+                old = st.get(parts)
+                oldt = st.get_type(parts)
+                if oldt is not None and oldt.simpleString() != t.simpleString():
+                    # the pre-loop value was a same-scope placeholder
+                    # (`.x = []`) the body re-typed; outside the guard
+                    # neither assignment ran — the path is absent
+                    old = F.lit(None).cast(t)
+                value = F.when(cond, value).otherwise(old)
+            st.set(parts, value, t)
+
     def step(self, step: ast.Step, cond: Column | None) -> None:
         s = self.state
-        if isinstance(step, ast.Assign):
-            parts = ast.split_path(step.path)
-            # conditional self-append (`if c { .p = push(.p, v) }`) is the
-            # dominant shape in managed-source transforms (ECS category/
-            # type tagging). The generic form CASE WHEN c THEN push(old,v)
-            # ELSE old END embeds `old` twice, doubling the expression per
-            # step (2^n over a transform's tag chain). Compile it instead
-            # to old ++ compact([CASE WHEN c THEN v END]) — `old` appears
-            # once and growth stays linear.
-            if (
-                cond is not None
-                and isinstance(step.expr, ast.Fn)
-                and step.expr.name in ("push", "append")
-                and step.expr.args
-                and isinstance(step.expr.args[0], ast.P)
-                and step.expr.args[0].parts == tuple(parts)
-            ):
-                old = s.get(parts)
-                oldt = s.get_type(parts)
-                v, vt = self.expr(step.expr.args[1])
-                if step.expr.name == "push":
-                    et = (
-                        oldt.elementType
-                        if isinstance(oldt, T.ArrayType)
-                        else (vt or T.StringType())
-                    )
-                    out_t = T.ArrayType(et)
-                    tail = F.array(v)
-                else:  # append: second arg is already an array
-                    out_t = (
-                        oldt
-                        if isinstance(oldt, T.ArrayType)
-                        else (vt if isinstance(vt, T.ArrayType) else T.ArrayType(T.StringType()))
-                    )
-                    tail = F.coalesce(v, F.array().cast(out_t))
-                empty = F.array().cast(out_t)
-                # When the guard is FALSE the assignment never ran in
-                # VRL: the target keeps its old value (null stays null —
-                # NOT coalesced to []). Built so `old` appears ONCE:
-                # chained conditional pushes (o365's event.type chain)
-                # would otherwise double the expression per step.
-                # concat propagates null: old null + guard false →
-                # coalesce picks the null branch → whole concat null.
-                value = F.concat(
-                    F.coalesce(old, F.when(cond, empty)),
-                    F.when(cond, tail).otherwise(empty),
+        if isinstance(step, ast.LetVar):
+            self._assign(
+                self.vars, ast.split_path(step.path), step.expr, cond, True
+            )
+            return
+        if isinstance(step, ast.LetErr):
+            vc, vt = self.expr(step.expr)
+            if step.val_path:
+                val = vc if cond is None else F.when(cond, vc)
+                self.vars.set(ast.split_path(step.val_path), val, vt)
+            if step.err_path:
+                err = F.when(vc.isNull(), F.lit("error"))
+                if cond is not None:
+                    err = F.when(cond & vc.isNull(), F.lit("error"))
+                self.vars.set(
+                    ast.split_path(step.err_path), err, T.StringType()
                 )
-                s.set(parts, value, out_t)
-                return
-            value, vtype = self.expr(step.expr)
-            if cond is not None:
-                old = s.get(parts)
-                value = F.when(cond, value).otherwise(old)
-            s.set(parts, value, vtype)
+            return
+        if isinstance(step, ast.ForEach):
+            self._for_each(step, cond)
+            return
+        if isinstance(step, ast.Assign):
+            self._assign(s, ast.split_path(step.path), step.expr, cond, False)
         elif isinstance(step, ast.Move):
             dst = ast.split_path(step.dst)
             src = ast.split_path(step.src)

@@ -301,7 +301,20 @@ def _ends(args, kw):
 
 @fn("match")
 def _match(args, kw):
-    return _c(args[0]).rlike(kw["pattern"]), T.BooleanType()
+    # kwarg form match(x, pattern: '...') or verbatim positional
+    # match(x, r'...') (the parser lowers r-literals to strings)
+    pat = args[1][0] if len(args) > 1 else kw["pattern"]
+    return _c(args[0]).rlike(pat), T.BooleanType()
+
+
+@fn("is_empty")
+def _is_empty(args, kw):
+    c, t = args[0]
+    if isinstance(t, (T.ArrayType, T.MapType)):
+        return F.coalesce(F.size(c) == 0, F.lit(True)), T.BooleanType()
+    if isinstance(t, T.StructType):
+        return F.lit(len(t.fields) == 0), T.BooleanType()
+    return F.coalesce(F.length(c.cast("string")) == 0, F.lit(True)), T.BooleanType()
 
 
 @fn("match_any")
@@ -490,9 +503,39 @@ def _compact(args, kw):
     )
 
 
+def _single_path_seg(arg):
+    """A VRL dynamic path argument `[expr]`: a raw python list
+    (literal path) or a compiled one-element array column (parser's
+    __array of a non-literal segment). Returns (Column, py_value|None)."""
+    v, _t_ = arg
+    if isinstance(v, list):
+        if len(v) != 1:
+            raise ValueError("only single-segment dynamic paths are supported")
+        return F.lit(v[0]), v[0]
+    return F.element_at(_c(arg), 1), None
+
+
 @fn("get")
 def _get(args, kw):
     c, t = args[0]
+    if len(args) > 1:
+        # verbatim form get(value, [seg]) — seg may be a closure var
+        # (zeek: get!(ttls, [i])) or negative literal (okta: [-1])
+        seg, raw = _single_path_seg(args[1])
+        if isinstance(t, T.ArrayType) or isinstance(raw, int) or (
+            raw is None and not isinstance(t, (T.MapType, T.StructType))
+        ):
+            et = t.elementType if isinstance(t, T.ArrayType) else T.StringType()
+            ix = seg.cast("int")
+            return (
+                F.try_element_at(c, F.when(ix >= 0, ix + 1).otherwise(ix)),
+                et,
+            )
+        if isinstance(t, T.StructType) and raw is not None:
+            m = next((f for f in t.fields if f.name == raw), None)
+            return c.getField(raw), (m.dataType if m else T.StringType())
+        et = t.valueType if isinstance(t, T.MapType) else T.StringType()
+        return F.try_element_at(c, seg.cast("string")), et
     idx = kw.get("index")
     if idx is not None:
         et = t.elementType if isinstance(t, T.ArrayType) else T.StringType()
@@ -512,12 +555,83 @@ def _get(args, kw):
     return out, dtype or T.StringType()
 
 
+@fn("set")
+def _set(args, kw):
+    """VRL set(obj, [key], value) with a DYNAMIC key — the loop-built
+    object pattern (okta risk kv, google_workspace params). Dynamic
+    keys need a MAP representation (structs are fixed-shape); a
+    null/untyped/empty target starts as map<string,string>. Values
+    cast to the map's value type (heterogeneous VRL values unify to
+    string; the schema projection re-types declared fields, including
+    map→struct — see schema/cast.py). Single assignment is
+    filter-then-concat so duplicate keys never trip Spark's
+    EXCEPTION dedup policy; null keys leave the object unchanged
+    (VRL would error the expression)."""
+    obj, ot = args[0]
+    seg, raw = _single_path_seg(args[1])
+    val = _c(args[2])
+    if isinstance(ot, T.StructType) and ot.fields:
+        if raw is None:
+            raise ValueError("dynamic set() on a typed struct — use a map")
+        cols = [
+            (val if f.name == raw else obj.getField(f.name)).alias(f.name)
+            for f in ot.fields
+        ]
+        fields = list(ot.fields)
+        if raw not in {f.name for f in ot.fields}:
+            cols.append(val.alias(raw))
+            fields.append(T.StructField(raw, _t(args[2]) or T.StringType()))
+        return F.struct(*cols), T.StructType(fields)
+    mt = ot if isinstance(ot, T.MapType) else T.MapType(T.StringType(), T.StringType())
+    key = seg.cast(mt.keyType.simpleString())
+    base = (
+        F.coalesce(obj, F.create_map().cast(mt))
+        if isinstance(ot, T.MapType)
+        else F.create_map().cast(mt)
+    )
+    updated = F.map_concat(
+        F.map_filter(base, lambda k, _v: k != key),
+        F.create_map(key, val.cast(mt.valueType.simpleString())),
+    )
+    return F.when(key.isNull(), base).otherwise(updated), mt
+
+
+@fn("ip_pton")
+def _ip_pton(args, kw):
+    """Parse-or-null IP (the `_, err = ip_pton(x)` validity-probe
+    pattern, ref zeek/tables/dns.yml): non-null iff x is a v4/v6
+    address; the value is the input itself (callers here only test
+    err)."""
+    c = _c(args[0])
+    ok = c.rlike(_IPV4_RE) | (c.rlike(r"^[0-9a-fA-F:]{2,45}$") & c.contains(":"))
+    return F.when(ok, c), T.StringType()
+
+
+@fn("object")
+def _object_assert(args, kw):
+    """VRL object!(x) type assertion — the compiled form is typed
+    already; pass through (a non-object yields null downstream)."""
+    return args[0]
+
+
+@fn("array")
+def _array_assert(args, kw):
+    """VRL array!(x) type assertion — pass through."""
+    return args[0]
+
+
 # -- json / kv / structured parsing ----------------------------------------
 
 
 @fn("__object")
 def _object_literal(args, kw):
-    """Object literal { "k": v, ... } → struct(k=v, ...)."""
+    """Object literal { "k": v, ... } → struct(k=v, ...). The EMPTY
+    literal `{}` is a dynamic object seed (set!-with-dynamic-key
+    loops): an empty map<string,string>, so later map updates and
+    conditional blending type-check."""
+    if not args:
+        mt = T.MapType(T.StringType(), T.StringType())
+        return F.create_map().cast(mt), mt
     cols, fields = [], []
     for i in range(0, len(args), 2):
         key = args[i][0]

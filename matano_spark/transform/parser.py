@@ -17,9 +17,16 @@ can run here with the program text intact:
   operators                    == != < <= > >= && || ! + - * / %
   string concat                "a" + .field
 
-Deliberately out of scope (compile-time rewrites in this engine, or
-unused by managed sources): closures `|k, v|`, `%`-metadata paths,
-dynamic path indexing `.a[.b]`.
+Verbatim-source constructs (the remaining managed-yml inventory):
+  name = expr                  local variable (nested: a.b.c = expr)
+  val, err = f(...)            error destructuring (`_` discards)
+  for_each(coll) -> |i, v| {}  statement closure w/ outer mutation
+  x = if c { stmts; expr }     block-expression if (VRL block value)
+  .a |= expr                   object merge-assign
+  set!(o, [k], v) get!(a, [i]) dynamic single-segment paths
+
+Deliberately out of scope: `%`-metadata paths, dynamic path indexing
+on row paths (`.a[.b]`).
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
-  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[=<>!+\-*/%(),{}:;|\[\]])
+  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||\|=|->|[=<>!+\-*/%(),{}:;|\[\]])
   | (?P<path>\.(?:"[^"]+"|[A-Za-z_]\w*)(?:\.(?:"[^"]+"|[A-Za-z_]\w*))*|\.)
   | (?P<name>[A-Za-z_][\w]*!?)
     """,
@@ -119,6 +126,10 @@ class Parser:
             return ast.Delete(path)
         if t.kind == "path":
             path = self.next().text.lstrip(".")
+            if self.accept("|="):  # merge-assign (.url |= parsed)
+                return ast.Assign(
+                    path, ast.Fn("merge", ast.P(path), self.parse_expr())
+                )
             self.expect("=")
             # move form: .a = del(.b)
             if self.peek().text == "del":
@@ -130,8 +141,108 @@ class Parser:
                     if self.peek().text not in ("??",) and not self._is_expr_continuation():
                         return ast.Move(path, src)
                 self.i = save
-            return ast.Assign(path, self.parse_expr())
+            return self._assign_rhs(lambda e: ast.Assign(path, e))
+        if t.kind == "name" and t.text not in KEYWORDS:
+            nxt = self.toks[self.i + 1]
+            if t.text == "for_each" and nxt.text == "(":
+                return self.parse_for_each()
+            if nxt.text == "=":
+                name = self.next().text
+                self.expect("=")
+                return self._assign_rhs(lambda e: ast.LetVar(name, e))
+            if nxt.kind == "path" and self.toks[self.i + 2].text == "=":
+                # nested local write: debug_data.flattened.risk = expr
+                name = self.next().text
+                sub = self.next().text.lstrip(".")
+                self.expect("=")
+                return self._assign_rhs(
+                    lambda e: ast.LetVar(f"{name}.{sub}", e)
+                )
+            if nxt.text == "|=":
+                name = self.next().text
+                self.next()
+                return ast.LetVar(
+                    name, ast.Fn("merge", ast.Var(name), self.parse_expr())
+                )
+            if nxt.text == ",":
+                # error destructuring: val, err = f(...)
+                name = self.next().text
+                self.expect(",")
+                err = self.next().text
+                self.expect("=")
+                return ast.LetErr(
+                    None if name == "_" else name,
+                    None if err == "_" else err,
+                    self.parse_expr(),
+                )
         raise SyntaxError(f"unexpected {t.text!r} at {t.pos}")
+
+    def _assign_rhs(self, mk) -> ast.Step:
+        """RHS of an assignment: a block-expression if desugars to a
+        When whose branches end by assigning the target."""
+        if self.peek().text == "if":
+            return self.parse_if_expr_into(mk)
+        return mk(self.parse_expr())
+
+    def parse_for_each(self) -> ast.ForEach:
+        self.expect("for_each")
+        self.expect("(")
+        coll = self.parse_expr()
+        self.expect(")")
+        self.expect("->")
+        self.expect("|")
+        params = [self.next().text]
+        while self.accept(","):
+            params.append(self.next().text)
+        self.expect("|")
+        self.expect("{")
+        body = self.parse_program()
+        self.expect("}")
+        return ast.ForEach(coll, params, body)
+
+    def parse_if_expr_into(self, mk) -> ast.Step:
+        """`target = if c { stmts; expr } else { ... }` — VRL blocks
+        are expressions valued at their last statement/expression;
+        desugared so each branch runs its statements then assigns the
+        branch value to the target."""
+        self.expect("if")
+        cond = self.parse_expr()
+        self.expect("{")
+        steps, final = self.parse_block_value()
+        self.expect("}")
+        then_steps = steps + (mk(final),)
+        orelse: tuple = ()
+        if self.accept("else"):
+            if self.peek().text == "if":
+                orelse = (self.parse_if_expr_into(mk),)
+            else:
+                self.expect("{")
+                esteps, efinal = self.parse_block_value()
+                self.expect("}")
+                orelse = esteps + (mk(efinal),)
+        return ast.When(cond, then_steps, orelse)
+
+    def parse_block_value(self):
+        """Statements of a value-block, plus the block's value
+        expression. Backtracking split: whatever fails to parse as a
+        statement is the trailing expression; a block ending on an
+        assignment is valued at the assigned target (VRL statement
+        value)."""
+        steps: list[ast.Step] = []
+        while True:
+            if self.peek().text == "}":
+                last = steps[-1] if steps else None
+                if isinstance(last, ast.Assign):
+                    return tuple(steps), ast.P(last.path)
+                if isinstance(last, ast.LetVar):
+                    return tuple(steps), _var_read(last.path)
+                raise SyntaxError("expression block without a value")
+            save = self.i
+            try:
+                steps.append(self.parse_step())
+            except SyntaxError:
+                self.i = save
+                return tuple(steps), self.parse_expr()
 
     def _is_expr_continuation(self) -> bool:
         return self.peek().text in ("+", "-", "*", "/", "%", "==", "!=",
@@ -292,6 +403,9 @@ class Parser:
             return ast.Fn("__array", *elems)
         if t.kind == "name":
             name = t.text
+            # VRL regex literal r'...' / r"..." → plain string pattern
+            if name == "r" and self.peek().kind == "string":
+                return ast.L(_unquote(self.next().text))
             if name == "true":
                 return ast.L(True)
             if name == "false":
@@ -370,6 +484,14 @@ class Parser:
                 self.expect("}")
             return ast.Fn("ternary", cond, then, orelse)
         return self.parse_expr()
+
+
+def _var_read(path: str) -> Any:
+    """Read expression for a local-variable path."""
+    if "." in path:
+        head, rest = path.split(".", 1)
+        return ast.Fn("__field", ast.Var(head), path=rest)
+    return ast.Var(path)
 
 
 def _unquote(s: str) -> str:

@@ -1,0 +1,296 @@
+"""Verbatim-VRL source compatibility: reference transform text runs
+UNMODIFIED (r4 verdict task 2). Each golden here is the construct
+inventory of a real managed-source program (cited), with inputs and
+hand-computed expected outputs:
+
+  - local variables (incl. nested local paths), conditional rebinding
+  - for_each closures mutating outer vars / row paths → JVM fold
+  - block-expression if (VRL block value)
+  - dynamic paths set!(o, [k], v) / get!(a, [i])
+  - error destructuring `_, err = f(...)`
+  - `||` value-or, r'...' regex literals, |= merge-assign
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matano_spark.transform.parser import compile_vrl
+
+
+# ref: data/managed/log_sources/okta/tables/system.yml:225-247 (the
+# manual kv parser: values are comma-joined, the next key rides the
+# last comma segment)
+OKTA_RISK = r"""
+  risk = string!(.debug_risk || "")
+  .flattened_risk = if !is_empty(risk) {
+    if match(risk, r'\{.*\}') {
+        risk = slice!(risk, 1, -1)
+    }
+    parts = split(risk, "=")
+    parts_obj = {}
+    if length(parts) >= 2 {
+        curr_key = parts[0]
+        parts = slice!(parts, 1)
+        for_each(parts) -> |i, v| {
+            is_last = i == length(parts) - 1
+            values = split(v, ", ")
+            if !is_last {
+                parts_obj = set!(parts_obj, [curr_key], join!(slice!(values, 0, -1), ", "))
+                curr_key = get!(values, [-1])
+            } else {
+                parts_obj = set!(parts_obj, [curr_key], join!(values, ", "))
+            }
+        }
+    }
+    parts_obj
+  } else {
+    null
+  }
+"""
+
+
+def test_okta_risk_kv_parser_verbatim(spark):
+    f = compile_vrl(OKTA_RISK)
+    df = spark.createDataFrame(
+        [
+            ("{reasons=Anomalous Location, level=MEDIUM}",),
+            (None,),
+            ("{x=1}",),
+            ("no-equals-here",),
+        ],
+        "debug_risk string",
+    )
+    rows = {r["debug_risk"]: r["flattened_risk"] for r in f(df).collect()}
+    assert rows["{reasons=Anomalous Location, level=MEDIUM}"] == {
+        "reasons": "Anomalous Location",
+        "level": "MEDIUM",
+    }
+    assert rows[None] is None
+    assert rows["{x=1}"] == {"x": "1"}
+    assert rows["no-equals-here"] == {}  # parts_obj stays empty
+
+
+# ref: data/managed/log_sources/aws_config_history/log_source.yml:145-157
+CONFIG_TAGS = """
+  if !is_empty(object(.json.tags) ?? {}) {
+    .tags_json = encode_json(.json.tags)
+    obj_tags = object!(.json.tags)
+    .tags = []
+    for_each(obj_tags) -> |k, v| {
+      tag = join!([k, v], "=")
+      .tags = push(.tags, tag)
+    }
+  }
+"""
+
+
+def test_config_history_tags_loop_verbatim(spark):
+    f = compile_vrl(CONFIG_TAGS)
+    df = spark.createDataFrame(
+        [(1, ({"env": "prod", "team": "sec"},)), (2, ({},)), (3, (None,))],
+        "id long, json struct<tags:map<string,string>>",
+    )
+    rows = {r["id"]: r.asDict() for r in f(df).collect()}
+    # object iteration is key-ordered (VRL BTreeMap)
+    assert rows[1]["tags"] == ["env=prod", "team=sec"]
+    assert rows[1]["tags_json"] == '{"env":"prod","team":"sec"}'
+    assert rows[2].get("tags") is None  # guard false: loop never ran
+    assert rows[3].get("tags") is None
+
+
+# ref: data/managed/log_sources/aws_route53_resolver_logs/log_source.yml:218-249
+ROUTE53_PTR = """
+  if ends_with(.q, ".") {
+    .q = slice!(.q, 0, length(.q) - 1)
+  }
+  ip = null
+  if contains(.q, ".in-addr.arpa") {
+    ip_arr = split(replace(.q, ".in-addr.arpa", ""), ".")
+    reverse_ip = []
+    for_each(ip_arr) -> |_i, ip| {
+      reverse_ip = flatten([ip, reverse_ip])
+    }
+    ip = join!(reverse_ip, ".")
+  } else if contains(.q, ".ip6.arpa") {
+    ip_arr = split(replace(.q, ".ip6.arpa", ""), ".")
+    reverse_ip = []
+    for_each(ip_arr) -> |_i, ip| {
+      reverse_ip = flatten([ip, reverse_ip])
+    }
+    j = 1
+    final_ip_arr = []
+    for_each(reverse_ip) -> |i, ip| {
+      final_ip_arr = push(final_ip_arr, ip)
+      if mod(j, 4) == 0 && i != 0 && i != length(reverse_ip) - 1 {
+        j = 0
+        final_ip_arr = push(final_ip_arr, ":")
+      }
+      j = j + 1
+    }
+    ip = join!(final_ip_arr, "")
+  }
+  .resolved = ip
+"""
+
+
+def test_route53_ptr_loops_verbatim(spark):
+    f = compile_vrl(ROUTE53_PTR)
+    v6 = ".".join(reversed(list("20010db8000000000000000000000042"))) + ".ip6.arpa"
+    df = spark.createDataFrame(
+        [("4.3.2.1.in-addr.arpa.",), (v6,), ("example.com",)],
+        "q string",
+    )
+    rows = {r["q"]: r["resolved"] for r in f(df).collect()}
+    assert rows["4.3.2.1.in-addr.arpa"] == "1.2.3.4"
+    assert rows[v6.rstrip(".")] == "2001:0db8:0000:0000:0000:0000:0000:0042"
+    assert rows["example.com"] is None
+
+
+# ref: data/managed/log_sources/zeek/tables/dns.yml:250-267 (get! with a
+# closure index var; error destructuring; struct push)
+ZEEK_ANSWERS = """
+  answers = array!(.zeek_answers)
+  ttls = array!(.zeek_ttls)
+  if !is_empty(answers) && !is_empty(ttls) && length(answers) == length(ttls) {
+    .dns_answers = []
+    .resolved_ip = []
+    for_each(answers) -> |i, ans| {
+      ttl = get!(ttls, [i])
+      .dns_answers = push(.dns_answers, {"data": ans, "ttl": to_int!(ttl) })
+      _, err = ip_pton(ans)
+      is_ip = err == null
+      if is_ip {
+        .resolved_ip = push(.resolved_ip, ans)
+      }
+    }
+  }
+"""
+
+
+def test_zeek_dns_answers_loop_verbatim(spark):
+    f = compile_vrl(ZEEK_ANSWERS)
+    df = spark.createDataFrame(
+        [
+            (1, ["10.0.0.5", "ns1.example.com", "2001:db8::1"], ["60", "120", "30"]),
+            (2, ["a.b"], ["60", "61"]),  # length mismatch: loop skipped
+        ],
+        "id long, zeek_answers array<string>, zeek_ttls array<string>",
+    )
+    rows = {r["id"]: r.asDict() for r in f(df).collect()}
+    assert [a.asDict() for a in rows[1]["dns_answers"]] == [
+        {"data": "10.0.0.5", "ttl": 60},
+        {"data": "ns1.example.com", "ttl": 120},
+        {"data": "2001:db8::1", "ttl": 30},
+    ]
+    assert rows[1]["resolved_ip"] == ["10.0.0.5", "2001:db8::1"]
+    assert rows[2].get("dns_answers") is None
+
+
+# ref: data/managed/log_sources/suricata/tables/eve.yml:404-416 (param
+# REBINDING via expression-if inside the loop)
+SURICATA_QUERY = """
+  if .url_query != null {
+    query = []
+    for_each(object!(.url_query)) -> |k, v| {
+      v = if v != "" { k + "=" + v } else { k }
+      query = push(query, v)
+    }
+    .query_str = join(query, "&") ?? null
+  }
+"""
+
+
+def test_suricata_query_rebuild_verbatim(spark):
+    f = compile_vrl(SURICATA_QUERY)
+    df = spark.createDataFrame(
+        [(1, {"a": "1", "flag": "", "b": "x y"}), (2, None)],
+        "id long, url_query map<string,string>",
+    )
+    rows = {r["id"]: r.asDict().get("query_str") for r in f(df).collect()}
+    assert rows[1] == "a=1&b=x y&flag"  # key-ordered object iteration
+    assert rows[2] is None
+
+
+# ref: data/managed/log_sources/google_workspace/tables/login.yml:175-192
+GW_LOGIN = """
+  if is_array(.params) {
+    params = array!(.params)
+    for_each(params) -> |i, v| {
+      if starts_with(v.name, "login_") ?? false {
+        v.name = slice!(v.name, 6)
+      }
+      if v.value != null {
+        .login = set!(.login, [v.name], v.value)
+      }
+      if v.intValue != null {
+        .login = set!(.login, [v.name], to_int!(v.intValue))
+      }
+    }
+  }
+"""
+
+
+def test_google_workspace_login_params_verbatim(spark):
+    f = compile_vrl(GW_LOGIN)
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    {"name": "login_type", "value": "google_password", "intValue": None},
+                    {"name": "login_challenge_method", "value": "password", "intValue": None},
+                    {"name": "timestamp", "value": None, "intValue": "171"},
+                ],
+            ),
+            (2, None),
+        ],
+        "id long, params array<struct<name:string,value:string,intValue:string>>",
+    )
+    rows = {r["id"]: r.asDict().get("login") for r in f(df).collect()}
+    assert rows[1] == {
+        "type": "google_password",
+        "challenge_method": "password",
+        "timestamp": "171",
+    }
+    assert rows[2] is None
+
+
+def test_merge_assign_operator(spark):
+    f = compile_vrl('.a |= {"x": 2, "y": 3}\n')
+    df = spark.createDataFrame([(1,)], "id long").withColumn(
+        "a", F.struct(F.lit(1).alias("x"), F.lit("k").alias("z"))
+    )
+    r = f(df).collect()[0]["a"].asDict()
+    assert r == {"z": "k", "x": 2, "y": 3}
+
+
+def test_map_to_struct_schema_cast(spark):
+    """A loop-built dynamic object (map) must coerce to the declared
+    struct at projection time (schema/cast.py map→struct branch)."""
+    from pyspark.sql import types as T
+
+    from matano_spark.schema.cast import apply_schema
+
+    df = spark.createDataFrame(
+        [({"type": "google_password", "timestamp": "171"},)],
+        "login map<string,string>",
+    )
+    schema = T.StructType(
+        [
+            T.StructField(
+                "login",
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField("timestamp", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    good, bad = apply_schema(df, schema)
+    assert bad.count() == 0
+    row = good.collect()[0]["login"].asDict()
+    assert row == {"type": "google_password", "timestamp": 171}
