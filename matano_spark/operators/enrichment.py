@@ -228,3 +228,135 @@ def lpm_join(
     # longest prefix wins — a row-local coalesce, no shuffle, no window
     out = out.withColumn("__m", F.coalesce(*probes)).drop(*probes)
     return out.filter(F.col("__m").isNotNull()).select(*events.columns, "__m.*")
+
+
+def _ip6_groups(c: Column) -> Column:
+    """IPv6 string → array of 8 hex-group strings (`::` expansion).
+    Pure column expressions; malformed input yields null groups which
+    null the join keys (no match), like a failed ip_pton."""
+    halves = F.split(c, "::", -1)
+    no_str = F.array().cast("array<string>")
+    left = F.when(F.element_at(halves, 1) == "", no_str).otherwise(
+        F.split(F.element_at(halves, 1), ":")
+    )
+    has2 = F.size(halves) == 2
+    right = F.when(
+        ~has2 | (F.element_at(halves, 2) == ""), no_str
+    ).otherwise(F.split(F.element_at(halves, 2), ":"))
+    fill = F.array_repeat(
+        F.lit("0"), (8 - F.size(left) - F.size(right)).cast("int")
+    )
+    return F.when(has2, F.concat(left, fill, right)).otherwise(F.split(c, ":"))
+
+
+def ip6_words(c: Column) -> list[Column]:
+    """IPv6 → four 32-bit words as bigints (the two-bigint `ip_pton`
+    analog, split further so no intermediate ever exceeds 2^32 —
+    ANSI-overflow-safe). Word k holds hex groups 2k and 2k+1."""
+    g = _ip6_groups(c)
+
+    def grp(i: int) -> Column:
+        return F.conv(F.element_at(g, i), 16, 10).try_cast("bigint")
+
+    return [grp(2 * k + 1) * 65536 + grp(2 * k + 2) for k in range(4)]
+
+
+def ip_words(c: Column) -> list[Column]:
+    """Mixed-family address → 128-bit words: IPv6 parsed directly,
+    IPv4 mapped into ::ffff:0:0/96 (RFC 4291 §2.5.5.2), so ONE
+    128-bit LPM covers both families."""
+    v6 = ip6_words(c)
+    v4 = [F.lit(0), F.lit(0), F.lit(0xFFFF), ip4_long(c)]
+    is6 = c.contains(":")
+    return [F.when(is6, w6).otherwise(w4) for w6, w4 in zip(v6, v4)]
+
+
+def _mask_words(ln: int) -> list[int]:
+    """Per-word bitmasks for a 128-bit prefix length."""
+    out = []
+    for k in range(4):
+        kept = min(max(ln - 32 * k, 0), 32)
+        out.append(((1 << kept) - 1) << (32 - kept))
+    return out
+
+
+def lpm_join6(
+    events: DataFrame,
+    cidrs: DataFrame,
+    ip_col: str = "ip",
+    cidr_col: str = "cidr",
+) -> DataFrame:
+    """Mixed v4/v6 longest-prefix-match enrichment — the 128-bit
+    `lpm_join`. Same plan shape (chain of longest-first broadcast LEFT
+    equi-joins folded with coalesce; zero event-side shuffle), with
+    the join key being the four masked 32-bit words. IPv4 prefixes
+    scale into the v4-mapped space (/L → /96+L), so a GeoIP table
+    mixing families is ONE dim. Event words materialize once as
+    hidden columns — the parse runs once per row, not per length."""
+    payload = [c for c in cidrs.columns if c != cidr_col]
+    p = F.split(F.col(cidr_col), "/")
+    addr = F.element_at(p, 1)
+    raw_len = F.element_at(p, 2).cast("int")
+    dim = cidrs.select(
+        "*",
+        *[
+            w.alias(f"__w{k}")
+            for k, w in enumerate(ip_words(addr))
+        ],
+        F.when(addr.contains(":"), raw_len).otherwise(raw_len + 96).alias(
+            "__len"
+        ),
+    )
+    # normalize ALL dim rows in one pass (column-level masks derived
+    # from each row's own length), dedup once, then pin the slim dim
+    # in memory — the per-length branches below each build their own
+    # broadcast, and without this they would re-execute the full dim
+    # plan (scans + window) once per distinct length
+    for k in range(4):
+        kept = F.least(F.greatest(F.col("__len") - 32 * k, F.lit(0)), F.lit(32))
+        # powers of two are exact in doubles far beyond 2^32
+        mask = (
+            (F.pow(F.lit(2.0), kept) - 1) * F.pow(F.lit(2.0), 32 - kept)
+        ).cast("bigint")
+        dim = dim.withColumn(f"__n{k}", F.col(f"__w{k}").bitwiseAND(mask))
+    wd = W.partitionBy("__len", *[f"__n{k}" for k in range(4)]).orderBy(
+        F.xxhash64(*payload)
+    )
+    dim = (
+        dim.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .select("__len", *[f"__n{k}" for k in range(4)], *payload)
+        .localCheckpoint(eager=True)  # dim is small by contract
+    )
+    lengths = sorted(
+        (r["__len"] for r in dim.select("__len").distinct().collect()),
+        reverse=True,
+    )
+    if not lengths:
+        empty = events.limit(0)
+        for fld in [f for f in dim.schema.fields if f.name in payload]:
+            empty = empty.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        return empty
+
+    out = events
+    for k, w in enumerate(ip_words(F.col(ip_col))):
+        out = out.withColumn(f"__ew{k}", w)
+    probes = []
+    for ln in lengths:
+        masks = _mask_words(ln)
+        d = dim.filter(F.col("__len") == ln).select(
+            *[F.col(f"__n{k}").alias(f"__n{k}_{ln}") for k in range(4)],
+            F.struct(*payload).alias(f"__m_{ln}"),
+        )
+        cond = None
+        for k in range(4):
+            c = F.col(f"__ew{k}").bitwiseAND(F.lit(masks[k])) == F.col(
+                f"__n{k}_{ln}"
+            )
+            cond = c if cond is None else (cond & c)
+        out = out.join(F.broadcast(d), cond, "left").drop(
+            *[f"__n{k}_{ln}" for k in range(4)]
+        )
+        probes.append(f"__m_{ln}")
+    out = out.withColumn("__m", F.coalesce(*probes)).drop(*probes)
+    return out.filter(F.col("__m").isNotNull()).select(*events.columns, "__m.*")

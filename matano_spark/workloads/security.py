@@ -1045,3 +1045,70 @@ def lpm_geo_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "lpm_v6_enrichment",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, user_id % 40 AS k FROM events
+    )
+    SELECT CASE WHEN ev.event_id % 2 = 1 THEN COALESCE(n.n_name, 'global6')
+                ELSE COALESCE(n.n_name, 'global4') END AS region,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT ev.user_id) AS n_users
+    FROM ev LEFT JOIN nation n ON n.n_nationkey = ev.k
+    GROUP BY 1
+    """,
+)
+def lpm_v6_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed v4/v6 longest-prefix-match enrichment: odd events carry
+    IPv6 addresses (2001:db8:K::Y), even events dotted-quad v4
+    (10.K.Y.7); the dim mixes per-nation /48 v6 and /16 v4 prefixes
+    plus per-family catch-alls. Exercises lpm_join6's 128-bit word
+    masking, v4-mapped scaling (/L → /96+L), and `::` expansion —
+    the oracle derives regions from the same integers without any
+    address parsing, so the Spark side's parse path is what's tested.
+    """
+    from matano_spark.operators.enrichment import lpm_join6
+
+    k = (F.col("user_id") % 40).cast("long")
+    y = (F.col("user_id") % 250).cast("long")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("event_id") % 2 == 1,
+            F.format_string("2001:db8:%x::%x", k, y),
+        )
+        .otherwise(F.format_string("10.%d.%d.7", k, y))
+        .alias("ip"),
+    )
+    nation = t(spark, sf_dir, "nation")
+    dim = (
+        nation.select(
+            F.format_string("2001:db8:%x::/48", F.col("n_nationkey")).alias(
+                "cidr"
+            ),
+            F.col("n_name").alias("region"),
+        )
+        .unionByName(
+            nation.select(
+                F.format_string("10.%d.0.0/16", F.col("n_nationkey")).alias(
+                    "cidr"
+                ),
+                F.col("n_name").alias("region"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("2001:db8::/32", "global6"), ("10.0.0.0/8", "global4")],
+                ["cidr", "region"],
+            )
+        )
+    )
+    enriched = lpm_join6(ev, dim, ip_col="ip")
+    return enriched.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

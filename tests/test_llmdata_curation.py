@@ -162,3 +162,32 @@ def test_lpm_join_duplicate_event_rows_survive(spark):
     out2 = lpm_join(ev, dim_dup).collect()
     assert len(out2) == 3
     assert len({r["label"] for r in out2}) == 1
+
+
+def test_lpm_join6_mixed_families(spark):
+    """128-bit LPM: v6 (`::` compressed and full-form) and v4-mapped
+    prefixes in ONE dim; longest wins per family; uncovered dropped."""
+    from matano_spark.operators.enrichment import lpm_join6
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2001:db8:5::42"),
+            (2, "2001:db8:99::1"),
+            (3, "10.5.1.7"),
+            (4, "10.99.1.7"),
+            (5, "fe80::1"),
+            (6, "2001:0db8:0005:0000:0000:0000:0000:0099"),
+        ],
+        "id long, ip string",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("2001:db8:5::/48", "n5v6"),
+            ("2001:db8::/32", "g6"),
+            ("10.5.0.0/16", "n5v4"),
+            ("10.0.0.0/8", "g4"),
+        ],
+        ["cidr", "label"],
+    )
+    out = {r["id"]: r["label"] for r in lpm_join6(ev, dim).collect()}
+    assert out == {1: "n5v6", 2: "g6", 3: "n5v4", 4: "g4", 6: "n5v6"}

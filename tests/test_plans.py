@@ -213,8 +213,9 @@ def test_lpm_and_fuzzy_never_theta_join(plans):
     the fuzzy matcher a gram-bucket equi-join — a cartesian or
     nested-loop node here is the scale failure these operators exist
     to avoid."""
-    for q in ("lpm_geo_enrichment", "fuzzy_name_pairs"):
+    for q in ("lpm_geo_enrichment", "lpm_v6_enrichment", "fuzzy_name_pairs"):
         p = plans(q)
         assert "CartesianProduct" not in p, q
         assert "BroadcastNestedLoopJoin" not in p, q
     assert "BroadcastHashJoin" in plans("lpm_geo_enrichment")
+    assert "BroadcastHashJoin" in plans("lpm_v6_enrichment")
