@@ -98,6 +98,88 @@ def deliver_batch(
     return len(sent)
 
 
+def slack_transport(url: str, channel: str) -> Transport:
+    """Slack Block Kit transport: renders the reference's new-alert /
+    update payloads (streaming/render.py ↔ forwarders/slack.rs) and
+    POSTs them as chat.postMessage bodies. New alerts send the channel
+    message; updates would thread via the recorded ts (the dest_info
+    analog) — both payloads come from the same pure renderers the
+    goldens pin."""
+    from matano_spark.streaming.render import (
+        render_slack_alert_update,
+        render_slack_new_alert,
+    )
+
+    def send(destination: str, payload: dict) -> None:
+        alert = {
+            "id": payload.get("alert_id"),
+            "title": payload.get("rule_name", ""),
+            "severity": payload.get("severity", ""),
+            "tables": payload.get("tables", []),
+            "match_count": payload.get("match_count", 0),
+            "created": payload.get("created_at", ""),
+            "runbook": payload.get("runbook", ""),
+            "context": payload.get("context") or {},
+        }
+        if payload.get("update_count", 0) > 0:
+            blocks = render_slack_alert_update(
+                alert, payload.get("context_diff") or {}
+            )
+            bodies = [{"channel": channel, "blocks": json.dumps(blocks)}]
+        else:
+            blocks, thread = render_slack_new_alert(alert)
+            bodies = [
+                {"channel": channel, "blocks": json.dumps(blocks)},
+                {"channel": channel, "blocks": json.dumps(thread)},
+            ]
+        for body in bodies:
+            _post_json(url, body)
+
+    return send
+
+
+def ses_transport(url: str, from_addr: str, to_addrs: list[str]) -> Transport:
+    """SES-shaped email transport: renders the reference's HTML email
+    (render.render_ses_html ↔ forwarders/ses.rs) and POSTs the
+    SendEmail-shaped body. Mirrors the reference's noise gate: only
+    never-before-delivered alerts email (update_count == 0)."""
+    from matano_spark.streaming.render import render_ses_html
+
+    def send(destination: str, payload: dict) -> None:
+        if payload.get("update_count", 0) > 0:
+            return
+        alert = {
+            "title": payload.get("rule_name", ""),
+            "tables": payload.get("tables", []),
+            "created": payload.get("created_at", ""),
+            "runbook": payload.get("runbook", ""),
+            "context": payload.get("context") or {},
+        }
+        subject, html = render_ses_html(alert)
+        _post_json(
+            url,
+            {
+                "from": from_addr,
+                "to": to_addrs,
+                "subject": subject,
+                "html": html,
+            },
+        )
+
+    return send
+
+
+def _post_json(url: str, body: dict) -> None:
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    urllib.request.urlopen(req, timeout=10)  # noqa: S310
+
+
 def webhook_transport(url: str) -> Transport:
     """HTTP POST transport (requires outbound network — not exercised
     in the sandboxed test environment)."""
