@@ -51,6 +51,14 @@ HEADLINE = [
     "text_lm_fluency",
     "seq_packing_bins",
     "sketch_kmv_distinct",
+    # r5 breadth (r4 verdict task 6): a full compiled pack pipeline,
+    # both LPM joins, entity resolution, and the composed curation
+    # chain, so perf regressions in those families are caught
+    "okta_failed_auth_rollup",
+    "lpm_geo_enrichment",
+    "lpm_v6_enrichment",
+    "fuzzy_name_pairs",
+    "curation_pipeline_stats",
 ]
 
 
