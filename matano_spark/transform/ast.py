@@ -151,14 +151,18 @@ class Var(_ExprOps):
 @dataclass(frozen=True, eq=False)
 class Lambda:
     """VRL closure: params bound in the body, evaluated per element by
-    map_values/map_each/filter/for_each builders."""
+    map_values/map_each/filter/for_each builders. `steps` carries a
+    STATEMENT body (local/param-field mutations) evaluated before the
+    value expression (okta's ip_chain map_values rebuild)."""
 
     params: tuple
     body: Any
+    steps: tuple = ()
 
-    def __init__(self, params, body):
+    def __init__(self, params, body, steps=()):
         object.__setattr__(self, "params", tuple(params))
         object.__setattr__(self, "body", body)
+        object.__setattr__(self, "steps", tuple(steps))
 
 
 Expr = Union[P, L, Fn, BinOp, UnaryOp, Var, "Any"]  # also raw pyspark Column
@@ -179,6 +183,7 @@ class Move:
 @dataclass(frozen=True)
 class Delete:
     path: str
+    var: bool = False  # True: delete a local variable, not a row path
 
 
 @dataclass(frozen=True)
@@ -211,7 +216,8 @@ class LetVar:
 
 @dataclass(frozen=True)
 class LetErr:
-    """VRL error destructuring: `val, err = f(...)`. Our function
+    """VRL error destructuring: `val, err = f(...)` (locals) or
+    `.path, err = f(...)` (row paths, val_row=True). Our function
     builders are try_* (null on error), so err is approximated as
     'error' when the call yields null — the `err == null` guard
     pattern (zeek dns ip_pton) behaves identically. `_` discards."""
@@ -219,6 +225,26 @@ class LetErr:
     val_path: str | None
     err_path: str | None
     expr: Expr
+    val_row: bool = False
+
+
+@dataclass(frozen=True)
+class ExprStmt:
+    """Bare expression statement (`string!(.x)` on its own line):
+    VRL evaluates and discards; with infallible try_* builders this
+    compiles to a no-op. The parser rewrites a PROGRAM-trailing
+    expression (select_table_from_payload programs return their last
+    expression) into Assign('__vrl_result', expr) instead."""
+
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class Multi:
+    """Several steps emitted by one statement (chained assignment
+    `.a = .b = expr`)."""
+
+    steps: tuple
 
 
 @dataclass(frozen=True, eq=False)

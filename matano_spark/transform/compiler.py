@@ -192,6 +192,31 @@ class _RowState:
         return out
 
 
+def _deep_merge(lc, lt, rc, rt):
+    """Recursive struct merge, right wins on conflicts (VRL merge
+    deep: true)."""
+    if not (isinstance(lt, T.StructType) and isinstance(rt, T.StructType)):
+        return rc, rt
+    lmap = {f.name: f for f in lt.fields}
+    rnames = {f.name for f in rt.fields}
+    cols, fields = [], []
+    for f in lt.fields:
+        if f.name not in rnames:
+            cols.append(lc.getField(f.name).alias(f.name))
+            fields.append(f)
+    for f in rt.fields:
+        if f.name in lmap:
+            c, t = _deep_merge(
+                lc.getField(f.name), lmap[f.name].dataType,
+                rc.getField(f.name), f.dataType,
+            )
+        else:
+            c, t = rc.getField(f.name), f.dataType
+        cols.append(c.alias(f.name))
+        fields.append(T.StructField(f.name, t))
+    return F.struct(*cols), T.StructType(fields)
+
+
 def _copy_node(n):
     """Structural copy of a state node: trees re-dict (so sub-scope
     writes don't leak out), leaves shared (immutable)."""
@@ -232,22 +257,44 @@ class Compiler:
 
     def _compile_lambda(self, lam: ast.Lambda):
         """ast.Lambda → typed callable evaluated with params bound as
-        locals (the builders call it per element/leaf)."""
+        locals (the builders call it per element/leaf). A STATEMENT
+        body (lam.steps) runs first in an isolated locals scope —
+        param-field/local mutations only (a row-path write from a
+        value closure would be a per-element row mutation, which has
+        no meaning)."""
         from matano_spark.transform.functions import TypedLambda
+
+        def guard(ss):
+            for s in ss:
+                if isinstance(s, (ast.Assign, ast.Move)) or (
+                    isinstance(s, ast.Delete) and not s.var
+                ):
+                    raise ValueError(
+                        "row-path write inside a value closure — "
+                        "mutate the closure param or a local instead"
+                    )
+                if isinstance(s, ast.When):
+                    guard(s.steps)
+                    guard(s.orelse)
+                if isinstance(s, ast.Multi):
+                    guard(s.steps)
+
+        guard(lam.steps)
 
         def call(*typed_args):
             # accepts (col, dtype) pairs — one per closure param
-            saved = {p: self.vars.nodes.get(p) for p in lam.params}
-            for p, (c, t) in zip(lam.params, typed_args):
-                self.vars.nodes[p] = _Leaf(c, t)
+            saved_nodes = self.vars.nodes
+            self.vars.nodes = {
+                k: _copy_node(v) for k, v in saved_nodes.items()
+            }
             try:
+                for p, (c, t) in zip(lam.params, typed_args):
+                    self.vars.nodes[p] = _Leaf(c, t)
+                for st in lam.steps:
+                    self.step(st, None)
                 return self.expr(lam.body)
             finally:
-                for p, old in saved.items():
-                    if old is None:
-                        self.vars.nodes.pop(p, None)
-                    else:
-                        self.vars.nodes[p] = old
+                self.vars.nodes = saved_nodes
 
         return TypedLambda(call, n_params=len(lam.params))
 
@@ -273,6 +320,48 @@ class Compiler:
                 return (
                     self.vars.get(parts),
                     self.vars.get_type(parts) or T.StringType(),
+                )
+        if isinstance(e, ast.Fn) and e.name == "__stmt_block":
+            # value block with statements: run them in an isolated
+            # locals scope, value is the trailing expression
+            lam = e.kwargs["fn"]
+            return self._compile_lambda(lam)()
+        if isinstance(e, ast.Fn) and e.name == "coalesce":
+            # `expr ?? { abort }` — abort-the-row on error/null: keep
+            # rows where some non-abort arm is non-null, value is the
+            # plain coalesce of the remaining arms (S7 abort shape)
+            arms = [
+                a
+                for a in e.args
+                if not (isinstance(a, ast.Fn) and a.name == "__abort_block")
+            ]
+            if len(arms) != len(e.args):
+                cols = [self.expr(a) for a in arms]
+                value = (
+                    F.coalesce(*[c for c, _t2 in cols])
+                    if len(cols) > 1
+                    else cols[0][0]
+                )
+                self.state.filters.append(value.isNotNull())
+                return value, cols[0][1]
+        if (
+            isinstance(e, ast.Fn)
+            and e.name in ("set", "get")
+            and len(e.args) >= 2
+        ):
+            # constant-fold split(lit, lit) path args (zeek's
+            # set(.o, split("id.orig_p", "."), v) idiom) so the
+            # builder sees a literal multi-segment path
+            pa = e.args[1]
+            if (
+                isinstance(pa, ast.Fn)
+                and pa.name == "split"
+                and len(pa.args) == 2
+                and all(isinstance(x, ast.L) for x in pa.args)
+            ):
+                parts = str(pa.args[0].value).split(str(pa.args[1].value))
+                e = ast.Fn(
+                    e.name, e.args[0], ast.L(parts), *e.args[2:], **e.kwargs
                 )
         if (
             isinstance(e, ast.Fn)
@@ -422,6 +511,39 @@ class Compiler:
     ) -> None:
         """One assignment against `target` (_RowState row or _VarState
         locals), shared by Assign and LetVar."""
+        if not parts:
+            # root assignment: `. = merge(., x, deep: true)` (o365's
+            # grok-spread idiom) — fold x's top-level fields into the
+            # row, deep-merging where both sides are structs
+            if (
+                isinstance(expr, ast.Fn)
+                and expr.name == "merge"
+                and expr.args
+                and isinstance(expr.args[0], ast.P)
+                and expr.args[0].parts == ()
+            ):
+                xc, xt = self.expr(expr.args[1])
+                if not isinstance(xt, T.StructType):
+                    raise ValueError("root merge requires a struct value")
+                deep = bool(expr.kwargs.get("deep"))
+                for f in xt.fields:
+                    newc, newt = xc.getField(f.name), f.dataType
+                    oldt = target.get_type((f.name,))
+                    if (
+                        deep
+                        and isinstance(oldt, T.StructType)
+                        and isinstance(newt, T.StructType)
+                    ):
+                        newc, newt = _deep_merge(
+                            target.get((f.name,)), oldt, newc, newt
+                        )
+                    if cond is not None:
+                        newc = F.when(cond, newc).otherwise(
+                            target.get((f.name,))
+                        )
+                    target.set((f.name,), newc, newt)
+                return
+            raise ValueError("unsupported root (`.`) assignment form")
         # conditional self-append (`if c { .p = push(.p, v) }`) is the
         # dominant shape in managed-source transforms (ECS category/
         # type tagging). The generic form CASE WHEN c THEN push(old,v)
@@ -703,8 +825,12 @@ class Compiler:
         if isinstance(step, ast.LetErr):
             vc, vt = self.expr(step.expr)
             if step.val_path:
-                val = vc if cond is None else F.when(cond, vc)
-                self.vars.set(ast.split_path(step.val_path), val, vt)
+                target = self.state if step.val_row else self.vars
+                parts = ast.split_path(step.val_path)
+                val = vc
+                if cond is not None:
+                    val = F.when(cond, vc).otherwise(target.get(parts))
+                target.set(parts, val, vt)
             if step.err_path:
                 err = F.when(vc.isNull(), F.lit("error"))
                 if cond is not None:
@@ -715,6 +841,16 @@ class Compiler:
             return
         if isinstance(step, ast.ForEach):
             self._for_each(step, cond)
+            return
+        if isinstance(step, ast.Multi):
+            for sub in step.steps:
+                self.step(sub, cond)
+            return
+        if isinstance(step, ast.ExprStmt):
+            # bare call statement: VRL evaluates + discards; with
+            # infallible try_* builders this has no row effect — except
+            # the abort-block coalesce, which expr() registers itself
+            self.expr(step.expr)
             return
         if isinstance(step, ast.Assign):
             self._assign(s, ast.split_path(step.path), step.expr, cond, False)
@@ -729,6 +865,9 @@ class Compiler:
             if cond is None:
                 s.delete(src)
         elif isinstance(step, ast.Delete):
+            if step.var:
+                self.vars.delete(ast.split_path(step.path))
+                return
             if cond is not None:
                 raise ValueError("Delete inside When is not supported; assign null")
             s.delete(ast.split_path(step.path))

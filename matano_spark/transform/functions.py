@@ -503,6 +503,37 @@ def _compact(args, kw):
     )
 
 
+def _struct_set(obj, ot, parts, val, vt):
+    """set obj[parts...] = val on a struct (creating intermediate
+    structs), returning (Column, StructType)."""
+    fields = list(ot.fields) if isinstance(ot, T.StructType) else []
+    name = parts[0]
+    if len(parts) == 1:
+        child_val, child_t = val, vt
+    else:
+        sub = next((f for f in fields if f.name == name), None)
+        child_val, child_t = _struct_set(
+            obj.getField(name) if sub is not None else F.lit(None),
+            sub.dataType if sub is not None else None,
+            parts[1:],
+            val,
+            vt,
+        )
+    cols, new_fields, replaced = [], [], False
+    for f in fields:
+        if f.name == name:
+            cols.append(child_val.alias(name))
+            new_fields.append(T.StructField(name, child_t))
+            replaced = True
+        else:
+            cols.append(obj.getField(f.name).alias(f.name))
+            new_fields.append(f)
+    if not replaced:
+        cols.append(child_val.alias(name))
+        new_fields.append(T.StructField(name, child_t))
+    return F.struct(*cols), T.StructType(new_fields)
+
+
 def _single_path_seg(arg):
     """A VRL dynamic path argument `[expr]`: a raw python list
     (literal path) or a compiled one-element array column (parser's
@@ -568,20 +599,19 @@ def _set(args, kw):
     EXCEPTION dedup policy; null keys leave the object unchanged
     (VRL would error the expression)."""
     obj, ot = args[0]
-    seg, raw = _single_path_seg(args[1])
     val = _c(args[2])
+    seg_list = args[1][0] if isinstance(args[1][0], list) else None
+    if seg_list is not None and not isinstance(ot, T.MapType):
+        # literal (possibly multi-segment) path on an object → struct
+        # rebuild with path scaffolding (zeek's dotted-key unflatten:
+        # set(.o, ["id","orig_p"], v))
+        return _struct_set(
+            obj, ot, [str(x) for x in seg_list], val,
+            _t(args[2]) or T.StringType(),
+        )
+    seg, raw = _single_path_seg(args[1])
     if isinstance(ot, T.StructType) and ot.fields:
-        if raw is None:
-            raise ValueError("dynamic set() on a typed struct — use a map")
-        cols = [
-            (val if f.name == raw else obj.getField(f.name)).alias(f.name)
-            for f in ot.fields
-        ]
-        fields = list(ot.fields)
-        if raw not in {f.name for f in ot.fields}:
-            cols.append(val.alias(raw))
-            fields.append(T.StructField(raw, _t(args[2]) or T.StringType()))
-        return F.struct(*cols), T.StructType(fields)
+        raise ValueError("dynamic set() on a typed struct — use a map")
     mt = ot if isinstance(ot, T.MapType) else T.MapType(T.StringType(), T.StringType())
     key = seg.cast(mt.keyType.simpleString())
     base = (
@@ -605,6 +635,12 @@ def _ip_pton(args, kw):
     c = _c(args[0])
     ok = c.rlike(_IPV4_RE) | (c.rlike(r"^[0-9a-fA-F:]{2,45}$") & c.contains(":"))
     return F.when(ok, c), T.StringType()
+
+
+@fn("bool")
+def _bool_assert(args, kw):
+    """VRL bool!(x) type assertion."""
+    return _c(args[0]).try_cast("boolean"), T.BooleanType()
 
 
 @fn("object")

@@ -106,7 +106,15 @@ class Parser:
     def parse_program(self) -> list[ast.Step]:
         steps: list[ast.Step] = []
         while self.peek().kind != "eof" and self.peek().text != "}":
-            steps.append(self.parse_step())
+            save = self.i
+            try:
+                steps.append(self.parse_step())
+            except SyntaxError:
+                # bare expression statement (VRL evaluates + discards;
+                # a PROGRAM-trailing one is the program's return value,
+                # e.g. select_table_from_payload's table-name result)
+                self.i = save
+                steps.append(ast.ExprStmt(self.parse_expr()))
             while self.accept(";"):
                 pass
         return steps
@@ -121,6 +129,15 @@ class Parser:
         if t.text == "del":
             self.next()
             self.expect("(")
+            if self.peek().kind == "name":  # del(local_var[.path])
+                name = self.next().text
+                if (
+                    self.peek().kind == "path"
+                    and self.peek().pos == self.toks[self.i - 1].pos + len(name)
+                ):
+                    name += "." + self.next().text.lstrip(".")
+                self.expect(")")
+                return ast.Delete(name, var=True)
             path = self.expect_path()
             self.expect(")")
             return ast.Delete(path)
@@ -130,17 +147,30 @@ class Parser:
                 return ast.Assign(
                     path, ast.Fn("merge", ast.P(path), self.parse_expr())
                 )
-            self.expect("=")
-            # move form: .a = del(.b)
-            if self.peek().text == "del":
-                save = self.i
+            if self.peek().text == ",":
+                # row-path error destructuring: .p, err = f(...)
                 self.next()
-                if self.accept("("):
-                    src = self.expect_path()
-                    self.expect(")")
-                    if self.peek().text not in ("??",) and not self._is_expr_continuation():
-                        return ast.Move(path, src)
-                self.i = save
+                err = self.next().text
+                self.expect("=")
+                err_name = None if err == "_" else err
+                return self._assign_rhs(
+                    lambda e: ast.LetErr(path, err_name, e, val_row=True)
+                )
+            self.expect("=")
+            # chained assignment: .a = .b = expr (both get the value)
+            if (
+                self.peek().kind == "path"
+                and self.toks[self.i + 1].text == "="
+            ):
+                inner = self.parse_step()
+                return ast.Multi((inner, ast.Assign(path, ast.P(_chain_target(inner)))))
+            # move form: .a = del(.b) / .a = del(local.field)
+            dm = self._try_del_move()
+            if dm is not None:
+                read, delstep = dm
+                if isinstance(read, ast.P):
+                    return ast.Move(path, read.path)
+                return ast.Multi((ast.Assign(path, read), delstep))
             return self._assign_rhs(lambda e: ast.Assign(path, e))
         if t.kind == "name" and t.text not in KEYWORDS:
             nxt = self.toks[self.i + 1]
@@ -149,12 +179,27 @@ class Parser:
             if nxt.text == "=":
                 name = self.next().text
                 self.expect("=")
+                dm = self._try_del_move()
+                if dm is not None:
+                    read, delstep = dm
+                    return ast.Multi((ast.LetVar(name, read), delstep))
                 return self._assign_rhs(lambda e: ast.LetVar(name, e))
-            if nxt.kind == "path" and self.toks[self.i + 2].text == "=":
+            if (
+                nxt.kind == "path"
+                and nxt.pos == t.pos + len(t.text)  # adjacency: x.y, not x \n .y
+                and self.toks[self.i + 2].text == "="
+                and self.toks[self.i + 3].text != "="
+            ):
                 # nested local write: debug_data.flattened.risk = expr
                 name = self.next().text
                 sub = self.next().text.lstrip(".")
                 self.expect("=")
+                dm = self._try_del_move()
+                if dm is not None:
+                    read, delstep = dm
+                    return ast.Multi(
+                        (ast.LetVar(f"{name}.{sub}", read), delstep)
+                    )
                 return self._assign_rhs(
                     lambda e: ast.LetVar(f"{name}.{sub}", e)
                 )
@@ -170,12 +215,54 @@ class Parser:
                 self.expect(",")
                 err = self.next().text
                 self.expect("=")
-                return ast.LetErr(
-                    None if name == "_" else name,
-                    None if err == "_" else err,
-                    self.parse_expr(),
+                val_name = None if name == "_" else name
+                err_name = None if err == "_" else err
+                return self._assign_rhs(
+                    lambda e: ast.LetErr(val_name, err_name, e)
                 )
         raise SyntaxError(f"unexpected {t.text!r} at {t.pos}")
+
+    def _try_del_move(self) -> tuple | None:
+        """RHS of the exact shape `del(target)` with nothing after it:
+        returns (read_expr, delete_step) — the VRL move idiom removes
+        the source while yielding its value. None if the RHS is
+        anything else (del-within-expression keeps read-only
+        semantics)."""
+        if self.peek().text != "del":
+            return None
+        save = self.i
+        self.next()
+        if not self.accept("("):
+            self.i = save
+            return None
+        if self.peek().kind == "name":
+            nm = self.next().text
+            sub = None
+            if (
+                self.peek().kind == "path"
+                and self.peek().pos == self.toks[self.i - 1].pos + len(nm)
+            ):
+                sub = self.next().text.lstrip(".")
+            if not self.accept(")") or self.peek().text in ("??", "[") or (
+                self._is_expr_continuation()
+            ):
+                self.i = save
+                return None
+            read = (
+                ast.Fn("__field", ast.Var(nm), path=sub) if sub else ast.Var(nm)
+            )
+            target = f"{nm}.{sub}" if sub else nm
+            return read, ast.Delete(target, var=True)
+        if self.peek().kind == "path":
+            p = self.expect_path()
+            if not self.accept(")") or self.peek().text in ("??", "[") or (
+                self._is_expr_continuation()
+            ):
+                self.i = save
+                return None
+            return ast.P(p), ast.Delete(p)
+        self.i = save
+        return None
 
     def _assign_rhs(self, mk) -> ast.Step:
         """RHS of an assignment: a block-expression if desugars to a
@@ -236,7 +323,11 @@ class Parser:
                     return tuple(steps), ast.P(last.path)
                 if isinstance(last, ast.LetVar):
                     return tuple(steps), _var_read(last.path)
-                raise SyntaxError("expression block without a value")
+                if isinstance(last, ast.ExprStmt):
+                    steps.pop()
+                    return tuple(steps), last.expr
+                # statement block (trailing if/del/...): value is null
+                return tuple(steps), ast.L(None)
             save = self.i
             try:
                 steps.append(self.parse_step())
@@ -341,21 +432,33 @@ class Parser:
             operand = self.parse_unary()
             return ast.BinOp("-", ast.L(0), operand)
         e = self.parse_atom()
-        # constant-index postfix: expr[0] / expr[-1] (VRL array access)
-        while self.peek().text == "[" and self.toks[self.i + 1].kind in (
-            "int",
-            "op",
-        ):
-            save = self.i
-            self.next()  # [
-            neg = self.accept("-")
-            t = self.peek()
-            if t.kind != "int":
-                self.i = save  # not an index (e.g. list literal) — back off
-                break
-            idx = int(self.next().text)
-            self.expect("]")
-            e = ast.Fn("get", e, index=(-idx if neg else idx))
+        # postfix chain: constant index expr[0] / expr[-1], and
+        # ADJACENT member access after it (authz_info[0].granted)
+        while True:
+            if self.peek().text == "[" and self.toks[self.i + 1].kind in (
+                "int",
+                "op",
+            ):
+                save = self.i
+                self.next()  # [
+                neg = self.accept("-")
+                t = self.peek()
+                if t.kind != "int":
+                    self.i = save  # not an index (list literal) — back off
+                    break
+                idx = int(self.next().text)
+                self.expect("]")
+                e = ast.Fn("get", e, index=(-idx if neg else idx))
+                continue
+            prev = self.toks[self.i - 1]
+            if (
+                self.peek().kind == "path"
+                and self.peek().pos == prev.pos + len(prev.text)
+            ):
+                p = self.next().text.lstrip(".")
+                e = ast.Fn("get", e, path=list(ast.split_path(p)))
+                continue
+            break
         return e
 
     def parse_atom(self) -> Any:
@@ -373,20 +476,42 @@ class Parser:
             self.expect(")")
             return e
         if t.text == "{":
+            # `?? { abort }` error-coalesce block: abort the row when
+            # the left arm errors/nulls (S7 object-level abort shape)
+            if self.peek().text == "abort":
+                save = self.i
+                self.next()
+                if self.accept("}"):
+                    return ast.Fn("__abort_block")
+                self.i = save
             # object literal { "k": expr, ... } → __object(k1, v1, ...)
-            kvs: list[Any] = []
-            while not self.accept("}"):
-                if kvs:
-                    self.expect(",")
-                    if self.accept("}"):  # trailing comma
-                        break
-                kt = self.next()
-                key = _unquote(kt.text) if kt.kind == "string" else kt.text
-                self.expect(":")
-                kvs.append(ast.L(key))
-                # values may be expression-position if/else chains
-                kvs.append(self.parse_closure_body())
-            return ast.Fn("__object", *kvs)
+            save = self.i
+            try:
+                kvs: list[Any] = []
+                while not self.accept("}"):
+                    if kvs:
+                        self.expect(",")
+                        if self.accept("}"):  # trailing comma
+                            break
+                    kt = self.next()
+                    key = _unquote(kt.text) if kt.kind == "string" else kt.text
+                    self.expect(":")
+                    kvs.append(ast.L(key))
+                    # values may be expression-position if/else chains
+                    kvs.append(self.parse_closure_body())
+                return ast.Fn("__object", *kvs)
+            except SyntaxError:
+                self.i = save
+            # value block `{ [stmts;] expr }` (zeek ssl nested-block
+            # arms; cloudflare's `?? { ... }` fallback) — statements
+            # are locals-only and run in an isolated scope
+            steps, final = self.parse_block_value()
+            self.expect("}")
+            if steps:
+                return ast.Fn(
+                    "__stmt_block", fn=ast.Lambda((), final, steps)
+                )
+            return final
         if t.text == "[":
             # list literal: all-literal elements fold to ast.L(list)
             # (usable as raw kwarg values, e.g. parse_groks patterns);
@@ -417,6 +542,18 @@ class Parser:
                 # compiler's Move handles statement form; in expression
                 # position we read the value (delete folded separately)
                 self.expect("(")
+                if self.peek().kind == "name":  # del(local_var[.path])
+                    nm = self.next().text
+                    if (
+                        self.peek().kind == "path"
+                        and self.peek().pos
+                        == self.toks[self.i - 1].pos + len(nm)
+                    ):
+                        sub = self.next().text.lstrip(".")
+                        self.expect(")")
+                        return ast.Fn("__field", ast.Var(nm), path=sub)
+                    self.expect(")")
+                    return ast.Var(nm)
                 p = self.expect_path()
                 self.expect(")")
                 return ast.P(p)
@@ -425,8 +562,13 @@ class Parser:
             if self.peek().text != "(":
                 # bare identifier: a closure-bound variable (`v` inside
                 # `-> |v| { ... }`); resolution happens at compile time.
-                # `v.field.sub` member access compiles via __field.
-                if self.peek().kind == "path":
+                # `v.field.sub` member access compiles via __field —
+                # ADJACENT only: a newline-separated `.path` starts the
+                # next statement (`x = m` then `.related.y = ...`)
+                if (
+                    self.peek().kind == "path"
+                    and self.peek().pos == t.pos + len(t.text)
+                ):
                     p = self.next().text
                     return ast.Fn("__field", ast.Var(name), path=p.lstrip("."))
                 return ast.Var(name)
@@ -436,6 +578,8 @@ class Parser:
             while not self.accept(")"):
                 if args or kwargs:
                     self.expect(",")
+                    if self.accept(")"):  # trailing comma
+                        break
                 # named arg?  name ':' expr
                 if (
                     self.peek().kind == "name"
@@ -455,8 +599,9 @@ class Parser:
 
     def parse_closure(self) -> ast.Lambda:
         """`-> |v| { body }` / `-> |k, v| { body }`; body is an
-        expression or a VRL if-ELSE-expression chain (every branch
-        yields a value → Fn('ternary', ...))."""
+        expression, a VRL if-ELSE-expression chain (every branch
+        yields a value → Fn('ternary', ...)), or a STATEMENT block
+        ending in a value (param-field rebuild closures)."""
         self.expect("->")
         self.expect("|")
         params = [self.next().text]
@@ -464,9 +609,18 @@ class Parser:
             params.append(self.next().text)
         self.expect("|")
         self.expect("{")
-        body = self.parse_closure_body()
+        save = self.i
+        try:
+            body = self.parse_closure_body()
+            if self.peek().text == "}":
+                self.next()
+                return ast.Lambda(params, body)
+        except SyntaxError:
+            pass
+        self.i = save
+        steps, final = self.parse_block_value()
         self.expect("}")
-        return ast.Lambda(params, body)
+        return ast.Lambda(params, final, steps=steps)
 
     def parse_closure_body(self) -> Any:
         if self.peek().text == "if":
@@ -484,6 +638,17 @@ class Parser:
                 self.expect("}")
             return ast.Fn("ternary", cond, then, orelse)
         return self.parse_expr()
+
+
+def _chain_target(step: ast.Step) -> str:
+    """Target path of the inner step of a chained assignment."""
+    if isinstance(step, ast.Multi):
+        step = step.steps[-1]
+    if isinstance(step, ast.Assign):
+        return step.path
+    if isinstance(step, ast.Move):
+        return step.dst
+    raise SyntaxError("unsupported chained assignment target")
 
 
 def _var_read(path: str) -> Any:
@@ -519,7 +684,13 @@ def _lit_value(e: Any) -> Any:
 
 
 def parse_program(src: str) -> list[ast.Step]:
-    return Parser(src).parse_program()
+    steps = Parser(src).parse_program()
+    # a trailing bare expression is the PROGRAM's return value (VRL
+    # expression programs, e.g. select_table_from_payload) — nested
+    # blocks (for_each bodies, if arms) keep theirs as no-op ExprStmt
+    if steps and isinstance(steps[-1], ast.ExprStmt):
+        steps[-1] = ast.Assign("__vrl_result", steps[-1].expr)
+    return steps
 
 
 def compile_vrl(src: str):

@@ -294,3 +294,34 @@ def test_map_to_struct_schema_cast(spark):
     assert bad.count() == 0
     row = good.collect()[0]["login"].asDict()
     assert row == {"type": "google_password", "timestamp": 171}
+
+
+REF_MANAGED = "/root/reference/data/managed/log_sources"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_MANAGED),
+    reason="reference tree not present",
+)
+def test_every_reference_managed_program_parses():
+    """Parse-coverage pin: ALL VRL programs embedded in the
+    reference's managed log-source ymls parse (98 at r5), with no
+    function name missing from the registry. `python
+    tools/vrl_parse_survey.py` prints the detail."""
+    from collections import Counter
+
+    from tools.vrl_parse_survey import _collect_unknown, iter_programs
+    from matano_spark.transform.parser import parse_program
+
+    unknown: Counter = Counter()
+    n = fails = 0
+    for path, kind, prog in iter_programs(REF_MANAGED):
+        n += 1
+        try:
+            _collect_unknown(parse_program(prog), unknown)
+        except SyntaxError as e:
+            fails += 1
+            print(f"FAIL {path} [{kind}]: {e}")
+    assert n >= 90  # the managed set only grows
+    assert fails == 0
+    assert not unknown, dict(unknown)
