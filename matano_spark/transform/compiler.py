@@ -192,6 +192,21 @@ class _RowState:
         return out
 
 
+def _has_row_write(steps) -> bool:
+    for s in steps:
+        if isinstance(s, (ast.Assign, ast.Move)):
+            return True
+        if isinstance(s, ast.Delete) and not s.var:
+            return True
+        if isinstance(s, ast.When) and (
+            _has_row_write(s.steps) or _has_row_write(s.orelse)
+        ):
+            return True
+        if isinstance(s, (ast.Multi, ast.ForEach)) and _has_row_write(s.steps):
+            return True
+    return False
+
+
 def _deep_merge(lc, lt, rc, rt):
     """Recursive struct merge, right wins on conflicts (VRL merge
     deep: true)."""
@@ -235,6 +250,10 @@ class _VarState(_RowState):
 
 
 def _infer_type(value: Any) -> T.DataType:
+    if isinstance(value, list):
+        return T.ArrayType(
+            _infer_type(value[0]) if value else T.StringType()
+        )
     if value is None:
         # typed as NULL so ternary/coalesce arms adopt the OTHER arm's
         # type instead of unifying everything to string
@@ -386,6 +405,13 @@ class Compiler:
             out_t = T.ArrayType(et)
             return F.concat(*[c.cast(out_t) for c in lifted]), out_t
         if isinstance(e, ast.P):
+            node = self.state._node(e.parts)
+            if node is None:
+                # ABSENT path: claim NullType so null-in/null-out
+                # guards fire (a string claim here made map_values/
+                # merge/get reject programs whose inputs are missing
+                # from the probe schema)
+                return self.state.get(e.parts), T.NullType()
             return self.state.get(e.parts), self.state.get_type(e.parts) or T.StringType()
         if isinstance(e, ast.L):
             if isinstance(e.value, list):
@@ -401,6 +427,21 @@ class Compiler:
                 )
             return F.lit(e.value), _infer_type(e.value)
         if isinstance(e, ast.Fn):
+            if e.name in ("parse_grok", "parse_groks"):
+                # all-literal object-literal args are grok alias DICTS
+                # (o365's positional pattern_definitions) — fold raw
+                folded = []
+                for a in e.args:
+                    if (
+                        isinstance(a, ast.Fn)
+                        and a.name == "__object"
+                        and all(isinstance(x, ast.L) for x in a.args)
+                    ):
+                        vals = [x.value for x in a.args]
+                        folded.append(ast.L(dict(zip(vals[0::2], vals[1::2]))))
+                    else:
+                        folded.append(a)
+                e = ast.Fn(e.name, *folded, **e.kwargs)
             args = []
             for a in e.args:
                 if isinstance(a, ast.L):
@@ -511,6 +552,49 @@ class Compiler:
     ) -> None:
         """One assignment against `target` (_RowState row or _VarState
         locals), shared by Assign and LetVar."""
+        if (
+            isinstance(expr, ast.Fn)
+            and expr.name in ("map_values", "map_each")
+            and isinstance(expr.kwargs.get("fn"), ast.Lambda)
+            and expr.kwargs["fn"].steps
+            and len(expr.kwargs["fn"].params) == 1
+            and expr.args
+            and _has_row_write(expr.kwargs["fn"].steps)
+        ):
+            # a map closure that ALSO mutates row paths (route53's
+            # answers rebuild pushes .related.ip per element): desugar
+            # to the for_each fold with an accumulator list —
+            #   acc = []; for_each(c) -> |i, v| { body; acc.push(val) }
+            # so both the mapped array and the row mutations come out
+            # of ONE JVM-side aggregate
+            lam = expr.kwargs["fn"]
+            self._mv_n = getattr(self, "_mv_n", 0) + 1
+            tmp = f"__mv_acc_{self._mv_n}"
+            body = lam.steps + (
+                ast.LetVar(tmp, ast.Fn("push", ast.Var(tmp), lam.body)),
+            )
+            self.step(ast.LetVar(tmp, ast.L([])), cond)
+            self.step(
+                ast.ForEach(
+                    expr.args[0], (f"__mv_i_{self._mv_n}", *lam.params), body
+                ),
+                cond,
+            )
+            value = self.vars.get((tmp,))
+            vtype = self.vars.get_type((tmp,)) or T.ArrayType(T.StringType())
+            if cond is not None:
+                old = target.get(parts)
+                oldt = target.get_type(parts)
+                if oldt is not None and oldt.simpleString() != vtype.simpleString():
+                    # the closure retyped the array; rows outside the
+                    # guard can't keep the old shape in a static
+                    # column — they null (the declared schema keeps
+                    # only the new shape anyway)
+                    old = F.lit(None).cast(vtype)
+                value = F.when(cond, value).otherwise(old)
+            target.set(parts, value, vtype)
+            self.vars.delete((tmp,))
+            return
         if not parts:
             # root assignment: `. = merge(., x, deep: true)` (o365's
             # grok-spread idiom) — fold x's top-level fields into the
@@ -859,6 +943,19 @@ class Compiler:
             src = ast.split_path(step.src)
             value = s.get(src)
             vtype = s.get_type(src) or T.StringType()
+            if not dst:
+                # root move `. = del(.json)` (matano_alerts): spread
+                # the struct's fields to top level, then drop it
+                if cond is not None:
+                    raise ValueError("conditional root move is not supported")
+                if not isinstance(vtype, T.StructType):
+                    raise ValueError("root move requires a struct source")
+                for fld in vtype.fields:
+                    s.set(
+                        (fld.name,), value.getField(fld.name), fld.dataType
+                    )
+                s.delete(src)
+                return
             if cond is not None:
                 value = F.when(cond, value).otherwise(s.get(dst))
             s.set(dst, value, vtype)
@@ -868,9 +965,22 @@ class Compiler:
             if step.var:
                 self.vars.delete(ast.split_path(step.path))
                 return
+            parts = ast.split_path(step.path)
             if cond is not None:
-                raise ValueError("Delete inside When is not supported; assign null")
-            s.delete(ast.split_path(step.path))
+                # VRL del under if removes the key for matching rows;
+                # the static output schema keeps the column, so the
+                # analog is null-where-guard (null-uniform at rest —
+                # SURVEY §7 compact() semantics)
+                if s._node(parts) is not None:
+                    old = s.get(parts)
+                    t = s.get_type(parts) or T.StringType()
+                    s.set(
+                        parts,
+                        F.when(cond, F.lit(None).cast(t)).otherwise(old),
+                        t,
+                    )
+                return
+            s.delete(parts)
         elif isinstance(step, ast.AbortIf):
             c, _ = self.expr(step.cond)
             if cond is not None:

@@ -163,7 +163,11 @@ def _to_timestamp(args, kw):
     numerics; ISO-ish strings parse directly (ref: VRL to_timestamp;
     transformer/src/avro.rs:52 micros precision)."""
     c, t = args[0]
-    unit = kw.get("unit", "seconds")
+    unit = (
+        args[1][0]
+        if len(args) > 1 and isinstance(args[1][0], str)
+        else kw.get("unit", "seconds")
+    )
     if isinstance(t, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType)):
         if unit == "seconds":
             return F.timestamp_seconds(c), T.TimestampType()
@@ -192,7 +196,12 @@ def _parse_timestamp(args, kw):
 
 @fn("to_unix_timestamp")
 def _to_unix(args, kw):
-    unit = kw.get("unit", "seconds")
+    # unit as kwarg or VRL positional second arg
+    unit = (
+        args[1][0]
+        if len(args) > 1 and isinstance(args[1][0], str)
+        else kw.get("unit", "seconds")
+    )
     c = _c(args[0])
     if unit == "seconds":
         return c.cast("long") if False else F.unix_timestamp(c), T.LongType()
@@ -200,6 +209,8 @@ def _to_unix(args, kw):
         return (F.unix_micros(c) / 1000).cast("bigint"), T.LongType()
     if unit == "microseconds":
         return F.unix_micros(c), T.LongType()
+    if unit == "nanoseconds":
+        return F.unix_micros(c) * 1000, T.LongType()
     raise ValueError(f"bad unit {unit}")
 
 
@@ -319,7 +330,12 @@ def _is_empty(args, kw):
 
 @fn("match_any")
 def _match_any(args, kw):
-    pats = kw["patterns"]
+    # patterns kwarg or VRL positional list of r'...' literals
+    pats = (
+        args[1][0]
+        if len(args) > 1 and isinstance(args[1][0], list)
+        else kw["patterns"]
+    )
     out = F.lit(False)
     for p in pats:
         out = out | _c(args[0]).rlike(p)
@@ -465,14 +481,40 @@ def _join(args, kw):
 
 @fn("includes")
 def _includes(args, kw):
-    return F.array_contains(_c(args[0]), _c(args[1])), T.BooleanType()
+    arr, at = _c(args[0]), _t(args[0])
+    v, vt = _c(args[1]), _t(args[1])
+    # a null-typed probe value needs an explicit element-type cast
+    # (array_contains rejects VOID)
+    if vt is None or isinstance(vt, T.NullType):
+        et = at.elementType if isinstance(at, T.ArrayType) else T.StringType()
+        v = v.cast(et.simpleString())
+    return F.array_contains(arr, v), T.BooleanType()
 
 
 @fn("filter")
 def _filter(args, kw):
     pred = kw.get("predicate") or kw["fn"]  # Column lambda or TypedLambda
     c, t = args[0]
+    if isinstance(t, T.NullType):  # null in → null out (try-form)
+        return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
+    if isinstance(t, T.MapType) and getattr(pred, "n_params", 1) == 2:
+        # object filter: |k, v| closure → map_filter
+        return (
+            F.map_filter(
+                c, lambda k, v: pred((k, t.keyType), (v, t.valueType))[0]
+            ),
+            t,
+        )
     et = t.elementType if isinstance(t, T.ArrayType) else None
+    if getattr(pred, "n_params", 1) == 2:
+        # VRL array closures are |index, value|
+        return (
+            F.filter(
+                c,
+                lambda x, i: pred((i, T.IntegerType()), (x, et))[0],
+            ),
+            t or T.ArrayType(T.StringType()),
+        )
     return (
         F.filter(c, lambda x: apply_value_fn(pred, x, et)[0]),
         t or T.ArrayType(T.StringType()),
@@ -484,6 +526,12 @@ def _map_each(args, kw):
     f = kw["fn"]
     c, t = args[0]
     et = t.elementType if isinstance(t, T.ArrayType) else None
+    if getattr(f, "n_params", 1) == 2:  # |index, value| form
+        _, nt = f((F.lit(0), T.IntegerType()), (F.lit(None).cast(et) if et else F.lit(None), et))
+        return (
+            F.transform(c, lambda x, i: f((i, T.IntegerType()), (x, et))[0]),
+            T.ArrayType(nt or et or T.StringType()),
+        )
     _, nt = apply_value_fn(f, F.lit(None).cast(et) if et else F.lit(None), et)
     return (
         F.transform(c, lambda x: apply_value_fn(f, x, et)[0]),
@@ -549,6 +597,8 @@ def _single_path_seg(arg):
 @fn("get")
 def _get(args, kw):
     c, t = args[0]
+    if isinstance(t, T.NullType):  # null object → null member (try-form)
+        return F.lit(None).cast("string"), T.StringType()
     if len(args) > 1:
         # verbatim form get(value, [seg]) — seg may be a closure var
         # (zeek: get!(ttls, [i])) or negative literal (okta: [-1])
@@ -787,10 +837,18 @@ def _parse_url(args, kw):
 def _parse_grok(args, kw):
     """parse_grok(value, pattern: "...", NAME: "regex"...) — extra
     kwargs define custom grok patterns (VRL alias set)."""
-    custom = kw.get("patterns") or {
+    pattern = (
+        args[1][0]
+        if len(args) > 1 and isinstance(args[1][0], str)
+        else kw["pattern"]
+    )
+    custom = kw.get("patterns")
+    if custom is None and len(args) > 2 and isinstance(args[2][0], dict):
+        custom = args[2][0]  # verbatim positional alias dict
+    custom = custom or {
         k: v for k, v in kw.items() if k not in ("pattern", "patterns")
     } or None
-    return grok_mod.parse_grok(_c(args[0]), kw["pattern"], custom)
+    return grok_mod.parse_grok(_c(args[0]), pattern, custom)
 
 
 @fn("parse_groks")
@@ -804,7 +862,10 @@ def _parse_groks(args, kw):
         args[1][0] if len(args) > 1 and isinstance(args[1][0], list)
         else kw["patterns"]
     )
-    custom = kw.get("custom") or {
+    custom = kw.get("custom")
+    if custom is None and len(args) > 2 and isinstance(args[2][0], dict):
+        custom = args[2][0]  # verbatim positional alias dict
+    custom = custom or {
         k: v for k, v in kw.items() if k not in ("patterns", "custom")
     } or None
     return grok_mod.parse_groks(c, grok_patterns, custom)
@@ -856,7 +917,11 @@ def _parse_regex(args, kw):
     """Named captures → struct (VRL parse_regex)."""
     import re as _re
 
-    pattern = kw["pattern"]
+    pattern = (
+        args[1][0]
+        if len(args) > 1 and isinstance(args[1][0], str)
+        else kw["pattern"]
+    )
     c = _c(args[0])
     groups = _named_group_indices(pattern)
     # Java named groups reject underscores; strip names, extract by the
@@ -879,7 +944,11 @@ def _parse_regex_all(args, kw):
     is then re-parsed per capture group — all JVM-side, no UDF."""
     import re as _re
 
-    pattern = kw["pattern"]
+    pattern = (
+        args[1][0]
+        if len(args) > 1 and isinstance(args[1][0], str)
+        else kw["pattern"]
+    )
     c = _c(args[0])
     groups = _named_group_indices(pattern)
     # Java named groups reject underscores; strip names, extract by the
@@ -1027,6 +1096,25 @@ def _merge(args, kw):
     compile-time recursive application)."""
     lc, lt = args[0]
     rc, rt = args[1]
+    # a null/absent side contributes nothing (VRL merge with null errs;
+    # the try-form yields the other side)
+    if lt is None or isinstance(lt, T.NullType):
+        return rc, rt if rt is not None else T.StringType()
+    if rt is None or isinstance(rt, T.NullType):
+        return lc, lt
+    if isinstance(lt, T.MapType) and isinstance(rt, T.MapType):
+        key = lt.keyType
+        out = T.MapType(key, lt.valueType)
+        return (
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(lc, F.create_map().cast(out)),
+                    lambda k, _v: ~F.array_contains(F.map_keys(rc), k),
+                ),
+                rc.cast(out.simpleString()),
+            ),
+            out,
+        )
     if not isinstance(lt, T.StructType) or not isinstance(rt, T.StructType):
         raise ValueError("merge requires struct-typed args with known schema")
     names = [f.name for f in lt.fields if f.name not in {g.name for g in rt.fields}]
@@ -1145,6 +1233,12 @@ def _map_values(args, kw):
     f = kw["fn"]
     recursive = bool(kw.get("recursive", False))
     c, t = args[0]
+    if isinstance(t, T.ArrayType) or t is None:
+        # VRL map_values also maps over ARRAY elements (the okta
+        # ip_chain / route53 answers rebuild closures)
+        return _map_each(args, kw)
+    if isinstance(t, T.NullType):  # null in → null out (try-form)
+        return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
     if not isinstance(t, (T.MapType, T.StructType)):
         raise ValueError("map_values requires a map- or struct-typed column")
     return _map_values_walk(f, c, t, recursive)

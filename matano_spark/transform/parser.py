@@ -667,9 +667,17 @@ def _unquote(s: str) -> str:
 
 
 def _lit_value(e: Any) -> Any:
-    """Named args carry python values (patterns, units, separators)."""
+    """Named args carry python values (patterns, units, separators).
+    All-literal object literals fold to dicts (pattern_definitions)."""
     if isinstance(e, ast.L):
         return e.value
+    if (
+        isinstance(e, ast.Fn)
+        and e.name == "__object"
+        and all(isinstance(x, ast.L) for x in e.args)
+    ):
+        vals = [x.value for x in e.args]
+        return dict(zip(vals[0::2], vals[1::2]))
     # fold negative number literals (parse_unary desugars -n to 0 - n)
     if (
         isinstance(e, ast.BinOp)

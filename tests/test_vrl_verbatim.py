@@ -325,3 +325,90 @@ def test_every_reference_managed_program_parses():
     assert n >= 90  # the managed set only grows
     assert fails == 0
     assert not unknown, dict(unknown)
+
+
+# ref: data/managed/log_sources/aws_route53_resolver_logs/log_source.yml:140-160
+# (map_values closure that ALSO accumulates into row paths — desugared
+# to the for_each fold)
+ROUTE53_ANSWERS = """
+  if .dns_answers != null && is_array(.dns_answers) {
+    .dns_answers = map_values(array!(.dns_answers)) -> |ans| {
+      ans.class = del(ans.Class)
+      ans.type = string!(del(ans.Type))
+      ans.data = del(ans.Rdata)
+      if !is_nullish(ans.data) && ends_with!(ans.data, ".") {
+        ans.data = slice!(ans.data, 0, length!(ans.data) - 1)
+        if ans.type == "CNAME" {
+          ans.name = ans.data
+        }
+      }
+      if includes(["A", "AAAA"], ans.type) {
+        .related_ip = push(.related_ip, ans.data)
+      } else if includes(["CNAME", "PTR"], ans.type) {
+        .related_hosts = push(.related_hosts, ans.data)
+      }
+      ans
+    }
+  }
+"""
+
+
+def test_route53_answers_map_with_row_accumulation(spark):
+    f = compile_vrl(ROUTE53_ANSWERS)
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    ("IN", "A", "10.0.0.9."),
+                    ("IN", "CNAME", "alias.example.com."),
+                ],
+            ),
+            (2, None),
+        ],
+        "id long, dns_answers array<struct<Class:string,Type:string,Rdata:string>>",
+    )
+    rows = {r["id"]: r.asDict() for r in f(df).collect()}
+    answers = [a.asDict() for a in rows[1]["dns_answers"]]
+    assert answers[0]["type"] == "A" and answers[0]["data"] == "10.0.0.9"
+    assert answers[1]["name"] == "alias.example.com"  # CNAME copies data
+    assert rows[1]["related_ip"] == ["10.0.0.9"]
+    assert rows[1]["related_hosts"] == ["alias.example.com"]
+    assert rows[2].get("dns_answers") is None
+
+
+def test_two_param_array_closures_and_conditional_del(spark):
+    """|index, value| closures on filter/map_each; del under if is
+    null-where-guard; positional match_any/parse_regex patterns."""
+    prog = r"""
+  .evens = filter(.xs) -> |i, v| { mod(i, 2) == 0 }
+  .tagged = map_each(.xs) -> |i, v| { to_string(i) + ":" + v }
+  if .drop_note == "yes" {
+    del(.note)
+  }
+  .m = match_any(.note2, [r'^a', r'^b'])
+  .rx = parse_regex(.note2, r'^(?P<head>\w+) (?P<tail>\w+)$')
+"""
+    f = compile_vrl(prog)
+    df = spark.createDataFrame(
+        [(["p", "q", "r"], "yes", "keepme", "b two")],
+        "xs array<string>, drop_note string, note string, note2 string",
+    )
+    r = f(df).collect()[0]
+    assert r["evens"] == ["p", "r"]
+    assert r["tagged"] == ["0:p", "1:q", "2:r"]
+    assert r["note"] is None  # conditional del → null where guard held
+    assert r["m"] is True
+    assert r["rx"].asDict() == {"head": "b", "tail": "two"}
+
+
+def test_root_move_spreads_struct(spark):
+    """`. = del(.json)` (matano_alerts): spread fields to the top
+    level and drop the source column."""
+    f = compile_vrl(". = del(.json)\n")
+    df = spark.createDataFrame(
+        [((1, "x"),)], "json struct<a:long,b:string>"
+    )
+    out = f(df)
+    assert set(out.columns) == {"a", "b"}
+    assert out.collect()[0].asDict() == {"a": 1, "b": "x"}
