@@ -96,6 +96,11 @@ def split_path(path: str) -> tuple[str, ...]:
     return tuple(p for p in parts if p != "")
 
 
+class RegexLit(str):
+    """An r'...' regex literal — string builders (replace/split) must
+    treat it as a PATTERN, not a literal separator."""
+
+
 @dataclass(frozen=True, eq=False)
 class P(_ExprOps):
     """Dotted path reference into the row."""

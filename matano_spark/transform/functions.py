@@ -242,10 +242,16 @@ def _split(args, kw):
     if kw.get("pattern") is not None:
         sep = kw["pattern"]  # kwarg form: regex, as documented
     else:
+        from matano_spark.transform.ast import RegexLit
+
         raw = args[1][0]
         # VRL string separators are LITERAL (split(s, ".") splits on
-        # dots, not on every char) — escape before F.split's regex
-        sep = re.escape(raw) if isinstance(raw, str) else _c(args[1])
+        # dots, not on every char) — escape before F.split's regex;
+        # r'...' literals stay patterns
+        if isinstance(raw, RegexLit):
+            sep = str(raw)
+        else:
+            sep = re.escape(raw) if isinstance(raw, str) else _c(args[1])
     limit = kw.get("limit", -1)
     if len(args) > 2:  # VRL positional limit
         limit = args[2][0] if isinstance(args[2][0], int) else limit
@@ -260,8 +266,12 @@ def _replace(args, kw):
     with_ = args[2][0] if len(args) > 2 else kw.get("with", "")
     if pattern is None:
         raise ValueError("replace requires a pattern arg or pattern= kwarg")
-    if kw.get("regex", False):
-        return F.regexp_replace(c, pattern, with_), T.StringType()
+    from matano_spark.transform.ast import RegexLit
+
+    if kw.get("regex", False) or isinstance(pattern, RegexLit):
+        # VRL regex-literal pattern (r'...') → regexp replace; VRL
+        # capture refs use $1 while Spark wants $1 too — compatible
+        return F.regexp_replace(c, str(pattern), with_), T.StringType()
     pattern = pattern if isinstance(pattern, Column) else F.lit(pattern)
     with_ = with_ if isinstance(with_, Column) else F.lit(with_)
     return F.replace(c, pattern, with_), T.StringType()

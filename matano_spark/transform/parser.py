@@ -528,9 +528,9 @@ class Parser:
             return ast.Fn("__array", *elems)
         if t.kind == "name":
             name = t.text
-            # VRL regex literal r'...' / r"..." → plain string pattern
+            # VRL regex literal r'...' / r"..." → marked pattern string
             if name == "r" and self.peek().kind == "string":
-                return ast.L(_unquote(self.next().text))
+                return ast.L(ast.RegexLit(_unquote(self.next().text)))
             if name == "true":
                 return ast.L(True)
             if name == "false":
