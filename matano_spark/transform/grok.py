@@ -107,6 +107,11 @@ def parse_groks(
     union: dict = {}
     for gp in grok_patterns:
         regex, fields = translate(gp, patterns)
+        # VRL grok is WHOLE-string: unanchored rlike would let an
+        # earlier, shorter pattern claim a SUBSTRING of a longer line
+        # (classic-ELB pattern swallowing ALB v2 lines) — anchor with
+        # a non-capturing group so capture indices are unchanged
+        regex = f"^(?:{regex})$"
         fmap = dict(fields)
         per.append((regex, fmap))
         for field in fmap:
@@ -154,6 +159,7 @@ def parse_grok(col: Column, pattern: str, patterns: dict[str, str] | None = None
     path creation. Returns (Column, StructType).
     """
     regex, fields = translate(pattern, patterns)
+    regex = f"^(?:{regex})$"  # VRL grok is whole-string (see parse_groks)
     # Group dotted names into a nested dict of extracts.
     tree: dict = {}
     for field, idx in fields:

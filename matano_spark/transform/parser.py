@@ -326,8 +326,20 @@ class Parser:
                 if isinstance(last, ast.ExprStmt):
                     steps.pop()
                     return tuple(steps), last.expr
-                # statement block (trailing if/del/...): value is null
+                # statement block (trailing del/...): value is null
                 return tuple(steps), ast.L(None)
+            if self.peek().text == "if":
+                # an if ENDING the block may be the block's VALUE
+                # (if-expression chain) — try that reading first; a
+                # mutating statement-if fails it and falls through
+                save = self.i
+                try:
+                    e = self.parse_closure_body()
+                    if self.peek().text == "}":
+                        return tuple(steps), e
+                except SyntaxError:
+                    pass
+                self.i = save
             save = self.i
             try:
                 steps.append(self.parse_step())
@@ -629,13 +641,16 @@ class Parser:
             self.expect("{")
             then = self.parse_closure_body()
             self.expect("}")
-            self.expect("else")  # expression-position if requires else
-            if self.peek().text == "if":
-                orelse = self.parse_closure_body()
+            # expression-position if WITHOUT else yields null (VRL)
+            if self.accept("else"):
+                if self.peek().text == "if":
+                    orelse = self.parse_closure_body()
+                else:
+                    self.expect("{")
+                    orelse = self.parse_closure_body()
+                    self.expect("}")
             else:
-                self.expect("{")
-                orelse = self.parse_closure_body()
-                self.expect("}")
+                orelse = ast.L(None)
             return ast.Fn("ternary", cond, then, orelse)
         return self.parse_expr()
 

@@ -110,3 +110,45 @@ def test_regex_literal_vs_string_replace(spark):
     assert r["b"] == "a#b22c"
     assert r["parts"] == ["p", "q", "r"]
     assert r["lit_parts"] == ["a", "b", "c"]
+
+
+ELB_LINE = (
+    'http 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+    '192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 '
+    '"GET http://www.example.com:80/path?q=1 HTTP/1.1" "curl/7.46.0" - - '
+    'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+    '"Root=1-58337262-36d228ad5d99923122bbe354" "-" "-" 0 '
+    '2018-07-02T22:22:48.364000Z "forward" "-" "-" "10.0.0.1:80" "200" "-" "-"'
+)
+
+
+def test_aws_elb_full_transform_verbatim(spark):
+    """aws_elb/log_source.yml end to end on a realistic ALB access
+    line: the recursive grok alias expansion, root |= spread of the
+    grokked struct, nanosecond duration math, url parsing, and the
+    status-code outcome block-if."""
+    prog = _load_transform("aws_elb/log_source.yml")
+    df = spark.createDataFrame([(ELB_LINE,)], "message string")
+    out = compile_vrl(prog)(df)
+    d = out.collect()[0].asDict(recursive=True)
+
+    assert d["aws"]["elb"]["type"] == "http"
+    assert d["aws"]["elb"]["name"] == "app/my-loadbalancer/50dc6c495c0c9188"
+    assert str(d["ts"]).startswith("2018-07-02 22:23:00")
+    assert d["source"]["ip"] == "192.168.131.39"
+    assert d["source"]["port"] == 2817
+    assert d["http"]["request"]["method"] == "GET"
+    assert d["http"]["version"] == "1.1"
+    assert d["http"]["response"]["status_code"] == 200
+    assert d["http"]["request"]["body"]["bytes"] == 34
+    assert d["aws"]["elb"]["action_executed"] == ["forward"]
+    assert d["aws"]["elb"]["target_group"]["arn"].endswith("my-targets/73e2d6bc24d8a067")
+    assert d["trace"]["id"] == "Root=1-58337262-36d228ad5d99923122bbe354"
+    assert d["user_agent"]["original"] == "curl/7.46.0"
+    assert d["url"]["original"] == "http://www.example.com:80/path?q=1"
+    assert d["url"]["query"] == "q=1"
+    assert d["url"]["domain"] == "www.example.com"
+    assert d["event"]["outcome"] == "success"
+    assert d["event"]["category"] == ["web"]
+    # event.duration = (ts - event.start) in nanoseconds (~11.82s)
+    assert 11_000_000_000 < d["event"]["duration"] < 13_000_000_000

@@ -39,7 +39,7 @@ def iter_programs(root: str):
             with open(path, encoding="utf-8") as f:
                 text = f.read()
             for m in re.finditer(
-                r"^(\s*)(transform|select_table_from_payload(?:_metadata)?):\s*\|[-+]?\s*\n((?:\1[ \t]+\S[^\n]*\n|\s*\n)+)",
+                r"^([ \t]*)(transform|select_table_from_payload(?:_metadata)?):[ \t]*\|[-+0-9]*[ \t]*\n((?:\1[ \t]+\S[^\n]*\n|[ \t]*\n)+)",
                 text,
                 re.MULTILINE,
             ):
