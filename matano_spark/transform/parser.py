@@ -706,13 +706,38 @@ def _lit_value(e: Any) -> Any:
     return e
 
 
+def _when_as_expr(w: ast.When):
+    """A When whose branches are single pure expressions (an
+    if/else-if routing chain) read back as a ternary; None if any
+    branch is a real statement."""
+
+    def branch(steps):
+        if len(steps) == 1 and isinstance(steps[0], ast.ExprStmt):
+            return steps[0].expr
+        if len(steps) == 1 and isinstance(steps[0], ast.When):
+            return _when_as_expr(steps[0])
+        return None
+
+    t = branch(list(w.steps))
+    o = branch(list(w.orelse)) if w.orelse else ast.L(None)
+    if t is None or o is None:
+        return None
+    return ast.Fn("ternary", w.cond, t, o)
+
+
 def parse_program(src: str) -> list[ast.Step]:
     steps = Parser(src).parse_program()
     # a trailing bare expression is the PROGRAM's return value (VRL
     # expression programs, e.g. select_table_from_payload) — nested
-    # blocks (for_each bodies, if arms) keep theirs as no-op ExprStmt
+    # blocks (for_each bodies, if arms) keep theirs as no-op ExprStmt.
+    # A trailing pure if/else-if chain (cloudtrail's key routing) is
+    # the same thing in statement clothing.
     if steps and isinstance(steps[-1], ast.ExprStmt):
         steps[-1] = ast.Assign("__vrl_result", steps[-1].expr)
+    elif steps and isinstance(steps[-1], ast.When):
+        e = _when_as_expr(steps[-1])
+        if e is not None:
+            steps[-1] = ast.Assign("__vrl_result", e)
     return steps
 
 

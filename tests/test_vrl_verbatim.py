@@ -305,7 +305,7 @@ REF_MANAGED = "/root/reference/data/managed/log_sources"
 )
 def test_every_reference_managed_program_parses():
     """Parse-coverage pin: ALL VRL programs embedded in the
-    reference's managed log-source ymls parse (98 at r5), with no
+    reference's managed log-source ymls parse (103 at r5), with no
     function name missing from the registry. `python
     tools/vrl_parse_survey.py` prints the detail."""
     from collections import Counter

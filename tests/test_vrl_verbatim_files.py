@@ -152,3 +152,37 @@ def test_aws_elb_full_transform_verbatim(spark):
     assert d["event"]["category"] == ["web"]
     # event.duration = (ts - event.start) in nanoseconds (~11.82s)
     assert 11_000_000_000 < d["event"]["duration"] < 13_000_000_000
+
+
+def test_select_table_programs_verbatim(spark):
+    """S7/S8 routing programs run verbatim: the program is an
+    EXPRESSION returning the table name; its trailing expression binds
+    to __vrl_result, and `?? { abort }` drops unroutable rows."""
+    from tools.vrl_parse_survey import iter_programs
+
+    progs = {
+        kind + ":" + p.split("log_sources/")[-1]: prog
+        for p, kind, prog in iter_programs(REF_MANAGED)
+        if "aws_cloudtrail/log_source" in p or "msft/log_source" in p
+    }
+    # aws_cloudtrail: if/else-if chain over the s3 key (metadata form)
+    ct = progs["select_table_from_payload_metadata:aws_cloudtrail/log_source.yml"]
+    df = spark.createDataFrame(
+        [((("AWSLogs/1/CloudTrail-Digest/x.json.gz",),),),
+         ((("AWSLogs/1/CloudTrail-Insights/y.json.gz",),),),
+         ((("AWSLogs/1/CloudTrail/z.json.gz",),),)],
+        "__metadata struct<s3:struct<key:string>>",
+    )
+    out = compile_vrl(ct)(df)
+    got = sorted(r["__vrl_result"] for r in out.collect())
+    assert got == ["default", "digest", "insights"]
+
+    # msft: per-record routing with abort-on-missing (payload form)
+    ms = progs["select_table_from_payload:msft/log_source.yml"]
+    df2 = spark.createDataFrame(
+        [(("audit",),), ((None,),)],
+        "json struct<_table:string>",
+    )
+    out2 = compile_vrl(ms)(df2)
+    rows = out2.collect()
+    assert [r["__vrl_result"] for r in rows] == ["audit"]  # null row aborted
