@@ -677,6 +677,24 @@ class Compiler:
         value, vtype = self.expr(expr)
         if cond is not None:
             old = target.get(parts)
+            oldt = target.get_type(parts)
+
+            def _complex(t):
+                return isinstance(t, (T.StructType, T.ArrayType, T.MapType))
+
+            if (
+                oldt is not None
+                and vtype is not None
+                and not isinstance(oldt, T.NullType)
+                and not isinstance(vtype, T.NullType)
+                and oldt.simpleString() != vtype.simpleString()
+                and (_complex(oldt) or _complex(vtype))
+            ):
+                # the guard RETYPES the path between shapes Spark can't
+                # coerce in one CASE (gw login's events[0] array→struct
+                # rebind): the off-guard arm nulls — scalar mismatches
+                # keep the blend (CASE coercion handles them)
+                old = F.lit(None).cast(vtype)
             value = F.when(cond, value).otherwise(old)
         target.set(parts, value, vtype)
 

@@ -186,3 +186,67 @@ def test_select_table_programs_verbatim(spark):
     out2 = compile_vrl(ms)(df2)
     rows = out2.collect()
     assert [r["__vrl_result"] for r in rows] == ["audit"]  # null row aborted
+
+
+GW_LOGIN_EVENT = {
+    "kind": "admin#reports#activity",
+    "id": {
+        "time": "2024-05-01T10:00:00.000Z",
+        "uniqueQualifier": "358068855354",
+        "applicationName": "login",
+        "customerId": "C03az79cb",
+    },
+    "actor": {
+        "callerType": "USER",
+        "email": "alice@example.com",
+        "profileId": "114511147312345678910",
+    },
+    "ipAddress": "203.0.113.1",
+    "ownerDomain": "example.com",
+    "events": [
+        {
+            "type": "login",
+            "name": "login_success",
+            "parameters": [
+                {"name": "login_type", "value": "google_password"},
+                {"name": "login_challenge_method", "multiValue": ["password"]},
+            ],
+        }
+    ],
+}
+
+
+def test_google_workspace_login_full_transform_verbatim(spark):
+    """google_workspace/tables/login.yml end to end: the events[0]
+    re-binding (array element overwriting a row path in the compile
+    tree), the dynamic-key parameter loop building the login object,
+    and the ECS attribution chain."""
+    prog = _load_transform("google_workspace/tables/login.yml")
+    raw = spark.createDataFrame(
+        [(json.dumps(GW_LOGIN_EVENT),)], "raw string"
+    )
+    inferred = spark.read.json(raw.rdd.map(lambda r: r.raw))
+    df = raw.crossJoin(
+        inferred.select(F.struct(*inferred.columns).alias("json")).limit(1)
+    )
+    out = compile_vrl(prog)(df)
+    d = out.collect()[0].asDict(recursive=True)
+
+    assert d["event"]["action"] == "login_success"
+    assert d["event"]["provider"] == "login"
+    assert d["event"]["id"] == "358068855354"
+    assert str(d["ts"]).startswith("2024-05-01 10:00:00")
+    assert d["source"]["user"]["email"] == "alice@example.com"
+    assert d["user"]["email"] == "alice@example.com"
+    assert d["source"]["ip"] == "203.0.113.1"
+    assert d["organization"]["id"] == "C03az79cb"
+    assert d["google_workspace"]["actor"]["type"] == "USER"
+    assert d["google_workspace"]["organization"]["domain"] == "example.com"
+    # the dynamic-key parameter loop: login_ prefix stripped, values
+    # landed in the login object (map representation)
+    login = d["google_workspace"]["login"]
+    assert login["type"] == "google_password"
+    assert "challenge_method" in login
+    # authentication + session categories, success/start type tagging
+    assert d["event"]["category"] == ["authentication", "session"]
+    assert "start" in d["event"]["type"]
