@@ -847,12 +847,16 @@ class Compiler:
                 out.append((st.get(parts), st.get_type(parts)))
             return out
 
-        # pass 1: discover steady-state accumulator types
+        # pass 1: discover steady-state accumulator types, priming acc
+        # fields with their INIT types (an untyped prime makes Var
+        # reads claim string, turning `n + 1` into a concat); the
+        # push-element refinement below still lets `[]` placeholders
+        # re-type to array<struct> when the body pushes structs
         probe = run_body(
             F.lit(None), F.lit(None).cast(elem_t.simpleString())
             if not isinstance(elem_t, T.StringType)
             else F.lit(None).cast("string"),
-            [None] * len(targets),
+            [it for (_ic, it) in inits],
         )
         acc_types: list[T.DataType] = []
         for (_c0, discovered), (_i0, init_t) in zip(probe, inits):

@@ -431,7 +431,15 @@ def _length(args, kw):
 def _push(args, kw):
     arr, t = args[0]
     v = _c(args[1])
-    et = t.elementType if isinstance(t, T.ArrayType) else (_t(args[1]) or T.StringType())
+    vt = _t(args[1])
+    et = t.elementType if isinstance(t, T.ArrayType) else (vt or T.StringType())
+    if isinstance(et, T.StringType) and isinstance(
+        vt, (T.StructType, T.ArrayType, T.MapType)
+    ):
+        # a string-claimed target (the `[]` placeholder) receiving a
+        # complex value re-types to the value's shape (zeek's
+        # answers-struct push)
+        et = vt
     out_t = T.ArrayType(et)
     safe = F.coalesce(arr, F.array().cast(out_t))
     return F.concat(safe, F.array(v)), out_t

@@ -623,6 +623,52 @@ def vrl_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_vrl(_VRL_NORMALIZE_SRC)(ev)
 
 
+_VRL_FOLD_SRC = """
+toks = split(.text, " ")
+n_long = 0
+total_len = 0
+for_each(toks) -> |_i, tk| {
+  if length(tk) > 3 {
+    n_long = n_long + 1
+  }
+  total_len = total_len + length(tk)
+}
+.n_long = n_long
+.total_len = total_len
+"""
+
+
+@query(
+    "vrl_fold_rollup",
+    oracle="""
+    SELECT doc_id % 10 AS bucket,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    x -> strlen(x) > 3))) AS BIGINT) AS n_long,
+           CAST(SUM(list_aggregate(list_transform(string_split(text, ' '),
+                                                  x -> strlen(x)),
+                    'sum')) AS BIGINT) AS total_len
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def vrl_fold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verbatim `for_each` loop machinery under the oracle gate: a
+    VRL closure mutating two outer counters compiles to ONE JVM-side
+    F.aggregate fold per row (no UDF, no shuffle beyond the final
+    rollup); the DuckDB restatement uses list lambdas. Gate-checks the
+    r5 fold compiler on driver data."""
+    from matano_spark.transform.parser import compile_vrl
+
+    docs = t(spark, sf_dir, "documents")
+    counted = compile_vrl(_VRL_FOLD_SRC)(docs)
+    return counted.groupBy(
+        (F.col("doc_id") % 10).alias("bucket")
+    ).agg(
+        F.sum("n_long").alias("n_long"),
+        F.sum("total_len").alias("total_len"),
+    )
+
+
 @query(
     "sigma_rule_filter",
     oracle="""
