@@ -497,6 +497,13 @@ class Compiler:
 
                 if _boolish(lt) and _boolish(rt):
                     return lc | rc, T.BooleanType()
+                # `struct || {}` empty-object default: the map arm is
+                # a null of the struct type (same rule as ?? — see
+                # functions._coalesce)
+                if isinstance(lt, T.StructType) and isinstance(rt, T.MapType):
+                    return F.coalesce(lc, F.lit(None).cast(lt)), lt
+                if isinstance(rt, T.StructType) and isinstance(lt, T.MapType):
+                    return F.coalesce(F.lit(None).cast(rt), rc), rt
                 return (
                     F.coalesce(lc, rc),
                     (lt if not isinstance(lt, (T.NullType,)) and lt else rt),

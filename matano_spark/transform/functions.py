@@ -600,6 +600,50 @@ def _struct_set(obj, ot, parts, val, vt):
     return F.struct(*cols), T.StructType(new_fields)
 
 
+def _struct_dynamic_get(c: Column, t: T.StructType, seg: Column):
+    """get(struct, [dynamic_key]): CASE WHEN key == field THEN value,
+    unifying heterogeneous field values (see _get)."""
+    kinds = {f.dataType.simpleString() for f in t.fields}
+    if not t.fields:
+        return F.lit(None).cast("string"), T.StringType()
+    if len(kinds) == 1:
+        vt = t.fields[0].dataType
+        vals = {f.name: c.getField(f.name) for f in t.fields}
+    elif all(isinstance(f.dataType, T.StructType) for f in t.fields):
+        # union superstruct: each arm padded with nulls for fields it
+        # doesn't carry (VRL lookup tables with ragged object values)
+        union: dict[str, T.DataType] = {}
+        for f in t.fields:
+            for g in f.dataType.fields:
+                union.setdefault(g.name, g.dataType)
+        vt = T.StructType(
+            [T.StructField(n, dt) for n, dt in sorted(union.items())]
+        )
+        vals = {}
+        for f in t.fields:
+            have = {g.name: g.dataType for g in f.dataType.fields}
+            cols = []
+            for n, dt in sorted(union.items()):
+                if n in have:
+                    src = c.getField(f.name).getField(n)
+                    if have[n].simpleString() != dt.simpleString():
+                        src = src.cast(dt.simpleString())
+                else:
+                    src = F.lit(None).cast(dt)
+                cols.append(src.alias(n))
+            vals[f.name] = F.struct(*cols)
+    else:
+        vt = T.StringType()
+        vals = {
+            f.name: c.getField(f.name).cast("string") for f in t.fields
+        }
+    out = None
+    for name, v in vals.items():
+        arm = F.when(seg.cast("string") == name, v)
+        out = arm if out is None else out.when(seg.cast("string") == name, v)
+    return out, vt
+
+
 def _single_path_seg(arg):
     """A VRL dynamic path argument `[expr]`: a raw python list
     (literal path) or a compiled one-element array column (parser's
@@ -633,6 +677,12 @@ def _get(args, kw):
         if isinstance(t, T.StructType) and raw is not None:
             m = next((f for f in t.fields if f.name == raw), None)
             return c.getField(raw), (m.dataType if m else T.StringType())
+        if isinstance(t, T.StructType):
+            # DYNAMIC key over a lookup-object (suricata's
+            # event_mappings idiom): a CASE chain over the fields,
+            # values unified — identical types as-is, all-struct
+            # values padded to their union superstruct, else string
+            return _struct_dynamic_get(c, t, seg)
         et = t.valueType if isinstance(t, T.MapType) else T.StringType()
         return F.try_element_at(c, seg.cast("string")), et
     idx = kw.get("index")
@@ -1152,7 +1202,25 @@ def _exists(args, kw):
 def _coalesce(args, kw):
     """VRL `??` error/null coalescing: fallible exprs compile to
     null-on-error try_* forms, so `a ?? b` is plain COALESCE. Arms of
-    different static types unify to string (`to_int(v) ?? v`)."""
+    different static types unify to string (`to_int(v) ?? v`) —
+    except the `struct ?? {}` empty-object-default idiom, where the
+    empty-map arm becomes a null of the struct's type."""
+    types = [_t(a) for a in args]
+    struct_ts = {
+        t.simpleString() for t in types if isinstance(t, T.StructType)
+    }
+    if len(struct_ts) == 1 and all(
+        t is None
+        or isinstance(t, (T.StructType, T.NullType))
+        or (isinstance(t, T.MapType) and t.simpleString() == "map<string,string>")
+        for t in types
+    ):
+        st = next(t for t in types if isinstance(t, T.StructType))
+        cols = [
+            _c(a) if isinstance(_t(a), T.StructType) else F.lit(None).cast(st)
+            for a in args
+        ]
+        return (F.coalesce(*cols) if len(cols) > 1 else cols[0]), st
     args = _unify(list(args))
     t = next((_t(a) for a in args if _t(a) is not None), T.StringType())
     return F.coalesce(*[_c(a) for a in args]), t

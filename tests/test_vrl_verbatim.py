@@ -412,3 +412,40 @@ def test_root_move_spreads_struct(spark):
     out = f(df)
     assert set(out.columns) == {"a", "b"}
     assert out.collect()[0].asDict() == {"a": 1, "b": "x"}
+
+
+# ref: data/managed/log_sources/suricata/tables/eve.yml:100-205 (the
+# event_mappings lookup object probed by a dynamic key)
+LOOKUP_OBJECT = """
+  event_mappings = {
+    "dns": {
+      "category": ["network"],
+      "network_protocol": "dns"
+    },
+    "alert": {
+      "category": ["intrusion_detection"],
+      "severity": "high"
+    }
+  }
+  info = object!(get!(event_mappings, [.event_type]) || {})
+  .network.protocol = del(info.network_protocol)
+  .categories = info.category
+  .sev = info.severity
+"""
+
+
+def test_lookup_object_dynamic_get(spark):
+    """get! with a DYNAMIC key over a heterogeneous object literal —
+    a CASE chain whose ragged struct values pad to their union."""
+    f = compile_vrl(LOOKUP_OBJECT)
+    df = spark.createDataFrame(
+        [(1, "dns"), (2, "alert"), (3, "flow")], "id long, event_type string"
+    )
+    rows = {r["id"]: r.asDict(recursive=True) for r in f(df).collect()}
+    assert rows[1]["network"] == {"protocol": "dns"}
+    assert rows[1]["categories"] == ["network"]
+    assert rows[1]["sev"] is None
+    assert rows[2]["sev"] == "high"
+    assert rows[2]["categories"] == ["intrusion_detection"]
+    assert rows[2]["network"] == {"protocol": None}
+    assert rows[3]["categories"] is None  # unmapped key → empty object
