@@ -49,7 +49,23 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_registry() -> dict[str, Query]:
-    """Import all workload modules (populating REGISTRY) and return it."""
+    """Import all workload modules (populating REGISTRY) and return it
+    interleaved round-robin across modules, newest-first within each
+    module. The driver's correctness gate samples only the first ~50
+    entries, so plain registration order would re-check the same
+    early-round block forever; this ordering puts a cross-section of
+    every workload family — including the latest additions — inside
+    the sampled window. `tools/verify_local.py` always checks all."""
     for mod in _WORKLOAD_MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    by_module: dict[str, list[Query]] = {}
+    for q in REGISTRY.values():
+        by_module.setdefault(q.fn.__module__, []).append(q)
+    stacks = [list(reversed(v)) for v in by_module.values()]
+    ordered: dict[str, Query] = {}
+    while any(stacks):
+        for st in stacks:
+            if st:
+                q = st.pop(0)
+                ordered[q.name] = q
+    return ordered
