@@ -14,10 +14,15 @@ convergence test) — label state and the propagation join stay fully
 distributed, and lineage is truncated per round (localCheckpoint) so
 plans don't grow with iteration count.
 
-Rounds needed equal the graph diameter. Near-dup components are
-overwhelmingly small/star-shaped (diameter ≤ ~3); `max_rounds` guards
-pathological chains, and hitting it raises rather than silently
-returning unconverged labels.
+Each round couples neighbor-min propagation with a pointer-doubling
+shortcut (component ← component's component, a self-join on the label
+table) — the label graph halves in depth every round, so convergence
+takes O(log diameter) rounds instead of diameter (a 10k-node chain
+converges in ~15 rounds; plain propagation would need 10k). This is
+the shortcutting move of the MapReduce CC literature (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14) grafted onto
+label propagation. `max_rounds` still guards non-convergence, and
+hitting it raises rather than silently returning unconverged labels.
 
 SCALE: each round is one shuffle of the edge list on the join key plus
 a groupBy on node — both keyed on doc ids (uniform). The edge list is
@@ -57,12 +62,24 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: jump each node's label to its label's
+        # label. Components are themselves nodes, so the self-join
+        # always resolves; left-join keeps self-labeled roots.
+        jump = propagated.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(jump, propagated.component == jump.jnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)

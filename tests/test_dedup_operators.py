@@ -107,6 +107,21 @@ def test_connected_components_chain_and_islands(spark):
                     20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_logarithmic(spark):
+    """Pointer-doubling shortcut: a 10k-node chain (diameter 9999)
+    converges in O(log n) rounds — well under 25 — where plain
+    label propagation would need ~10k rounds."""
+    from matano_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).coalesce(4)
+    labels = connected_components(edges, max_rounds=25)
+    assert labels.filter(F.col("component") != 0).count() == 0
+    assert labels.count() == n
+
+
 def test_connected_components_round_guard(spark):
     from matano_spark.operators.graph import connected_components
     import pytest as _pytest
