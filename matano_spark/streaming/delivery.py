@@ -52,14 +52,18 @@ def deliver_batch(
     destinations: list[str],
     ledger: DeliveryLedger,
     transport: Transport,
+    max_per_batch: int | None = None,
 ) -> int:
     """Deliver newly-activated alerts to every destination once.
 
     Returns the number of deliveries performed. The fan-out is a
     cross join against the (tiny) destination list; dedup is a
-    left-anti join against the ledger. Payload rows reach the driver
-    only here — delivery is inherently a driver/edge concern and the
-    activated set is small by construction."""
+    left-anti join against the ledger. Payload rows stream to the
+    driver one partition at a time (`toLocalIterator`, no prefetch) —
+    an alert storm never materializes the whole activated set
+    driver-side. `max_per_batch` caps deliveries per call; anything
+    beyond the cap stays out of the ledger, so the next batch's
+    anti-join naturally carries it over."""
     spark = alerts.sparkSession
     dest_df = spark.createDataFrame(
         [(d,) for d in destinations], "destination string"
@@ -78,13 +82,14 @@ def deliver_batch(
             F.col("created_at").cast("string").alias("created_at"),
         )
     )
-    rows = todo.collect()
-    # record from the already-collected rows — never re-execute the lazy
-    # plan (it reads the same ledger path we append to, and a partial
-    # transport failure must not record undelivered alerts)
+    # stream, don't collect; the ledger append happens only AFTER we
+    # stop consuming (a partial transport failure must not record
+    # undelivered alerts, and the plan reads the path we append to)
     sent: list[tuple[str, str]] = []
     try:
-        for r in rows:
+        for r in todo.toLocalIterator(prefetchPartitions=False):
+            if max_per_batch is not None and len(sent) >= max_per_batch:
+                break
             payload = {k: r[k] for k in r.asDict() if k != "destination"}
             transport(r.destination, payload)
             sent.append((r.alert_id, r.destination))

@@ -109,3 +109,37 @@ def test_matano_alerts_row_shape(spark):
     assert all(d["first_matched_at"] == T0 for d in dicts)
     assert len({d["rule"]["match"]["id"] for d in dicts}) == 5  # per-match ids
     assert all(d["created"] == T0 + dt.timedelta(minutes=12) for d in dicts)
+
+
+def test_delivery_storm_capped_carry_over(spark, tmp_path):
+    """10k activated alerts deliver without driver materialization of
+    the full set (toLocalIterator streaming) and a per-batch cap
+    carries the remainder over to the next batch via the ledger
+    anti-join."""
+    from pyspark.sql import functions as F
+
+    alerts = spark.range(10_000).select(
+        F.concat(F.lit("alert-"), F.col("id")).alias("alert_id"),
+        F.lit(True).alias("activated"),
+        F.lit("storm_rule").alias("rule_name"),
+        F.col("id").cast("string").alias("dedupe"),
+        F.lit(1).alias("match_count"),
+        F.current_timestamp().alias("first_matched_at"),
+        F.current_timestamp().alias("created_at"),
+    )
+    ledger = DeliveryLedger(spark, str(tmp_path / "ledger"))
+    got: list[str] = []
+    n1 = deliver_batch(
+        alerts, ["slack"], ledger,
+        lambda d, p: got.append(p["alert_id"]), max_per_batch=6_000,
+    )
+    assert n1 == 6_000
+    n2 = deliver_batch(
+        alerts, ["slack"], ledger,
+        lambda d, p: got.append(p["alert_id"]), max_per_batch=6_000,
+    )
+    assert n2 == 4_000
+    assert len(set(got)) == 10_000  # exactly-once across batches
+    assert deliver_batch(
+        alerts, ["slack"], ledger, lambda d, p: got.append(p["alert_id"])
+    ) == 0
