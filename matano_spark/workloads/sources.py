@@ -1699,3 +1699,89 @@ def otx_append_indicator_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         F.countDistinct("ip").alias("n_ips"),
     )
+
+
+@query(
+    "m1_compaction_conservation",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 1000000.0, 0) AS BIGINT))
+                 AS DOUBLE) / 1000000.0) AS sum_price,
+           TRUE AS files_reduced
+    FROM lineitem WHERE l_partkey <= 400
+    GROUP BY 1
+    """,
+)
+def m1_compaction_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 bin-pack compaction inside the oracle gate: land a lineitem
+    slice as 24 small files, compact_parquet_dir rewrites them to
+    ~target-size files, and the post-compaction table must (a) have
+    fewer files and (b) conserve every row and value exactly — the
+    invariant the reference's hourly rewrite_data_files procedure
+    relies on (iceberg-maintenance.ts:62-74).
+    """
+    import tempfile
+
+    from matano_spark.operators.maintenance import compact_parquet_dir
+    from matano_spark.workloads.util import dsum
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 400)
+    d = tempfile.mkdtemp(prefix="m1_oracle_")
+    li.repartition(24).write.mode("overwrite").parquet(d)
+    before, after = compact_parquet_dir(spark, d, target_file_bytes=1 << 30)
+    return (
+        spark.read.parquet(d)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .withColumn("files_reduced", F.lit(after < before))
+    )
+
+
+@query(
+    "m4_flattened_view_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           (CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
+                 AS DOUBLE) / 1000000.0) AS sum_value
+    FROM events WHERE value > 1
+    GROUP BY 1
+    """,
+)
+def m4_flattened_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 flattened SQL views inside the oracle gate: nest events into
+    an ECS-ish struct, register the auto-generated `<t>_view` (every
+    leaf as a_b_c — ref MatanoIcebergTableCustomResource.kt:266-318),
+    and aggregate THROUGH the view. The flattened projection must
+    equal the plain-column projection DuckDB computes directly.
+    """
+    from matano_spark.operators.maintenance import register_flattened_view
+    from matano_spark.workloads.util import dsum
+
+    ev = t(spark, sf_dir, "events")
+    nested = ev.select(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(F.col("user_id").alias("id")).alias("user"),
+        ).alias("event"),
+        F.col("value"),
+    )
+    nested.createOrReplaceTempView("m4_nested")
+    register_flattened_view(spark, "m4_nested", "m4_nested_view")
+    v = spark.table("m4_nested_view")  # columns: event_type, event_user_id, value
+    return (
+        v.filter(F.col("value") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+    )
