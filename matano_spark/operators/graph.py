@@ -64,13 +64,17 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component").alias("prev_component"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
             ).alias("component"),
         )
         # pointer doubling: jump each node's label to its label's
         # label. Components are themselves nodes, so the self-join
-        # always resolves; left-join keeps self-labeled roots.
+        # always resolves; left-join keeps self-labeled roots. The
+        # convergence flag rides along as a column (old label carried
+        # through the plan) — no separate join-and-count job per
+        # round; the post-checkpoint scan is driver-cheap.
         jump = propagated.select(
             F.col("node").alias("jnode"), F.col("component").alias("jcomp")
         )
@@ -81,16 +85,18 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("jcomp"), F.col("component")),
+                    )
+                    != F.col("prev_component")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("chg")).count()
+        labels = updated.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
