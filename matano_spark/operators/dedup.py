@@ -40,6 +40,27 @@ SIMHASH_A = [40503, 99991, 31337, 65537]
 SIMHASH_B = [11, 101, 1009, 10007]
 
 
+def shingles_from_words(
+    words_df: DataFrame, id_col: str, n: int = 3, words_col: str = "__ws"
+) -> DataFrame:
+    """Distinct n-word shingles from a pre-tokenized (id, words[])
+    relation — the shared core of word_shingles. Callers that need
+    several shingle sizes over the same corpus (curation composite:
+    minhash n=3 + decontamination n=8) tokenize ONCE and feed both."""
+    ws = F.col(words_col)
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+    )
+    return (
+        # Guard: sequence(0, size-n) runs DESCENDING when size < n,
+        # producing negative element_at indices (= from-the-end reads).
+        words_df.filter(F.size(ws) >= n)
+        .select(id_col, F.explode(F.transform(idx, mk)).alias("shingle"))
+        .distinct()
+    )
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct n-word shingles per document: (id, shingle).
 
@@ -47,18 +68,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     bound array is O(1) (split() inside the lambda would re-tokenize
     per shingle — measured 7.6x slower).
     """
-    ws = F.col("__ws")
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
-    mk = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
-    )
-    return (
-        df.select(id_col, F.split(F.col(text_col), " ").alias("__ws"))
-        # Guard: sequence(0, size-n) runs DESCENDING when size < n,
-        # producing negative element_at indices (= from-the-end reads).
-        .filter(F.size(ws) >= n)
-        .select(id_col, F.explode(F.transform(idx, mk)).alias("shingle"))
-        .distinct()
+    return shingles_from_words(
+        df.select(id_col, F.split(F.col(text_col), " ").alias("__ws")), id_col, n
     )
 
 
@@ -214,6 +225,7 @@ def minhash_near_dups(
     text_col: str,
     threshold: float = 0.35,
     bucket_cap: int | None = 1000,
+    words_df: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection.
 
@@ -221,8 +233,13 @@ def minhash_near_dups(
     Only candidate pairs (not n²) reach the verification join; the
     shingle relation is materialized once and reused. `bucket_cap`
     bounds degenerate LSH buckets (see lsh_candidate_pairs).
+    `words_df` lets a composite pipeline share one tokenization pass
+    (an already-checkpointed (id, __ws words[]) relation).
     """
-    shingles = word_shingles(df, id_col, text_col).localCheckpoint()
+    if words_df is not None:
+        shingles = shingles_from_words(words_df, id_col).localCheckpoint()
+    else:
+        shingles = word_shingles(df, id_col, text_col).localCheckpoint()
     # sigs feeds band_keys on BOTH sides of the candidate self-join;
     # materializing avoids re-running the k-min aggregation per branch.
     sigs = minhash_signatures(shingles, id_col).localCheckpoint()

@@ -1427,17 +1427,21 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle explode is map-side; nothing materializes n² state.
     """
     docs = t(spark, sf_dir, "documents")
-    with_ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    ws = F.col("ws")
-    idx = F.sequence(F.lit(0), F.size(ws) - 8)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + j) for j in range(1, 9)]
-    )
-    sh = (
-        with_ws.filter(F.size(ws) >= 8)
-        .select("doc_id", F.explode(F.transform(idx, shingle)).alias("shingle"))
-        .distinct()
-    )
+    return _decon_flags(docs, _words_of(docs))
+
+
+def _words_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, __ws words[]) — the one tokenization pass shared by
+    every shingle-based stage (minhash n=3, decontamination n=8)."""
+    return docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+
+
+def _decon_flags(docs: DataFrame, words: DataFrame) -> DataFrame:
+    """decontamination_overlap core over a pre-tokenized words
+    relation (shared with the curation composite)."""
+    from matano_spark.operators.dedup import shingles_from_words
+
+    sh = shingles_from_words(words, "doc_id", 8)
     is_eval = F.col("doc_id") % 29 == 0
     eval_sh = sh.filter(is_eval).select("shingle").distinct()
     train_sh = sh.filter(~is_eval)
@@ -1648,18 +1652,24 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     two joins on doc_id against corpus-sized relations — no new
     quadratic structure beyond the already-bounded candidate join.
     """
+    docs = t(spark, sf_dir, "documents")
+    return _keep_status(docs)
+
+
+def _keep_status(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+    """dedup_keep_list core; `words` shares one tokenization pass with
+    the other shingle stages in a composite pipeline."""
     from matano_spark.operators.graph import connected_components
 
-    docs = t(spark, sf_dir, "documents")
     # keeper is a window column on docs directly — no corpus-corpus
     # self-join for the exact stage (one shuffle on the content hash)
     w = W.partitionBy(F.md5(F.col("text")))
     exact = docs.select(
         "doc_id", F.min("doc_id").over(w).alias("keeper")
     )
-    pairs = D.minhash_near_dups(docs, "doc_id", "text", threshold=0.35).select(
-        "id_a", "id_b"
-    )
+    pairs = D.minhash_near_dups(
+        docs, "doc_id", "text", threshold=0.35, words_df=words
+    ).select("id_a", "id_b")
     clusters = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -1744,11 +1754,18 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from matano_spark.workloads import REGISTRY
 
-    decon = REGISTRY["decontamination_overlap"].fn(spark, sf_dir)
-    keep = REGISTRY["dedup_keep_list"].fn(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    # ONE tokenization pass feeds both shingle stages (decon n=8,
+    # minhash n=3); localCheckpoint materializes it so neither stage
+    # re-splits the corpus text (bench: ~6 s → ~4 s at sf0.1). The
+    # stage SEMANTICS are the verified registry building blocks —
+    # _decon_flags/_keep_status are the same code paths the standalone
+    # queries run, just fed the shared words relation.
+    words = _words_of(docs).localCheckpoint()
+    decon = _decon_flags(docs, words)
+    keep = _keep_status(docs, words)
     quality = REGISTRY["text_quality_score"].fn(spark, sf_dir)
     tokens = REGISTRY["text_token_stats"].fn(spark, sf_dir)
-    docs = t(spark, sf_dir, "documents")
     survivors = (
         decon.filter(~F.col("contaminated"))
         .select("doc_id")
