@@ -35,19 +35,103 @@ def fn(name: str):
     return deco
 
 
+# builders that understand VARIANT-typed args natively (schemaless
+# `.json.*` reads); everything else gets the scalar concretization
+# (cast to string — the pre-variant behavior) applied in build_call
+VARIANT_AWARE = {
+    "get",
+    "join",
+    "filter",
+    "map_each",
+    "map_values",
+    "map_keys",
+    "object_keys",
+    "object_values",
+    "merge",
+    "flatten",
+    "compact",
+    "unique",
+    "push",
+    "append",
+    "includes",
+    "length",
+    "array",
+    "object",
+    "is_array",
+    "is_object",
+    "is_empty",
+    "array_max",
+    "array_min",
+    "encode_json",
+    "coalesce",
+    "ternary",
+}
+
+
 def build_call(name: str, args: list[Arg], kwargs: dict[str, Any]):
     if name not in REGISTRY:
         raise KeyError(f"unknown transform function {name!r}")
+    if name not in VARIANT_AWARE:
+        args = [
+            (a[0].cast("string"), T.StringType())
+            if isinstance(a[1], T.VariantType) and isinstance(a[0], Column)
+            else a
+            for a in args
+        ]
     return REGISTRY[name](args, kwargs)
 
 
 def _c(a: Arg) -> Column:
     v = a[0]
+    if isinstance(a[1], T.VariantType) and isinstance(v, Column):
+        return v.cast("string")
     return v if isinstance(v, Column) else F.lit(v)
 
 
 def _t(a: Arg) -> T.DataType | None:
     return a[1]
+
+
+def _cv(a: Arg) -> Column:
+    """The raw column WITHOUT variant concretization (for builders
+    that re-extract structured forms)."""
+    v = a[0]
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def _as_array(a: Arg, elem: str = "string") -> Arg:
+    """Concretize an arg to an array: variants re-extract via
+    try_variant_get, arrays pass through, null/absent and non-arrays
+    become a typed null array (VRL fallible-array semantics)."""
+    c, t = a
+    if not isinstance(c, Column):
+        c = F.lit(c)
+    if isinstance(t, T.VariantType):
+        et = T.VariantType() if elem == "variant" else T.StringType()
+        return F.try_variant_get(c, "$", f"array<{elem}>"), T.ArrayType(et)
+    if isinstance(t, T.ArrayType):
+        return c, t
+    return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
+
+
+def _as_map(a: Arg) -> Arg:
+    """Concretize an arg to a map: variants re-extract the object
+    form, maps pass through; anything else → typed null map. Struct
+    args stay structs (callers branch on that first)."""
+    c, t = a
+    if not isinstance(c, Column):
+        c = F.lit(c)
+    if isinstance(t, T.VariantType):
+        return (
+            F.try_variant_get(c, "$", "map<string,variant>"),
+            T.MapType(T.StringType(), T.VariantType()),
+        )
+    if isinstance(t, T.MapType):
+        return c, t
+    return (
+        F.lit(None).cast("map<string,string>"),
+        T.MapType(T.StringType(), T.StringType()),
+    )
 
 
 class TypedLambda:
@@ -331,6 +415,12 @@ def _match(args, kw):
 @fn("is_empty")
 def _is_empty(args, kw):
     c, t = args[0]
+    if isinstance(t, T.VariantType):
+        s = c.cast("string")
+        return (
+            c.isNull() | s.isin("", "[]", "{}", '""'),
+            T.BooleanType(),
+        )
     if isinstance(t, (T.ArrayType, T.MapType)):
         return F.coalesce(F.size(c) == 0, F.lit(True)), T.BooleanType()
     if isinstance(t, T.StructType):
@@ -354,8 +444,15 @@ def _match_any(args, kw):
 
 @fn("find")
 def _find(args, kw):
-    """VRL find: byte index of substring, -1 when absent."""
-    return (F.locate(kw["substring"], _c(args[0])) - 1).cast("bigint"), T.LongType()
+    """VRL find: byte index of substring, -1 when absent. The pattern
+    arrives positionally (suricata eve.yml:265 `find!(.x, ".")`) or as
+    the `substring:` kwarg."""
+    pat = kw.get("substring")
+    if pat is None and len(args) > 1:
+        pat = args[1][0]
+    if isinstance(pat, Column):
+        raise ValueError("find() requires a literal pattern")
+    return (F.locate(str(pat), _c(args[0])) - 1).cast("bigint"), T.LongType()
 
 
 @fn("truncate")
@@ -395,11 +492,23 @@ def _is_boolean(args, kw):
 
 @fn("is_object")
 def _is_object(args, kw):
+    c, t = args[0]
+    if isinstance(t, T.VariantType):  # dynamic check on variants
+        return (
+            F.try_variant_get(c, "$", "map<string,variant>").isNotNull(),
+            T.BooleanType(),
+        )
     return _static_type_check(args, (T.StructType, T.MapType))
 
 
 @fn("is_array")
 def _is_array(args, kw):
+    c, t = args[0]
+    if isinstance(t, T.VariantType):
+        return (
+            F.try_variant_get(c, "$", "array<variant>").isNotNull(),
+            T.BooleanType(),
+        )
     return _static_type_check(args, T.ArrayType)
 
 
@@ -417,6 +526,16 @@ def _is_nullish(args, kw):
 @fn("length")
 def _length(args, kw):
     c, t = args[0]
+    if isinstance(t, T.VariantType):
+        # dynamic dispatch: array size / object key count / string len
+        return (
+            F.coalesce(
+                F.size(F.try_variant_get(c, "$", "array<variant>")),
+                F.size(F.try_variant_get(c, "$", "map<string,variant>")),
+                F.length(c.cast("string")),
+            ).cast("bigint"),
+            T.LongType(),
+        )
     if isinstance(t, (T.ArrayType, T.MapType)):
         return F.size(c).cast("bigint"), T.LongType()
     if isinstance(t, T.StructType):
@@ -429,6 +548,8 @@ def _length(args, kw):
 
 @fn("push")
 def _push(args, kw):
+    if isinstance(_t(args[0]), T.VariantType):
+        args = [_as_array(args[0]), *args[1:]]
     arr, t = args[0]
     v = _c(args[1])
     vt = _t(args[1])
@@ -447,6 +568,9 @@ def _push(args, kw):
 
 @fn("append")
 def _append(args, kw):
+    args = [
+        _as_array(x) if isinstance(_t(x), T.VariantType) else x for x in args
+    ]
     a, ta = args[0]
     b, tb = args[1]
     out_t = (
@@ -460,7 +584,10 @@ def _append(args, kw):
 
 @fn("unique")
 def _unique(args, kw):
-    return F.array_distinct(_c(args[0])), _t(args[0]) or T.ArrayType(T.StringType())
+    a = args[0]
+    if isinstance(_t(a), (T.VariantType, T.NullType)):
+        a = _as_array(a)
+    return F.array_distinct(_cv(a)), _t(a) or T.ArrayType(T.StringType())
 
 
 @fn("array_max")
@@ -468,6 +595,11 @@ def _array_max(args, kw):
     """Max element of an array (VRL does this with a for_each fold —
     e.g. aws_inspector max CVSS base score; here a builtin)."""
     c, t = args[0]
+    if isinstance(t, T.VariantType):
+        return (
+            F.array_max(F.try_variant_get(c, "$", "array<double>")),
+            T.DoubleType(),
+        )
     el = t.elementType if isinstance(t, T.ArrayType) else T.DoubleType()
     return F.array_max(c), el
 
@@ -475,6 +607,11 @@ def _array_max(args, kw):
 @fn("array_min")
 def _array_min(args, kw):
     c, t = args[0]
+    if isinstance(t, T.VariantType):
+        return (
+            F.array_min(F.try_variant_get(c, "$", "array<double>")),
+            T.DoubleType(),
+        )
     el = t.elementType if isinstance(t, T.ArrayType) else T.DoubleType()
     return F.array_min(c), el
 
@@ -482,6 +619,11 @@ def _array_min(args, kw):
 @fn("flatten")
 def _flatten(args, kw):
     c, t = args[0]
+    if isinstance(t, T.VariantType):
+        c = F.try_variant_get(c, "$", "array<array<string>>")
+        t = T.ArrayType(T.ArrayType(T.StringType()))
+    if isinstance(t, T.NullType):
+        return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
     inner = (
         t.elementType.elementType
         if isinstance(t, T.ArrayType) and isinstance(t.elementType, T.ArrayType)
@@ -494,11 +636,16 @@ def _flatten(args, kw):
 def _join(args, kw):
     # VRL positional join(arr, sep) or separator: kwarg
     sep = args[1][0] if len(args) > 1 else kw.get("separator", "")
-    return F.array_join(_c(args[0]), sep), T.StringType()
+    arr, at = _as_array(args[0])
+    if not isinstance(at, T.ArrayType):
+        return F.lit(None).cast("string"), T.StringType()
+    return F.array_join(arr, sep), T.StringType()
 
 
 @fn("includes")
 def _includes(args, kw):
+    if isinstance(_t(args[0]), (T.VariantType, T.NullType)):
+        args = [_as_array(args[0]), *args[1:]]
     arr, at = _c(args[0]), _t(args[0])
     v, vt = _c(args[1]), _t(args[1])
     # a null-typed probe value needs an explicit element-type cast
@@ -513,7 +660,22 @@ def _includes(args, kw):
 def _filter(args, kw):
     pred = kw.get("predicate") or kw["fn"]  # Column lambda or TypedLambda
     c, t = args[0]
-    if isinstance(t, T.NullType):  # null in → null out (try-form)
+    if isinstance(t, T.VariantType):
+        c, t = _as_array(args[0], "variant")
+    if isinstance(t, T.StructType):
+        # object filter over a typed struct: a static schema can't
+        # drop fields per-row, so filter the MAP form (values
+        # stringified) — VRL object semantics, map-shaped result
+        c = F.map_from_arrays(
+            F.array(*[F.lit(f.name) for f in t.fields]),
+            F.array(*[c.getField(f.name).cast("string") for f in t.fields]),
+        )
+        t = T.MapType(T.StringType(), T.StringType())
+    if isinstance(t, T.NullType) or t is None or not isinstance(
+        t, (T.ArrayType, T.MapType)
+    ):
+        # null / statically-unknown / non-collection input → null out
+        # (the try-form)
         return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
     if isinstance(t, T.MapType) and getattr(pred, "n_params", 1) == 2:
         # object filter: |k, v| closure → map_filter
@@ -543,6 +705,8 @@ def _filter(args, kw):
 def _map_each(args, kw):
     f = kw["fn"]
     c, t = args[0]
+    if isinstance(t, (T.VariantType, T.NullType)):
+        c, t = _as_array(args[0], "variant")
     et = t.elementType if isinstance(t, T.ArrayType) else None
     if getattr(f, "n_params", 1) == 2:  # |index, value| form
         _, nt = f((F.lit(0), T.IntegerType()), (F.lit(None).cast(et) if et else F.lit(None), et))
@@ -563,6 +727,8 @@ def _compact(args, kw):
     semantics, ref: transformer/src/main.rs:276-282; full-row compact
     is null-uniform at rest — see SURVEY §7 'compact() semantics')."""
     c, t = args[0]
+    if isinstance(t, (T.VariantType, T.NullType)):
+        c, t = _as_array(args[0])
     return (
         F.filter(c, lambda x: x.isNotNull() & (x.cast("string") != "")),
         t or T.ArrayType(T.StringType()),
@@ -661,6 +827,29 @@ def _get(args, kw):
     c, t = args[0]
     if isinstance(t, T.NullType):  # null object → null member (try-form)
         return F.lit(None).cast("string"), T.StringType()
+    if isinstance(t, T.VariantType):
+        idx = kw.get("index")
+        if idx is not None and idx >= 0:
+            return F.try_variant_get(c, f"$[{idx}]", "variant"), T.VariantType()
+        if idx is not None:  # negative index: count from the end
+            arr = F.try_variant_get(c, "$", "array<variant>")
+            return F.try_element_at(arr, F.lit(idx)), T.VariantType()
+        path = kw.get("path")
+        if path is not None:
+            vp = "$" + "".join(
+                f"[{p}]" if str(p).isdigit() else f".{p}" for p in path
+            )
+            return F.try_variant_get(c, vp, "variant"), T.VariantType()
+        seg, raw = _single_path_seg(args[1])
+        if isinstance(raw, int):
+            arr = F.try_variant_get(c, "$", "array<variant>")
+            ix = seg.cast("int")
+            return (
+                F.try_element_at(arr, F.when(ix >= 0, ix + 1).otherwise(ix)),
+                T.VariantType(),
+            )
+        m = F.try_variant_get(c, "$", "map<string,variant>")
+        return F.try_element_at(m, seg.cast("string")), T.VariantType()
     if len(args) > 1:
         # verbatim form get(value, [seg]) — seg may be a closure var
         # (zeek: get!(ttls, [i])) or negative literal (okta: [-1])
@@ -1076,45 +1265,145 @@ def _parse_vpcflow(args, kw):
     return F.struct(*cols), T.StructType(fields)
 
 
+def _rex(c, pat):
+    """regexp_extract group 1, '' → null (VRL/woothee absent-version)."""
+    v = F.regexp_extract(c, pat, 1)
+    return F.when(v != "", v)
+
+
 @fn("parse_user_agent")
 def _parse_ua(args, kw):
-    """Heuristic UA parse → {browser, os, device} (ref VRL
-    parse_user_agent, 10 uses; the reference links uap — this is a
-    regex approximation; a Pandas-UDF uap adapter can swap in where the
-    library is available)."""
+    """VRL parse_user_agent, fast mode (the only mode the reference's
+    managed ymls use — cloudflare firewall_event.yml:244,
+    http_request.yml:515, okta system.yml:387): woothee-shaped
+    {browser:{family,version}, device:{category}, os:{family,version}}.
+    The classifier is a pure Column when-chain compiled from the
+    public woothee ruleset's dominant families (uap-core's
+    regexes.yaml is not available offline — documented divergence for
+    long-tail UAs); common tool agents (curl/wget/python/Go/aws-cli)
+    additionally classify as category 'misc' rather than woothee's
+    UNKNOWN, since security pipelines key on them."""
     c = _c(args[0])
-    browser = (
-        F.when(c.rlike("Edg[e/]"), "Edge")
+    is_ios = c.rlike("iPhone|iPad|iPod")
+    is_android = c.contains("Android")
+    crawler = c.rlike(
+        "Googlebot|bingbot|Slurp|DuckDuckBot|Baiduspider|YandexBot"
+        "|AhrefsBot|SemrushBot|facebookexternalhit|[Ss]pider|[Cc]rawler"
+    )
+    tool = _rex(
+        c,
+        r"^(curl|Wget|wget|aws-cli|python-requests|Python-urllib"
+        r"|Go-http-client|okhttp|Java|libwww-perl)[/ ]",
+    )
+    browser_family = (
+        F.when(crawler, _rex(c, r"(Googlebot|bingbot|Slurp|DuckDuckBot|Baiduspider|YandexBot|AhrefsBot|SemrushBot)"))
+        .when(tool.isNotNull(), tool)
+        .when(c.rlike("Edge?/|EdgA/|EdgiOS/"), "Edge")
         .when(c.rlike("OPR/|Opera"), "Opera")
-        .when(c.rlike("Chrome/"), "Chrome")
-        .when(c.rlike("Firefox/"), "Firefox")
-        .when(c.rlike("Safari/") & ~c.rlike("Chrome"), "Safari")
-        .when(c.rlike("curl/"), "curl")
-        .when(c.rlike("aws-cli/"), "aws-cli")
-        .otherwise("Other")
+        .when(c.contains("Vivaldi/"), "Vivaldi")
+        .when(c.contains("YaBrowser/"), "Yandex Browser")
+        .when(c.rlike("FxiOS/"), "Firefox")
+        .when(c.rlike("CriOS/"), "Chrome")
+        .when(c.contains("Chromium/"), "Chromium")
+        .when(c.contains("Chrome/"), "Chrome")
+        .when(c.contains("Firefox/"), "Firefox")
+        .when(c.rlike("MSIE |Trident/"), "Internet Explorer")
+        .when(c.contains("Safari/"), "Safari")
     )
-    os_ = (
-        F.when(c.rlike("Windows NT"), "Windows")
-        .when(c.rlike("Android"), "Android")
-        .when(c.rlike("iPhone|iPad|iOS"), "iOS")
-        .when(c.rlike("Mac OS X|Macintosh"), "macOS")
-        .when(c.rlike("Linux"), "Linux")
-        .otherwise("Other")
+    browser_version = (
+        F.when(c.rlike("Edge?/|EdgA/|EdgiOS/"), _rex(c, r"(?:Edge|Edg|EdgA|EdgiOS)/([0-9.]+)"))
+        .when(c.contains("OPR/"), _rex(c, r"OPR/([0-9.]+)"))
+        .when(c.contains("Vivaldi/"), _rex(c, r"Vivaldi/([0-9.]+)"))
+        .when(c.contains("YaBrowser/"), _rex(c, r"YaBrowser/([0-9.]+)"))
+        .when(c.rlike("CriOS/|Chromium/|Chrome/"), _rex(c, r"(?:CriOS|Chromium|Chrome)/([0-9.]+)"))
+        .when(c.rlike("FxiOS/|Firefox/"), _rex(c, r"(?:FxiOS|Firefox)/([0-9.]+)"))
+        .when(c.contains("MSIE "), _rex(c, r"MSIE ([0-9.]+)"))
+        .when(c.contains("Trident/"), _rex(c, r"rv:([0-9.]+)"))
+        .when(c.contains("Safari/"), _rex(c, r"Version/([0-9.]+)"))
+        .when(tool.isNotNull(), _rex(c, r"^[^/ ]+/([0-9][0-9.a-z]*)"))
     )
-    device = (
-        F.when(c.rlike("iPhone"), "iPhone")
-        .when(c.rlike("iPad"), "iPad")
-        .when(c.rlike("Android"), "Android")
-        .otherwise("Other")
+    nt = _rex(c, r"Windows NT ([0-9.]+)")
+    os_family = (
+        F.when(is_ios & c.contains("iPad"), "iPad")
+        .when(is_ios, "iPhone")
+        .when(is_android, "Android")
+        .when(
+            nt.isNotNull(),
+            # woothee's NT → marketing-name map
+            F.when(nt == "10.0", "Windows 10")
+            .when(nt == "6.3", "Windows 8.1")
+            .when(nt == "6.2", "Windows 8")
+            .when(nt == "6.1", "Windows 7")
+            .when(nt == "6.0", "Windows Vista")
+            .when(nt == "5.1", "Windows XP")
+            .when(nt == "5.0", "Windows 2000")
+            .otherwise(F.concat(F.lit("Windows NT "), nt)),
+        )
+        .when(c.contains("Mac OS X"), "Mac OSX")
+        .when(c.contains("CrOS"), "ChromeOS")
+        .when(c.contains("Linux"), "Linux")
+        .when(c.rlike("FreeBSD"), "FreeBSD")
+    )
+    os_version = (
+        F.when(
+            is_ios,
+            F.replace(_rex(c, r"OS ([0-9_.]+) like"), F.lit("_"), F.lit(".")),
+        )
+        .when(is_android, _rex(c, r"Android ([0-9.]+)"))
+        .when(nt.isNotNull(), F.concat(F.lit("NT "), nt))
+        .when(
+            c.contains("Mac OS X"),
+            F.replace(_rex(c, r"Mac OS X ([0-9_.]+)"), F.lit("_"), F.lit(".")),
+        )
+    )
+    category = (
+        F.when(crawler, "crawler")
+        .when(tool.isNotNull(), "misc")
+        .when(is_ios | is_android | c.rlike("FxiOS/|CriOS/|Mobile Safari"), "smartphone")
+        .when(
+            nt.isNotNull()
+            | c.rlike("Mac OS X|CrOS|Linux|FreeBSD|Macintosh"),
+            "pc",
+        )
     )
     t = T.StructType(
         [
-            T.StructField("browser", T.StringType()),
-            T.StructField("os", T.StringType()),
-            T.StructField("device", T.StringType()),
+            T.StructField(
+                "browser",
+                T.StructType(
+                    [
+                        T.StructField("family", T.StringType()),
+                        T.StructField("version", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "device",
+                T.StructType([T.StructField("category", T.StringType())]),
+            ),
+            T.StructField(
+                "os",
+                T.StructType(
+                    [
+                        T.StructField("family", T.StringType()),
+                        T.StructField("version", T.StringType()),
+                    ]
+                ),
+            ),
         ]
     )
-    return F.struct(browser.alias("browser"), os_.alias("os"), device.alias("device")), t
+    return (
+        F.struct(
+            F.struct(
+                browser_family.alias("family"), browser_version.alias("version")
+            ).alias("browser"),
+            F.struct(category.alias("category")).alias("device"),
+            F.struct(os_family.alias("family"), os_version.alias("version")).alias(
+                "os"
+            ),
+        ),
+        t,
+    )
 
 
 # -- net / misc -------------------------------------------------------------
@@ -1162,6 +1451,9 @@ def _mod(args, kw):
 def _merge(args, kw):
     """Shallow struct merge: right fields win (VRL merge; deep:true is
     compile-time recursive application)."""
+    args = [
+        _as_map(a) if isinstance(_t(a), T.VariantType) else a for a in args
+    ]
     lc, lt = args[0]
     rc, rt = args[1]
     # a null/absent side contributes nothing (VRL merge with null errs;
@@ -1180,6 +1472,29 @@ def _merge(args, kw):
                     lambda k, _v: ~F.array_contains(F.map_keys(rc), k),
                 ),
                 rc.cast(out.simpleString()),
+            ),
+            out,
+        )
+    if isinstance(lt, T.MapType) or isinstance(rt, T.MapType):
+        # mixed map/struct (parse_key_value output merged into a typed
+        # object, or vice versa): unify through the map<string,string>
+        # form — right side wins per VRL
+        def to_map(c, t):
+            if isinstance(t, T.MapType):
+                return c.cast("map<string,string>")
+            return F.map_from_arrays(
+                F.array(*[F.lit(f.name) for f in t.fields]),
+                F.array(*[c.getField(f.name).cast("string") for f in t.fields]),
+            )
+        out = T.MapType(T.StringType(), T.StringType())
+        l_m, r_m = to_map(lc, lt), to_map(rc, rt)
+        return (
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(l_m, F.create_map().cast("map<string,string>")),
+                    lambda k, _v: ~F.array_contains(F.map_keys(r_m), k),
+                ),
+                F.coalesce(r_m, F.create_map().cast("map<string,string>")),
             ),
             out,
         )
@@ -1223,6 +1538,15 @@ def _coalesce(args, kw):
         return (F.coalesce(*cols) if len(cols) > 1 else cols[0]), st
     args = _unify(list(args))
     t = next((_t(a) for a in args if _t(a) is not None), T.StringType())
+    if isinstance(t, T.VariantType):
+        # keep the variant COLUMN (the scalar funnel would cast to
+        # string while the claimed type stays variant — a read through
+        # the result would then variant_get a string)
+        cols = [
+            _cv(a) if isinstance(_t(a), T.VariantType) else _c(a).cast("variant")
+            for a in args
+        ]
+        return F.coalesce(*cols), t
     return F.coalesce(*[_c(a) for a in args]), t
 
 
@@ -1233,6 +1557,12 @@ def _ternary(args, kw):
     cond = _c(args[0])
     then, orelse = _unify([args[1], args[2]])
     t = _t(then) if _t(then) is not None and not isinstance(_t(then), T.NullType) else _t(orelse)
+    if isinstance(t, T.VariantType):
+        branches = [
+            _cv(a) if isinstance(_t(a), T.VariantType) else _c(a).cast("variant")
+            for a in (then, orelse)
+        ]
+        return F.when(cond, branches[0]).otherwise(branches[1]), t
     return F.when(cond, _c(then)).otherwise(_c(orelse)), t or T.StringType()
 
 
@@ -1319,6 +1649,9 @@ def _map_values(args, kw):
     f = kw["fn"]
     recursive = bool(kw.get("recursive", False))
     c, t = args[0]
+    if isinstance(t, T.VariantType):
+        c, t = _as_map(args[0])
+        args = [(c, t), *args[1:]]
     if isinstance(t, T.ArrayType) or t is None:
         # VRL map_values also maps over ARRAY elements (the okta
         # ip_chain / route53 answers rebuild closures)
@@ -1334,6 +1667,8 @@ def _map_values(args, kw):
 def _map_keys(args, kw):
     f = kw["fn"]
     c, t = args[0]
+    if isinstance(t, (T.VariantType, T.NullType)) or t is None:
+        c, t = _as_map(args[0])
     if isinstance(t, T.MapType):
         return F.transform_keys(c, lambda k, v: f(k)), t
     raise ValueError("map_keys requires a map-typed column")
@@ -1342,6 +1677,8 @@ def _map_keys(args, kw):
 @fn("object_keys")
 def _object_keys(args, kw):
     c, t = args[0]
+    if isinstance(t, (T.VariantType, T.NullType)) or t is None:
+        c, t = _as_map(args[0])
     if isinstance(t, T.MapType):
         return F.map_keys(c), T.ArrayType(t.keyType)
     if isinstance(t, T.StructType):
@@ -1355,8 +1692,15 @@ def _object_keys(args, kw):
 @fn("object_values")
 def _object_values(args, kw):
     c, t = args[0]
+    if isinstance(t, (T.VariantType, T.NullType)) or t is None:
+        c, t = _as_map(args[0])
     if isinstance(t, T.MapType):
         return F.map_values(c), T.ArrayType(t.valueType)
+    if isinstance(t, T.StructType):
+        return (
+            F.array(*[c.getField(f.name).cast("string") for f in t.fields]),
+            T.ArrayType(T.StringType()),
+        )
     raise ValueError("object_values requires a map-typed column")
 
 

@@ -183,17 +183,66 @@ def test_parse_vpcflow(spark):
 
 
 def test_parse_user_agent(spark):
-    df = spark.createDataFrame(
-        [
-            ("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36",),
-            ("curl/8.0.1",),
-        ],
-        ["ua"],
-    )
+    """Woothee-shaped fast-mode goldens (Vector VRL parse_user_agent
+    default): nested browser/device/os structs, marketing-name Windows
+    mapping, underscore→dot iOS/macOS versions."""
+    uas = [
+        # desktop Chrome on Windows 10
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        # Firefox on Linux (the Vector docs example)
+        "Mozilla/5.0 (X11; Linux x86_64; rv:79.0) Gecko/20100101 Firefox/79.0",
+        # mobile Safari on iPhone
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 14_6 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/14.1.1 "
+        "Mobile/15E148 Safari/604.1",
+        # desktop Safari on macOS
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.5 Safari/605.1.15",
+        # Edge on Windows 7
+        "Mozilla/5.0 (Windows NT 6.1; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/115.0.0.0 Safari/537.36 Edg/115.0.1901.183",
+        # IE 11
+        "Mozilla/5.0 (Windows NT 6.3; Trident/7.0; rv:11.0) like Gecko",
+        # tool + crawler
+        "curl/8.0.1",
+        "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    ]
+    df = spark.createDataFrame([(u,) for u in uas], ["ua"])
     out = compile_pipeline([Assign("p", Fn("parse_user_agent", P("ua")))])(df)
     rows = [r.asDict(recursive=True)["p"] for r in out.collect()]
-    assert rows[0] == {"browser": "Chrome", "os": "Windows", "device": "Other"}
-    assert rows[1]["browser"] == "curl"
+    assert rows[0] == {
+        "browser": {"family": "Chrome", "version": "120.0.0.0"},
+        "device": {"category": "pc"},
+        "os": {"family": "Windows 10", "version": "NT 10.0"},
+    }
+    assert rows[1] == {
+        "browser": {"family": "Firefox", "version": "79.0"},
+        "device": {"category": "pc"},
+        "os": {"family": "Linux", "version": None},
+    }
+    assert rows[2] == {
+        "browser": {"family": "Safari", "version": "14.1.1"},
+        "device": {"category": "smartphone"},
+        "os": {"family": "iPhone", "version": "14.6"},
+    }
+    assert rows[3] == {
+        "browser": {"family": "Safari", "version": "16.5"},
+        "device": {"category": "pc"},
+        "os": {"family": "Mac OSX", "version": "10.15.7"},
+    }
+    assert rows[4]["browser"] == {"family": "Edge", "version": "115.0.1901.183"}
+    assert rows[4]["os"] == {"family": "Windows 7", "version": "NT 6.1"}
+    assert rows[5]["browser"]["family"] == "Internet Explorer"
+    assert rows[5]["browser"]["version"] == "11.0"
+    assert rows[5]["os"]["family"] == "Windows 8.1"
+    assert rows[6] == {
+        "browser": {"family": "curl", "version": "8.0.1"},
+        "device": {"category": "misc"},
+        "os": {"family": None, "version": None},
+    }
+    assert rows[7]["browser"]["family"] == "Googlebot"
+    assert rows[7]["device"]["category"] == "crawler"
 
 
 def test_misc_functions(spark):
