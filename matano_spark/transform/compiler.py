@@ -61,6 +61,16 @@ def _explode(node: _Leaf) -> _Tree:
     """Leaf struct → tree of per-field leaves. Each child references the
     parent expression once (getField), so repeated writes after the
     explode never re-copy siblings."""
+    if isinstance(node.dtype, (T.VariantType, T.MapType)):
+        # dynamic object (variant or map) being written through
+        # (del/assign on a subpath): keep the remainder reachable —
+        # sibling keys must keep resolving after one key is
+        # deleted/overwritten (okta system.yml dels ~40 .json.* keys
+        # then reads others; its debug_data.flattened map gets three
+        # keys re-assigned). The `__vrest__` child is the dynamic
+        # fallback _node() descends into for keys without an explicit
+        # child; _materialize merges it back in map form.
+        return _Tree({"__vrest__": node})
     if not isinstance(node.dtype, T.StructType):
         # non-struct (or unknown) value being written through: VRL
         # overwrite semantics — start fresh scaffolding
@@ -78,6 +88,42 @@ def _materialize(node) -> tuple[Column, T.DataType]:
         return node.col, node.dtype if node.dtype is not None else T.StringType()
     if not node.children:
         return F.lit(None), T.NullType()
+    if set(node.children) == {"__vrest__"}:
+        # exploded variant with no explicit overwrites yet: still the
+        # original variant
+        n = node.children["__vrest__"]
+        return n.col, n.dtype
+    if "__vrest__" in node.children:
+        # mutated variant: merge the explicit (assigned/deleted) keys
+        # back into the dynamic remainder as map<string,variant> —
+        # exact VRL object semantics (untouched keys survive, deleted
+        # keys vanish, assigned keys win). okta ip_chain's closure
+        # (`v.geographical_context = del(v.geographicalContext); v`)
+        # must keep v.ip.
+        rest = node.children["__vrest__"]
+        if isinstance(rest.dtype, T.MapType):
+            base = rest.col.cast("map<string,variant>")
+        else:
+            base = F.try_variant_get(rest.col, "$", "map<string,variant>")
+        explicit = [n for n in node.children if n != "__vrest__"]
+        pairs: list[Column] = []
+        for name in explicit:
+            c, t = _materialize(node.children[name])
+            if isinstance(t, T.NullType):
+                continue  # deleted key: excluded below, not re-added
+            if isinstance(t, (T.MapType, T.StructType, T.ArrayType)):
+                c = F.to_variant_object(c)
+            elif not isinstance(t, T.VariantType):
+                c = c.cast("variant")
+            pairs += [F.lit(name), c]
+        names = F.array(*[F.lit(n) for n in explicit])
+        mt = T.MapType(T.StringType(), T.VariantType())
+        kept = F.map_filter(
+            F.coalesce(base, F.create_map().cast(mt)),
+            lambda k, _v: ~F.array_contains(names, k),
+        )
+        out = F.map_concat(kept, F.create_map(*pairs)) if pairs else kept
+        return out, mt
     cols, fields = [], []
     for name, child in node.children.items():
         c, t = _materialize(child)
@@ -112,22 +158,58 @@ class _RowState:
             if node is None:
                 return None
             if isinstance(node, _Tree):
-                node = node.children.get(part)
-                continue
+                child = node.children.get(part)
+                if child is None and "__vrest__" in node.children:
+                    # exploded dynamic object: un-overwritten keys
+                    # resolve through the retained remainder — fall
+                    # THROUGH to the leaf descend below with parts[i:]
+                    # (current part included)
+                    node = node.children["__vrest__"]
+                else:
+                    node = child
+                    continue
             dtype = node.dtype
             if isinstance(dtype, T.VariantType):
-                path = "$." + ".".join(parts[i:])
+                path = "$"
+                for p in parts[i:]:
+                    path += f"[{p}]" if p.isdigit() else f".{p}"
+                # stay VARIANT-typed: consumers concretize by context
+                # (scalar funnels cast to string, array/map builders
+                # re-extract the structured form) — a string claim
+                # here broke every join/filter/index over `.json.*`
                 return _Leaf(
-                    F.try_variant_get(node.col, path, "string"),
-                    T.StringType(),
+                    F.try_variant_get(node.col, path, "variant"),
+                    T.VariantType(),
                 )
             if isinstance(dtype, T.MapType):
                 # map member read (parse_key_value output): one key per
-                # remaining path step
+                # remaining path step, descending through nested
+                # map/variant value types; a path that outruns the
+                # value shape reads null (missing key), not a type
+                # error (okta reads oktargets.user.id off an empty {})
                 col = node.col
-                for p in parts[i:]:
-                    col = F.element_at(col, p)
-                return _Leaf(col, dtype.valueType)
+                vt: T.DataType = dtype
+                for j, p in enumerate(parts[i:]):
+                    if isinstance(vt, T.MapType):
+                        col, vt = F.element_at(col, p), vt.valueType
+                    elif isinstance(vt, T.VariantType):
+                        path = "$"
+                        for q in parts[i + j :]:
+                            path += f"[{q}]" if q.isdigit() else f".{q}"
+                        return _Leaf(
+                            F.try_variant_get(col, path, "variant"),
+                            T.VariantType(),
+                        )
+                    elif isinstance(vt, T.StructType):
+                        fld = next(
+                            (f for f in vt.fields if f.name == p), None
+                        )
+                        if fld is None:
+                            return _Leaf(F.lit(None), T.NullType())
+                        col, vt = col.getField(p), fld.dataType
+                    else:
+                        return _Leaf(F.lit(None), T.NullType())
+                return _Leaf(col, vt)
             if not isinstance(dtype, T.StructType):
                 return None
             match = next((f for f in dtype.fields if f.name == part), None)
@@ -157,8 +239,23 @@ class _RowState:
         if not isinstance(node, _Tree):
             node = _explode(node) if isinstance(node, _Leaf) else _Tree()
             self.nodes[parts[0]] = node
-        for part in parts[1:]:
+        for i, part in enumerate(parts[1:], start=1):
             child = node.children.get(part)
+            if child is None and "__vrest__" in node.children:
+                # descending INTO a retained dynamic object: the child
+                # starts as its sub-object so sibling keys keep
+                # resolving
+                rest = node.children["__vrest__"]
+                if isinstance(rest.dtype, T.MapType):
+                    child = _Leaf(
+                        F.element_at(rest.col, part), rest.dtype.valueType
+                    )
+                else:
+                    sub = f"$[{part}]" if part.isdigit() else f"$.{part}"
+                    child = _Leaf(
+                        F.try_variant_get(rest.col, sub, "variant"),
+                        T.VariantType(),
+                    )
             if not isinstance(child, _Tree):
                 child = _explode(child) if isinstance(child, _Leaf) else _Tree()
                 node.children[part] = child
@@ -179,7 +276,14 @@ class _RowState:
         # only explode if the path actually exists
         if self._node(parts) is None:
             return
-        self._tree_at(parts[:-1]).children.pop(parts[-1], None)
+        tree = self._tree_at(parts[:-1])
+        if parts[-1] not in tree.children and "__vrest__" in tree.children:
+            # deleting a key that only exists inside the retained
+            # variant: mask it (reads of this key must stop resolving
+            # through __vrest__)
+            tree.children[parts[-1]] = _Leaf(F.lit(None), T.NullType())
+            return
+        tree.children.pop(parts[-1], None)
 
     # -- output --------------------------------------------------------
     def columns(self) -> list[Column]:
@@ -462,6 +566,27 @@ class Compiler:
             lc, lt = self.expr(e.left)
             rc, rt = self.expr(e.right)
             op = e.op
+            if op == "|" and isinstance(lt, T.VariantType):
+                # `.json.x || <default>`: concretize the schemaless
+                # side to the DEFAULT's shape (`|| []` → array,
+                # `|| {}` → map, else scalar) so the coalesce and all
+                # downstream collection ops type-check
+                if isinstance(rt, T.ArrayType):
+                    lc = F.try_variant_get(lc, "$", "array<variant>")
+                    lt = T.ArrayType(T.VariantType())
+                    rc, rt = rc.cast("array<variant>"), lt
+                elif isinstance(rt, T.MapType):
+                    lc = F.try_variant_get(lc, "$", "map<string,variant>")
+                    lt = T.MapType(T.StringType(), T.VariantType())
+                    rc, rt = rc.cast("map<string,variant>"), lt
+                elif isinstance(rt, T.BooleanType):
+                    lc, lt = lc.try_cast("boolean"), T.BooleanType()
+            # variants aren't orderable/comparable — concretize to
+            # string (identical to the pre-variant read behavior)
+            if isinstance(lt, T.VariantType):
+                lc, lt = lc.cast("string"), T.StringType()
+            if isinstance(rt, T.VariantType):
+                rc, rt = rc.cast("string"), T.StringType()
             # VRL `x == null` / `x != null` are IS NULL checks, not SQL
             # three-valued comparisons
             lnull = isinstance(e.left, ast.L) and e.left.value is None
@@ -520,7 +645,9 @@ class Compiler:
                 return lc % rc, lt
             raise ValueError(f"unknown op {op}")
         if isinstance(e, ast.UnaryOp):
-            c, _ = self.expr(e.operand)
+            c, t = self.expr(e.operand)
+            if isinstance(t, T.VariantType):
+                c = c.try_cast("boolean")
             if e.op == "!":
                 return ~c, T.BooleanType()
             raise ValueError(f"unknown unary op {e.op}")
@@ -770,7 +897,37 @@ class Compiler:
         pass 2 builds the final fold with stable accumulator types.
         Stays entirely JVM-side — no UDF, no shuffle."""
         coll_c, coll_t = self.expr(fe.coll)
-        if isinstance(coll_t, T.MapType):
+        if isinstance(coll_t, T.VariantType):
+            # schemaless `.json.x` iteration: VRL iterates arrays AND
+            # objects with the same two-param closure. Concretize to
+            # the object form (map<string,variant>) when the variant
+            # holds an object, else the array form — statically we
+            # pick by probing both; the array extraction is null for
+            # objects and vice versa, so coalescing the two entry
+            # lists is exact.
+            as_map = F.try_variant_get(coll_c, "$", "map<string,variant>")
+            as_arr = F.try_variant_get(coll_c, "$", "array<variant>")
+            coll_c = F.coalesce(
+                F.array_sort(F.map_entries(as_map)),
+                F.transform(
+                    as_arr,
+                    lambda v: F.struct(
+                        F.lit(None).cast("string").alias("key"), v.alias("value")
+                    ),
+                ),
+            )
+            coll_t = T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", T.VariantType()),
+                    ]
+                )
+            )
+            entries = coll_c
+            elem_t = coll_t.elementType
+            is_object = True
+        elif isinstance(coll_t, T.MapType):
             # VRL object iteration is key-ordered (BTreeMap)
             entries = F.array_sort(F.map_entries(coll_c))
             elem_t: T.DataType = T.StructType(

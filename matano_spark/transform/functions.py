@@ -587,7 +587,12 @@ def _unique(args, kw):
     a = args[0]
     if isinstance(_t(a), (T.VariantType, T.NullType)):
         a = _as_array(a)
-    return F.array_distinct(_cv(a)), _t(a) or T.ArrayType(T.StringType())
+    c, t = _cv(a), _t(a) or T.ArrayType(T.StringType())
+    if isinstance(t, T.ArrayType) and isinstance(t.elementType, T.VariantType):
+        # variants aren't orderable — distinct over the string forms
+        c = F.transform(c, lambda v: v.cast("string"))
+        t = T.ArrayType(T.StringType())
+    return F.array_distinct(c), t
 
 
 @fn("array_max")
@@ -729,6 +734,23 @@ def _compact(args, kw):
     c, t = args[0]
     if isinstance(t, (T.VariantType, T.NullType)):
         c, t = _as_array(args[0])
+    if isinstance(t, T.StructType):
+        # object compact on a typed struct: static schemas can't drop
+        # fields per-row — go through the map form (same rule as
+        # filter/merge)
+        c = F.map_from_arrays(
+            F.array(*[F.lit(f.name) for f in t.fields]),
+            F.array(*[c.getField(f.name).cast("string") for f in t.fields]),
+        )
+        t = T.MapType(T.StringType(), T.StringType())
+    if isinstance(t, T.MapType):
+        # VRL compact over an object: drop null/empty values
+        return (
+            F.map_filter(
+                c, lambda _k, v: v.isNotNull() & (v.cast("string") != "")
+            ),
+            t,
+        )
     return (
         F.filter(c, lambda x: x.isNotNull() & (x.cast("string") != "")),
         t or T.ArrayType(T.StringType()),
@@ -952,14 +974,19 @@ def _bool_assert(args, kw):
 
 @fn("object")
 def _object_assert(args, kw):
-    """VRL object!(x) type assertion — the compiled form is typed
-    already; pass through (a non-object yields null downstream)."""
+    """VRL object!(x) type assertion — typed args pass through; a
+    schemaless variant concretizes to its object (map) form."""
+    if isinstance(_t(args[0]), T.VariantType):
+        return _as_map(args[0])
     return args[0]
 
 
 @fn("array")
 def _array_assert(args, kw):
-    """VRL array!(x) type assertion — pass through."""
+    """VRL array!(x) type assertion — typed args pass through; a
+    schemaless variant concretizes to its array form."""
+    if isinstance(_t(args[0]), T.VariantType):
+        return _as_array(args[0], "variant")
     return args[0]
 
 
@@ -1650,7 +1677,11 @@ def _map_values(args, kw):
     recursive = bool(kw.get("recursive", False))
     c, t = args[0]
     if isinstance(t, T.VariantType):
-        c, t = _as_map(args[0])
+        # schemaless arg: every reference map_values-over-unknown site
+        # iterates an ARRAY (okta ip_chain, gcp authz_info) — object
+        # iteration always arrives via object!() which concretizes to
+        # a map before reaching here
+        c, t = _as_array(args[0], "variant")
         args = [(c, t), *args[1:]]
     if isinstance(t, T.ArrayType) or t is None:
         # VRL map_values also maps over ARRAY elements (the okta
@@ -1659,7 +1690,7 @@ def _map_values(args, kw):
     if isinstance(t, T.NullType):  # null in → null out (try-form)
         return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
     if not isinstance(t, (T.MapType, T.StructType)):
-        raise ValueError("map_values requires a map- or struct-typed column")
+        raise ValueError(f"map_values requires a map- or struct-typed column, got {t}")
     return _map_values_walk(f, c, t, recursive)
 
 

@@ -27,8 +27,14 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 from matano_spark.transform.parser import compile_vrl  # noqa: E402
 from tools.vrl_parse_survey import iter_programs  # noqa: E402
 
-REF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
-    else "/root/reference/data/managed/log_sources"
+DEFAULT_REF = "/root/reference/data/managed/log_sources"
+REF = (
+    sys.argv[1]
+    if __name__ == "__main__"
+    and len(sys.argv) > 1
+    and not sys.argv[1].startswith("-")
+    else DEFAULT_REF
+)
 VERBOSE = "-v" in sys.argv
 
 
