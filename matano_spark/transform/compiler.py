@@ -557,10 +557,18 @@ class Compiler:
                     args.append(self.expr(a))
                 else:
                     args.append((a, None))
-            kwargs = {
-                k: self._compile_lambda(v) if isinstance(v, ast.Lambda) else v
-                for k, v in e.kwargs.items()
-            }
+            kwargs = {}
+            for k, v in e.kwargs.items():
+                if isinstance(v, ast.Lambda):
+                    kwargs[k] = self._compile_lambda(v)
+                elif isinstance(
+                    v, (ast.P, ast.Fn, ast.BinOp, ast.UnaryOp, ast.Var)
+                ):
+                    # expression-valued kwarg (parse_regex!(value: .x)):
+                    # builders get the compiled (Column, type) pair
+                    kwargs[k] = self.expr(v)
+                else:
+                    kwargs[k] = v
             return build_call(e.name, args, kwargs)
         if isinstance(e, ast.BinOp):
             lc, lt = self.expr(e.left)
@@ -756,9 +764,20 @@ class Compiler:
                             target.get((f.name,)), oldt, newc, newt
                         )
                     if cond is not None:
-                        newc = F.when(cond, newc).otherwise(
-                            target.get((f.name,))
-                        )
+                        old = target.get((f.name,))
+                        if (
+                            oldt is not None
+                            and not isinstance(oldt, T.NullType)
+                            and oldt.simpleString() != newt.simpleString()
+                            and isinstance(
+                                newt, (T.StructType, T.ArrayType, T.MapType)
+                            )
+                        ):
+                            # guard retypes between incompatible
+                            # complex shapes (cloudtrail root-merge
+                            # widens a struct): off-guard arm nulls
+                            old = F.lit(None).cast(newt)
+                        newc = F.when(cond, newc).otherwise(old)
                     target.set((f.name,), newc, newt)
                 return
             raise ValueError("unsupported root (`.`) assignment form")
@@ -815,6 +834,32 @@ class Compiler:
 
             def _complex(t):
                 return isinstance(t, (T.StructType, T.ArrayType, T.MapType))
+
+            # a variant arm can't sit in one CASE with a concrete
+            # type: concretize the variant side (aws_inspector blends
+            # to_timestamp(...) over a variant-read old value)
+            if (
+                isinstance(oldt, T.VariantType)
+                and vtype is not None
+                and not isinstance(vtype, (T.VariantType, T.NullType))
+            ):
+                old = (
+                    F.lit(None).cast(vtype)
+                    if _complex(vtype)
+                    else old.try_cast(vtype)
+                )
+                oldt = vtype
+            elif (
+                isinstance(vtype, T.VariantType)
+                and oldt is not None
+                and not isinstance(oldt, (T.VariantType, T.NullType))
+            ):
+                old = (
+                    F.to_variant_object(old)
+                    if _complex(oldt)
+                    else old.cast("variant")
+                )
+                oldt = vtype
 
             if (
                 oldt is not None
@@ -907,8 +952,16 @@ class Compiler:
             # lists is exact.
             as_map = F.try_variant_get(coll_c, "$", "map<string,variant>")
             as_arr = F.try_variant_get(coll_c, "$", "array<variant>")
+            # struct<key,variant> entries aren't orderable — sort by
+            # key via comparator (VRL object iteration is key-ordered)
+            _k = lambda e: e.getField("key")  # noqa: E731
             coll_c = F.coalesce(
-                F.array_sort(F.map_entries(as_map)),
+                F.array_sort(
+                    F.map_entries(as_map),
+                    lambda a, b: F.when(_k(a) < _k(b), -1)
+                    .when(_k(a) > _k(b), 1)
+                    .otherwise(0),
+                ),
                 F.transform(
                     as_arr,
                     lambda v: F.struct(
@@ -928,8 +981,16 @@ class Compiler:
             elem_t = coll_t.elementType
             is_object = True
         elif isinstance(coll_t, T.MapType):
-            # VRL object iteration is key-ordered (BTreeMap)
-            entries = F.array_sort(F.map_entries(coll_c))
+            # VRL object iteration is key-ordered (BTreeMap); sort by
+            # KEY via comparator — entry structs with variant/complex
+            # values aren't orderable as a whole
+            _k = lambda e: e.getField("key")  # noqa: E731
+            entries = F.array_sort(
+                F.map_entries(coll_c),
+                lambda a, b: F.when(_k(a) < _k(b), -1)
+                .when(_k(a) > _k(b), 1)
+                .otherwise(0),
+            )
             elem_t: T.DataType = T.StructType(
                 [
                     T.StructField("key", coll_t.keyType),
@@ -1211,7 +1272,22 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         out = df
         for f in state.filters:
             out = out.filter(f)
-        return out.select(*state.columns())
+        # materialize through temp names, then rename: an output that
+        # reuses an input name with a CHANGED type (json re-emitted as
+        # its mutated map form) must not shadow references to the
+        # original inside sibling expressions' lambdas (Spark resolves
+        # lambda-embedded name references to the lateral alias)
+        cols = state.columns()
+        names = list(state.nodes.keys())
+        tmp = out.select(
+            *[c.alias(f"__out_{i}") for i, c in enumerate(cols)]
+        )
+        return tmp.select(
+            *[
+                F.col(f"`__out_{i}`").alias(name)
+                for i, name in enumerate(names)
+            ]
+        )
 
     def apply_enrich(df: DataFrame, step: ast.Enrich) -> DataFrame:
         from matano_spark.operators.enrichment import enrich

@@ -160,6 +160,61 @@ def _unify(args: list[Arg]) -> list[Arg]:
     known = {t.simpleString() for _, t in args if t is not None and not isinstance(t, T.NullType)}
     if len(known) <= 1:
         return args
+    typed = [t for _, t in args if t is not None and not isinstance(t, T.NullType)]
+    def _simple_elem(t):
+        return isinstance(t, T.ArrayType) and not isinstance(
+            t.elementType, (T.StructType, T.MapType, T.ArrayType)
+        )
+
+    cplx = {
+        t.elementType.simpleString(): t
+        for t in typed
+        if isinstance(t, T.ArrayType) and not _simple_elem(t)
+    }
+    if (
+        len(cplx) == 1
+        and all(isinstance(t, T.ArrayType) for t in typed)
+    ):
+        # one complex-element array + empty/simple defaults
+        # (`mapped ?? []`): unify on the complex shape — the empty
+        # literal casts to any array type
+        at = next(iter(cplx.values()))
+        return [
+            (a[0], at)
+            if _t(a) is not None and _t(a).simpleString() == at.simpleString()
+            else (_cv(a).cast(at.simpleString()), at)
+            for a in args
+        ]
+    if all(
+        isinstance(t, T.VariantType) or _simple_elem(t) for t in typed
+    ):
+        # disagreeing collection arms (array<variant> ?? []): unify on
+        # array<variant> instead of stringifying — downstream
+        # map_values/for_each need the array shape
+        at = T.ArrayType(T.VariantType())
+        return [
+            (_as_array(a, "variant")[0], at)
+            if isinstance(_t(a), T.VariantType)
+            else (_cv(a).cast("array<variant>"), at)
+            for a in args
+        ]
+    if all(
+        isinstance(t, T.VariantType)
+        or (
+            isinstance(t, T.MapType)
+            and not isinstance(
+                t.valueType, (T.StructType, T.MapType, T.ArrayType)
+            )
+        )
+        for t in typed
+    ):
+        mt = T.MapType(T.StringType(), T.VariantType())
+        return [
+            (_as_map(a)[0], mt)
+            if isinstance(_t(a), T.VariantType)
+            else (_cv(a).cast("map<string,variant>"), mt)
+            for a in args
+        ]
     return [(_c(a).cast("string"), T.StringType()) for a in args]
 
 
@@ -1095,22 +1150,55 @@ def _parse_csv(args, kw):
 
 @fn("parse_url")
 def _parse_url(args, kw):
+    """VRL parse_url → {scheme, host, port, path, query, fragment};
+    `query` is an OBJECT of decoded params (reference transforms
+    for_each over it — aws_inspector log_source.yml:444), valueless
+    keys map to ''."""
     c = _c(args[0])
     t = T.StructType(
         [
             T.StructField("scheme", T.StringType()),
             T.StructField("host", T.StringType()),
+            T.StructField("port", T.LongType()),
             T.StructField("path", T.StringType()),
-            T.StructField("query", T.StringType()),
+            T.StructField(
+                "query", T.MapType(T.StringType(), T.StringType())
+            ),
             T.StructField("fragment", T.StringType()),
         ]
     )
+    qs = F.parse_url(c, F.lit("QUERY"))
+    query = F.when(
+        qs.isNotNull() & (qs != ""),
+        F.map_from_entries(
+            F.transform(
+                F.split(qs, "&"),
+                lambda kv: F.struct(
+                    F.split_part(kv, F.lit("="), F.lit(1)).alias("key"),
+                    F.when(
+                        kv.contains("="),
+                        F.try_url_decode(
+                            kv.substr(
+                                F.locate("=", kv) + F.lit(1), F.length(kv)
+                            )
+                        ),
+                    )
+                    .otherwise("")
+                    .alias("value"),
+                ),
+            )
+        ),
+    )
+    host_port = F.parse_url(c, F.lit("HOST"))
     return (
         F.struct(
             F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
-            F.parse_url(c, F.lit("HOST")).alias("host"),
+            host_port.alias("host"),
+            F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:(\d+)(?:[/?#]|$)", 1)
+            .try_cast("bigint")
+            .alias("port"),
             F.parse_url(c, F.lit("PATH")).alias("path"),
-            F.parse_url(c, F.lit("QUERY")).alias("query"),
+            query.alias("query"),
             F.parse_url(c, F.lit("REF")).alias("fragment"),
         ),
         t,
@@ -1206,7 +1294,8 @@ def _parse_regex(args, kw):
         if len(args) > 1 and isinstance(args[1][0], str)
         else kw["pattern"]
     )
-    c = _c(args[0])
+    # value may arrive as the `value:` kwarg (aws_waf webaclId ARN)
+    c = _c(args[0]) if args else _c(kw["value"])
     groups = _named_group_indices(pattern)
     # Java named groups reject underscores; strip names, extract by the
     # group's true index (unnamed captures keep their numbering)

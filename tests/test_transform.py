@@ -140,8 +140,11 @@ def test_parse_key_value_and_url(spark):
     assert r["m"] == {"k1": "v1", "k2": "v2"}
     assert r["u"]["scheme"] == "https"
     assert r["u"]["host"] == "example.com"
+    assert r["u"]["port"] == 8443
     assert r["u"]["path"] == "/p/q"
-    assert r["u"]["query"] == "x=1"
+    # VRL parse_url returns query as an OBJECT of decoded params
+    assert r["u"]["query"] == {"x": "1"}
+    assert r["u"]["fragment"] == "frag"
 
 
 def test_grok_translate_and_parse(spark):
