@@ -28,6 +28,7 @@ like okta's took minutes to analyze; the tree form is linear.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterable
 
 from pyspark.sql import Column, DataFrame
@@ -36,6 +37,11 @@ from pyspark.sql import types as T
 
 from matano_spark.transform import ast
 from matano_spark.transform.functions import build_call
+
+# variables the reference injects into managed programs at deploy time
+# (o365 audit.yml:2 "# tenants config injected here^") — resolved to
+# an empty config map when the deployment provides none
+CONFIG_VARS = {"tenants"}
 
 
 class _Leaf:
@@ -144,6 +150,10 @@ class _RowState:
             for f in df.schema.fields
         }
         self.filters: list[Column] = []
+        # root-level dynamic remainder: set by `. = del(.json)` on a
+        # schemaless payload (matano_alerts) — top-level reads of
+        # names without an explicit node resolve through this variant
+        self.rest: Column | None = None
 
     # -- reads ---------------------------------------------------------
     def _node(self, parts: tuple[str, ...]):
@@ -154,6 +164,14 @@ class _RowState:
         fields) compiles the remaining path to try_variant_get — the
         VRL dynamic-object read on semi-structured data."""
         node = self.nodes.get(parts[0])
+        if node is None and self.rest is not None:
+            path = "$"
+            for p in parts:
+                path += f"[{p}]" if p.isdigit() else f".{p}"
+            return _Leaf(
+                F.try_variant_get(self.rest, path, "variant"),
+                T.VariantType(),
+            )
         for i, part in enumerate(parts[1:], start=1):
             if node is None:
                 return None
@@ -236,6 +254,14 @@ class _RowState:
     def _tree_at(self, parts: tuple[str, ...]) -> _Tree:
         """Walk/create the tree at `parts`, exploding leaves in place."""
         node = self.nodes.get(parts[0])
+        if node is None and self.rest is not None:
+            sub = (
+                f"$[{parts[0]}]" if parts[0].isdigit() else f"$.{parts[0]}"
+            )
+            node = _Leaf(
+                F.try_variant_get(self.rest, sub, "variant"),
+                T.VariantType(),
+            )
         if not isinstance(node, _Tree):
             node = _explode(node) if isinstance(node, _Leaf) else _Tree()
             self.nodes[parts[0]] = node
@@ -271,6 +297,10 @@ class _RowState:
 
     def delete(self, parts: tuple[str, ...]) -> None:
         if len(parts) == 1:
+            if parts[0] not in self.nodes and self.rest is not None:
+                # deleting a root-rest key: mask it
+                self.nodes[parts[0]] = _Leaf(F.lit(None), T.NullType())
+                return
             self.nodes.pop(parts[0], None)
             return
         # only explode if the path actually exists
@@ -351,6 +381,7 @@ class _VarState(_RowState):
     def __init__(self, nodes: dict | None = None):
         self.nodes = nodes or {}
         self.filters: list[Column] = []
+        self.rest: Column | None = None
 
 
 def _infer_type(value: Any) -> T.DataType:
@@ -425,6 +456,12 @@ class Compiler:
     def expr(self, e: Any) -> tuple[Column, T.DataType]:
         if isinstance(e, ast.Var):
             if e.name not in self.vars.nodes:
+                if e.name in CONFIG_VARS:
+                    # deploy-time-injected config (o365 audit.yml:2
+                    # "# tenants config injected here"): an empty map
+                    # stands in when no config is provided
+                    mt = T.MapType(T.StringType(), T.StringType())
+                    return F.create_map().cast(mt), mt
                 raise ValueError(f"unbound variable {e.name!r}")
             return (
                 self.vars.get((e.name,)),
@@ -574,6 +611,15 @@ class Compiler:
             lc, lt = self.expr(e.left)
             rc, rt = self.expr(e.right)
             op = e.op
+            if (
+                op == "|"
+                and isinstance(lt, T.VariantType)
+                and isinstance(rt, T.VariantType)
+            ):
+                # both arms schemaless (snyk `del(.CVE) || del(.ALT)`,
+                # both arrays at runtime): stay variant so indexing /
+                # iteration over the result keeps working
+                return F.coalesce(lc, rc), lt
             if op == "|" and isinstance(lt, T.VariantType):
                 # `.json.x || <default>`: concretize the schemaless
                 # side to the DEFAULT's shape (`|| []` → array,
@@ -1046,6 +1092,7 @@ class Compiler:
                 k: _copy_node(v) for k, v in self.state.nodes.items()
             }
             sub_state.filters = []
+            sub_state.rest = self.state.rest
             sub_vars = _VarState(
                 {k: _copy_node(v) for k, v in self.vars.nodes.items()}
             )
@@ -1160,7 +1207,23 @@ class Compiler:
                 parts = ast.split_path(step.val_path)
                 val = vc
                 if cond is not None:
-                    val = F.when(cond, vc).otherwise(target.get(parts))
+                    old = target.get(parts)
+                    oldt = target.get_type(parts)
+                    if (
+                        oldt is not None
+                        and vt is not None
+                        and not isinstance(oldt, T.NullType)
+                        and oldt.simpleString() != vt.simpleString()
+                        and isinstance(
+                            vt, (T.StructType, T.ArrayType, T.MapType)
+                        )
+                    ):
+                        # guard retypes `_grokked` between different
+                        # patterns' field sets (cloudflare
+                        # http_request reuses the local per section):
+                        # off-guard arm nulls
+                        old = F.lit(None).cast(vt)
+                    val = F.when(cond, vc).otherwise(old)
                 target.set(parts, val, vt)
             if step.err_path:
                 err = F.when(vc.isNull(), F.lit("error"))
@@ -1195,6 +1258,12 @@ class Compiler:
                 # the struct's fields to top level, then drop it
                 if cond is not None:
                     raise ValueError("conditional root move is not supported")
+                if isinstance(vtype, T.VariantType):
+                    # schemaless payload spread: later top-level reads
+                    # resolve dynamically through the root remainder
+                    s.delete(src)
+                    s.rest = value
+                    return
                 if not isinstance(vtype, T.StructType):
                     raise ValueError("root move requires a struct source")
                 for fld in vtype.fields:
@@ -1266,28 +1335,89 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             cur.append(s)
     stages.append(("steps", tuple(cur)))
 
+    chunk_n = int(os.environ.get("MATANO_VRL_STAGE_CHUNK", "24"))
+
     def apply_steps(df: DataFrame, stage_steps) -> DataFrame:
-        state = _RowState(df)
-        Compiler(state).run(stage_steps)
+        # compile in CHUNKS of top-level steps with a projection
+        # boundary between them: expressions that python shares as a
+        # DAG expand to a TREE at Column→Catalyst conversion, so one
+        # giant select for a 100+-step program (suricata eve,
+        # crowdstrike fdr) blows the driver heap. A chunk boundary
+        # names every live value as a real column — later chunks
+        # reference attributes, not re-inlined trees. Locals and the
+        # root remainder spill to __var_* / __root_rest columns and
+        # rehydrate in the next chunk; Catalyst's CollapseProject
+        # keeps non-duplicating projections cheap at runtime.
+        chunks = [
+            stage_steps[i : i + chunk_n]
+            for i in range(0, len(stage_steps), chunk_n)
+        ] or [()]
         out = df
-        for f in state.filters:
-            out = out.filter(f)
-        # materialize through temp names, then rename: an output that
-        # reuses an input name with a CHANGED type (json re-emitted as
-        # its mutated map form) must not shadow references to the
-        # original inside sibling expressions' lambdas (Spark resolves
-        # lambda-embedded name references to the lateral alias)
-        cols = state.columns()
-        names = list(state.nodes.keys())
-        tmp = out.select(
-            *[c.alias(f"__out_{i}") for i, c in enumerate(cols)]
-        )
-        return tmp.select(
-            *[
-                F.col(f"`__out_{i}`").alias(name)
-                for i, name in enumerate(names)
-            ]
-        )
+        # positional carry between chunks: intermediate boundaries
+        # keep mangled __out_i names and rehydrate BY POSITION — never
+        # by real name, because live values can collide
+        # case-insensitively mid-program (crowdstrike fdr holds both
+        # `File` and `file` until a later del) and Spark's analyzer
+        # resolves names case-insensitively
+        carry: list[tuple[str, str]] | None = None
+        for ci, chunk in enumerate(chunks):
+            if carry is None:
+                state = _RowState(out)
+                comp = Compiler(state)
+            else:
+                state = _RowState.__new__(_RowState)
+                state.nodes = {}
+                state.filters = []
+                state.rest = None
+                comp = Compiler(state)
+                for i, (kind, name) in enumerate(carry):
+                    leaf = _Leaf(
+                        F.col(f"`{out.columns[i]}`"),
+                        out.schema.fields[i].dataType,
+                    )
+                    if kind == "row":
+                        state.nodes[name] = leaf
+                    elif kind == "var":
+                        comp.vars.nodes[name] = leaf
+                    else:  # root remainder variant
+                        state.rest = leaf.col
+            comp.run(chunk)
+            for f in state.filters:
+                out = out.filter(f)
+            # materialize through temp names, then rename: an output
+            # that reuses an input name with a CHANGED type (json
+            # re-emitted as its mutated map form) must not shadow
+            # references to the original inside sibling expressions'
+            # lambdas (Spark resolves lambda-embedded name references
+            # to the lateral alias)
+            cols = state.columns()
+            entries = [("row", n) for n in state.nodes]
+            if ci < len(chunks) - 1:
+                for vn, vnode in comp.vars.nodes.items():
+                    vc, _vt = _materialize(vnode)
+                    cols.append(vc)
+                    entries.append(("var", vn))
+                if state.rest is not None:
+                    cols.append(state.rest)
+                    entries.append(("rest", "__root_rest"))
+                # per-chunk mangle prefix: chunk ci+1's select reads
+                # these names as inputs, so its own output aliases
+                # must not reuse them
+                out = out.select(
+                    *[c.alias(f"__o{ci}_{i}") for i, c in enumerate(cols)]
+                )
+                carry = entries
+            else:
+                tmp = out.select(
+                    *[c.alias(f"__out_{i}") for i, c in enumerate(cols)]
+                )
+                out = tmp.select(
+                    *[
+                        F.col(f"`__out_{i}`").alias(name)
+                        for i, (_k, name) in enumerate(entries)
+                    ]
+                )
+        return out
 
     def apply_enrich(df: DataFrame, step: ast.Enrich) -> DataFrame:
         from matano_spark.operators.enrichment import enrich

@@ -394,6 +394,20 @@ def _split(args, kw):
     limit = kw.get("limit", -1)
     if len(args) > 2:  # VRL positional limit
         limit = args[2][0] if isinstance(args[2][0], int) else limit
+    if (
+        isinstance(args[0][0], str)
+        and isinstance(raw, str)
+        and not isinstance(raw, RegexLit)
+    ):
+        # constant-fold a fully-literal split: zeek's dotted-key
+        # unflatten `set(.o, split("id.orig_p", "."), v)` needs the
+        # path as a compile-time list for the static struct rebuild
+        parts = (
+            args[0][0].split(raw)
+            if limit == -1
+            else args[0][0].split(raw, limit - 1)
+        )
+        return parts, T.ArrayType(T.StringType())
     return F.split(_c(args[0]), sep, limit), T.ArrayType(T.StringType())
 
 
@@ -699,6 +713,16 @@ def _join(args, kw):
     arr, at = _as_array(args[0])
     if not isinstance(at, T.ArrayType):
         return F.lit(None).cast("string"), T.StringType()
+    if isinstance(sep, Column):
+        # non-literal separator (crowdstrike fdr joins on a
+        # per-row split_char): array_join needs a literal, so fold
+        # head + (sep ++ elem)* instead — stays one expression
+        joined = F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.coalesce(F.element_at(arr, 1).cast("string"), F.lit("")),
+            lambda acc, x: F.concat(acc, sep, x.cast("string")),
+        )
+        return F.when(arr.isNotNull(), joined), T.StringType()
     return F.array_join(arr, sep), T.StringType()
 
 
@@ -706,6 +730,19 @@ def _join(args, kw):
 def _includes(args, kw):
     if isinstance(_t(args[0]), (T.VariantType, T.NullType)):
         args = [_as_array(args[0]), *args[1:]]
+    if isinstance(args[0][0], list) and len(
+        {type(x) for x in args[0][0]}
+    ) > 1:
+        # mixed-type literal list (panw `includes([0, "0", " "], x)`):
+        # lift per element as strings — a single F.lit would coerce to
+        # the first element's type and null the rest
+        args = [
+            (
+                F.array(*[F.lit(str(x)) for x in args[0][0]]),
+                T.ArrayType(T.StringType()),
+            ),
+            *args[1:],
+        ]
     arr, at = _c(args[0]), _t(args[0])
     v, vt = _c(args[1]), _t(args[1])
     # a null-typed probe value needs an explicit element-type cast
@@ -713,6 +750,15 @@ def _includes(args, kw):
     if vt is None or isinstance(vt, T.NullType):
         et = at.elementType if isinstance(at, T.ArrayType) else T.StringType()
         v = v.cast(et.simpleString())
+    elif (
+        isinstance(at, T.ArrayType)
+        and at.elementType.simpleString() != vt.simpleString()
+    ):
+        # mixed-type membership (panw `includes([0, "0", " "], x)`):
+        # compare by string value — VRL equality across int/string
+        # literals in one list is value-based
+        arr = F.transform(arr, lambda x: x.cast("string"))
+        v = v.cast("string")
     return F.array_contains(arr, v), T.BooleanType()
 
 
@@ -970,6 +1016,36 @@ def _get(args, kw):
     return out, dtype or T.StringType()
 
 
+def _map_set_nested(base, mt, segs, val, vt):
+    """set base[segs...] = val on a map<string,variant>, creating
+    intermediate objects and merging with existing ones (so sibling
+    dotted keys land in one nested object). Returns (Column, MapType)."""
+    key = F.lit(segs[0])
+    if len(segs) == 1:
+        new_val = (
+            val if isinstance(vt, T.VariantType) else val.cast("variant")
+        )
+    else:
+        inner = F.coalesce(
+            F.try_variant_get(
+                F.try_element_at(base, key), "$", "map<string,variant>"
+            ),
+            F.create_map().cast("map<string,variant>"),
+        )
+        inner_set, _it = _map_set_nested(
+            inner, T.MapType(T.StringType(), T.VariantType()), segs[1:],
+            val, vt,
+        )
+        new_val = F.to_variant_object(inner_set)
+    return (
+        F.map_concat(
+            F.map_filter(base, lambda k, _v: k != key),
+            F.create_map(key, new_val),
+        ),
+        mt,
+    )
+
+
 @fn("set")
 def _set(args, kw):
     """VRL set(obj, [key], value) with a DYNAMIC key — the loop-built
@@ -985,6 +1061,23 @@ def _set(args, kw):
     obj, ot = args[0]
     val = _c(args[2])
     seg_list = args[1][0] if isinstance(args[1][0], list) else None
+    if (
+        seg_list is not None
+        and len(seg_list) > 1
+        and isinstance(ot, T.MapType)
+        and isinstance(ot.valueType, T.VariantType)
+    ):
+        # literal multi-segment path on a dynamic object (zeek's
+        # dotted-key unflatten over object!(del(.json))): nest by
+        # merging with any existing object at the prefix so repeated
+        # sets under one key (id.orig_p then id.orig_h) accumulate
+        return _map_set_nested(
+            F.coalesce(obj, F.create_map().cast(ot.simpleString())),
+            ot,
+            [str(x) for x in seg_list],
+            val,
+            _t(args[2]),
+        )
     if seg_list is not None and not isinstance(ot, T.MapType):
         # literal (possibly multi-segment) path on an object → struct
         # rebuild with path scaffolding (zeek's dotted-key unflatten:
@@ -1790,7 +1883,13 @@ def _map_keys(args, kw):
     if isinstance(t, (T.VariantType, T.NullType)) or t is None:
         c, t = _as_map(args[0])
     if isinstance(t, T.MapType):
-        return F.transform_keys(c, lambda k, v: f(k)), t
+
+        def apply_key(k):
+            if isinstance(f, TypedLambda):
+                return f((k, t.keyType))[0]
+            return f(k)
+
+        return F.transform_keys(c, lambda k, v: apply_key(k)), t
     raise ValueError("map_keys requires a map-typed column")
 
 
