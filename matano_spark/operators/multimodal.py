@@ -9,12 +9,12 @@ Binary payloads never enter expressions — they flow scan → Arrow batch
 actually needs the bytes, and partitioning follows the id column like
 any other table.
 
-The decode/resize/frame-sample kernels are STUBS here: the container
-has no image/audio libraries, so `decode_image` raises
-NotImplementedError unless `fake=True`, where a deterministic fake
-decoder (dimensions + checksum from the bytes) exercises the full
-Spark plumbing — schema, batch shape, partitioning — which is the part
-that has to be right at 100 TB."""
+Image (PNG) and audio (WAV) kernels are REAL, pure-stdlib codecs
+(operators/media_codecs.py: zlib inflate + PNG filter reconstruction,
+wave/PCM unpack) — fake=True swaps in a deterministic pseudo-decoder
+for plumbing tests that don't want to construct valid media bytes.
+Video frame extraction stays a stub (no stdlib video codec exists):
+`decode_frames` raises NotImplementedError unless fake=True."""
 
 from __future__ import annotations
 
@@ -77,18 +77,22 @@ def attach_binary_column(
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stage: media struct → per-item features via mapInPandas.
 
-    Real decode requires an imaging library not present in this
-    container — STUBBED. With fake=True a deterministic pseudo-decoder
-    derives width/height from the payload digest so the distributed
-    plumbing is fully testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library; run with fake=True "
-            "to exercise the pipeline with the deterministic stub decoder"
-        )
+    Real path (default): pure-stdlib PNG decode (media_codecs) —
+    width/height from IHDR, checksum over the RECONSTRUCTED pixel
+    buffer (so it proves full filter reconstruction, not a header
+    peek). Undecodable payloads yield a row with null dimensions and
+    the raw-bytes digest — sidelined, never task-fatal. fake=True
+    keeps the deterministic pseudo-decoder (dimensions from the
+    payload digest) for plumbing tests."""
 
     def run(batches) -> Iterator:
         import pandas as pd
+
+        from matano_spark.operators.media_codecs import (
+            MediaDecodeError,
+            png_decode,
+            sniff_mime,
+        )
 
         for pdf in batches:
             out = {k.name: [] for k in FEATURE_SCHEMA.fields}
@@ -96,11 +100,27 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 data = bytes(media["data"]) if media["data"] is not None else b""
                 digest = hashlib.md5(data).hexdigest()
                 out["id"].append(int(id_))
-                out["mime"].append(media["meta"]["mime"])
                 out["n_bytes"].append(len(data))
-                out["checksum"].append(digest)
-                out["width"].append(int(digest[:4], 16) % 4096)
-                out["height"].append(int(digest[4:8], 16) % 4096)
+                if fake:
+                    out["mime"].append(media["meta"]["mime"])
+                    out["checksum"].append(digest)
+                    out["width"].append(int(digest[:4], 16) % 4096)
+                    out["height"].append(int(digest[4:8], 16) % 4096)
+                    continue
+                out["mime"].append(
+                    sniff_mime(data) or media["meta"]["mime"]
+                )
+                try:
+                    px = png_decode(data)
+                    out["checksum"].append(
+                        hashlib.md5(px.tobytes()).hexdigest()
+                    )
+                    out["width"].append(int(px.shape[1]))
+                    out["height"].append(int(px.shape[0]))
+                except MediaDecodeError:
+                    out["checksum"].append(digest)
+                    out["width"].append(None)
+                    out["height"].append(None)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
@@ -234,29 +254,118 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: media struct → resized binary + new dims.
 
-    Real resize needs an imaging library — STUBBED. fake=True emits a
-    deterministic pseudo-payload (digest of input bytes + target dims)
-    so the binary-in/binary-out Arrow path — the expensive shape at
-    100 TB, where both directions stream payload bytes — is exercised
-    end to end."""
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires an imaging library; run with fake=True "
-            "to exercise the binary-in/binary-out path with the stub"
-        )
+    Real path (default): PNG decode → nearest-neighbor resample →
+    PNG re-encode, all pure-stdlib (media_codecs) — the
+    binary-in/binary-out Arrow path, the expensive shape at 100 TB
+    where both directions stream payload bytes. Undecodable payloads
+    emit a null-data row. fake=True emits the deterministic
+    pseudo-payload (digest of input bytes + target dims) instead."""
 
     def run(batches) -> Iterator:
         import pandas as pd
+
+        from matano_spark.operators.media_codecs import (
+            MediaDecodeError,
+            png_decode,
+            png_encode,
+            resize_nearest,
+        )
 
         for pdf in batches:
             out = {k.name: [] for k in RESIZED_SCHEMA.fields}
             for id_, media in zip(pdf["id"], pdf["media"]):
                 data = bytes(media["data"]) if media["data"] is not None else b""
-                digest = hashlib.md5(data).hexdigest()
                 out["id"].append(int(id_))
-                out["data"].append(f"{digest}:{width}x{height}".encode())
-                out["width"].append(width)
-                out["height"].append(height)
+                if fake:
+                    digest = hashlib.md5(data).hexdigest()
+                    out["data"].append(f"{digest}:{width}x{height}".encode())
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    continue
+                try:
+                    px = resize_nearest(png_decode(data), width, height)
+                    out["data"].append(png_encode(px))
+                    out["width"].append(width)
+                    out["height"].append(height)
+                except MediaDecodeError:
+                    out["data"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio decode stage: media struct → per-item PCM features via
+    the same mapInPandas slot as image decode.
+
+    Real path (default): stdlib wave/PCM decode (media_codecs) —
+    sample rate, channel count, frame count, duration, RMS energy and
+    peak amplitude over the actual samples. Undecodable payloads
+    yield null features. fake=True derives pseudo-features from the
+    payload digest for plumbing tests."""
+
+    def run(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from matano_spark.operators.media_codecs import (
+            MediaDecodeError,
+            wav_decode,
+        )
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for id_, media in zip(pdf["id"], pdf["media"]):
+                data = bytes(media["data"]) if media["data"] is not None else b""
+                out["id"].append(int(id_))
+                if fake:
+                    digest = hashlib.md5(data).hexdigest()
+                    out["sample_rate"].append(8000)
+                    out["channels"].append(1)
+                    out["n_frames"].append(len(data))
+                    out["duration_ms"].append(len(data) * 1000 // 8000)
+                    out["rms"].append(float(int(digest[:4], 16)))
+                    out["peak"].append(int(digest[4:8], 16))
+                    continue
+                try:
+                    rate, nch, nframes, samples = wav_decode(data)
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(nch)
+                    out["n_frames"].append(nframes)
+                    out["duration_ms"].append(
+                        nframes * 1000 // rate if rate else None
+                    )
+                    flat = samples.astype(np.float64)
+                    out["rms"].append(
+                        float(np.sqrt(np.mean(flat * flat)))
+                        if flat.size
+                        else 0.0
+                    )
+                    out["peak"].append(
+                        int(np.max(np.abs(samples))) if samples.size else 0
+                    )
+                except MediaDecodeError:
+                    out["sample_rate"].append(None)
+                    out["channels"].append(None)
+                    out["n_frames"].append(None)
+                    out["duration_ms"].append(None)
+                    out["rms"].append(None)
+                    out["peak"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)

@@ -49,13 +49,12 @@ def probe_df(spark):
 
 
 def main() -> int:
-    spark = (
-        SparkSession.builder.master("local[2]")
-        .config("spark.sql.shuffle.partitions", "2")
-        .config("spark.ui.enabled", "false")
-        .appName("vrl-compile-survey")
-        .getOrCreate()
-    )
+    # the engine's own session factory: a 1g-default driver OOMs on
+    # the largest programs' analysis and the OOM poisons the shared
+    # JVM for every program after it (SparkEnv nulls out)
+    from matano_spark.session import get_spark
+
+    spark = get_spark("vrl-compile-survey", cpus=2)
     base = probe_df(spark)
     ok = bad = 0
     errors: Counter[str] = Counter()
@@ -68,7 +67,13 @@ def main() -> int:
             ok += 1
         except Exception as e:  # noqa: BLE001 — survey tool
             bad += 1
-            msg = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            lines = [ln for ln in str(e).splitlines() if ln.strip()]
+            first = lines[0]
+            # Py4JJavaError's useful content is the java exception on
+            # the next line, not the "error calling oNN.select" header
+            if "Py4JJavaError" in type(e).__name__ and len(lines) > 1:
+                first = lines[1].lstrip(": ")
+            msg = f"{type(e).__name__}: {first[:160]}"
             errors[msg] += 1
             failing.append((rel, kind, msg))
             if VERBOSE:
