@@ -556,8 +556,16 @@ class Compiler:
             return self.state.get(e.parts), self.state.get_type(e.parts) or T.StringType()
         if isinstance(e, ast.L):
             if isinstance(e.value, list):
-                et = (
-                    _infer_type(e.value[0]) if e.value else T.StringType()
+                # element type from the first NON-null element: VRL
+                # nullish lists lead with null (crowdstrike falcon's
+                # [null, "", "-", "N/A", "NA"])
+                et = next(
+                    (
+                        _infer_type(v)
+                        for v in e.value
+                        if v is not None
+                    ),
+                    T.StringType(),
                 )
                 out_t = T.ArrayType(et)
                 if not e.value:
@@ -850,14 +858,36 @@ class Compiler:
                     if isinstance(oldt, T.ArrayType)
                     else (vt or T.StringType())
                 )
+                if isinstance(vt, T.VariantType) and not isinstance(
+                    et, (T.VariantType, T.NullType)
+                ):
+                    # pushing a schemaless value onto a concretely
+                    # typed array (duo pushes variant addresses onto
+                    # hosts=[]): concretize the element, else Spark
+                    # widens the whole array to unorderable variant
+                    v = F.try_variant_get(v, "$", et.simpleString())
                 out_t = T.ArrayType(et)
                 tail = F.array(v)
             else:  # append: second arg is already an array
                 out_t = (
                     oldt
                     if isinstance(oldt, T.ArrayType)
-                    else (vt if isinstance(vt, T.ArrayType) else T.ArrayType(T.StringType()))
+                    else (
+                        vt
+                        if isinstance(vt, T.ArrayType)
+                        else T.ArrayType(
+                            T.VariantType()
+                            if isinstance(vt, T.VariantType)
+                            else T.StringType()
+                        )
+                    )
                 )
+                if isinstance(vt, T.VariantType):
+                    # schemaless array value (teleport participants):
+                    # concretize to the target's element type first
+                    v = F.try_variant_get(
+                        v, "$", out_t.simpleString()
+                    )
                 tail = F.coalesce(v, F.array().cast(out_t))
             empty = F.array().cast(out_t)
             # When the guard is FALSE the assignment never ran in
@@ -875,53 +905,62 @@ class Compiler:
             return
         value, vtype = self.expr(expr)
         if cond is not None:
-            old = target.get(parts)
-            oldt = target.get_type(parts)
-
-            def _complex(t):
-                return isinstance(t, (T.StructType, T.ArrayType, T.MapType))
-
-            # a variant arm can't sit in one CASE with a concrete
-            # type: concretize the variant side (aws_inspector blends
-            # to_timestamp(...) over a variant-read old value)
-            if (
-                isinstance(oldt, T.VariantType)
-                and vtype is not None
-                and not isinstance(vtype, (T.VariantType, T.NullType))
-            ):
-                old = (
-                    F.lit(None).cast(vtype)
-                    if _complex(vtype)
-                    else old.try_cast(vtype)
-                )
-                oldt = vtype
-            elif (
-                isinstance(vtype, T.VariantType)
-                and oldt is not None
-                and not isinstance(oldt, (T.VariantType, T.NullType))
-            ):
-                old = (
-                    F.to_variant_object(old)
-                    if _complex(oldt)
-                    else old.cast("variant")
-                )
-                oldt = vtype
-
-            if (
-                oldt is not None
-                and vtype is not None
-                and not isinstance(oldt, T.NullType)
-                and not isinstance(vtype, T.NullType)
-                and oldt.simpleString() != vtype.simpleString()
-                and (_complex(oldt) or _complex(vtype))
-            ):
-                # the guard RETYPES the path between shapes Spark can't
-                # coerce in one CASE (gw login's events[0] array→struct
-                # rebind): the off-guard arm nulls — scalar mismatches
-                # keep the blend (CASE coercion handles them)
-                old = F.lit(None).cast(vtype)
-            value = F.when(cond, value).otherwise(old)
+            value, vtype = self._guard_blend(
+                cond, value, vtype, target, parts
+            )
         target.set(parts, value, vtype)
+
+    def _guard_blend(self, cond, value, vtype, target, parts):
+        """CASE WHEN cond THEN value ELSE old END with type
+        unification — the single blend used by every guarded write
+        (Assign, Move, err-destructured assigns)."""
+        old = target.get(parts)
+        oldt = target.get_type(parts)
+
+        def _complex(t):
+            return isinstance(t, (T.StructType, T.ArrayType, T.MapType))
+
+        # a variant arm can't sit in one CASE with a concrete
+        # type: concretize the variant side (aws_inspector blends
+        # to_timestamp(...) over a variant-read old value; teleport
+        # conditionally re-assigns a bigint port from a variant read)
+        if (
+            isinstance(oldt, T.VariantType)
+            and vtype is not None
+            and not isinstance(vtype, (T.VariantType, T.NullType))
+        ):
+            old = (
+                F.lit(None).cast(vtype)
+                if _complex(vtype)
+                else old.try_cast(vtype)
+            )
+            oldt = vtype
+        elif (
+            isinstance(vtype, T.VariantType)
+            and oldt is not None
+            and not isinstance(oldt, (T.VariantType, T.NullType))
+        ):
+            old = (
+                F.to_variant_object(old)
+                if _complex(oldt)
+                else old.cast("variant")
+            )
+            oldt = vtype
+
+        if (
+            oldt is not None
+            and vtype is not None
+            and not isinstance(oldt, T.NullType)
+            and not isinstance(vtype, T.NullType)
+            and oldt.simpleString() != vtype.simpleString()
+            and (_complex(oldt) or _complex(vtype))
+        ):
+            # the guard RETYPES the path between shapes Spark can't
+            # coerce in one CASE (gw login's events[0] array→struct
+            # rebind): the off-guard arm nulls — scalar mismatches
+            # keep the blend (CASE coercion handles them)
+            old = F.lit(None).cast(vtype)
+        return F.when(cond, value).otherwise(old), vtype
 
     # -- for_each: closure loop → one JVM-side fold ---------------------
     @staticmethod
@@ -1207,23 +1246,9 @@ class Compiler:
                 parts = ast.split_path(step.val_path)
                 val = vc
                 if cond is not None:
-                    old = target.get(parts)
-                    oldt = target.get_type(parts)
-                    if (
-                        oldt is not None
-                        and vt is not None
-                        and not isinstance(oldt, T.NullType)
-                        and oldt.simpleString() != vt.simpleString()
-                        and isinstance(
-                            vt, (T.StructType, T.ArrayType, T.MapType)
-                        )
-                    ):
-                        # guard retypes `_grokked` between different
-                        # patterns' field sets (cloudflare
-                        # http_request reuses the local per section):
-                        # off-guard arm nulls
-                        old = F.lit(None).cast(vt)
-                    val = F.when(cond, vc).otherwise(old)
+                    val, vt = self._guard_blend(
+                        cond, vc, vt, target, parts
+                    )
                 target.set(parts, val, vt)
             if step.err_path:
                 err = F.when(vc.isNull(), F.lit("error"))
@@ -1273,7 +1298,9 @@ class Compiler:
                 s.delete(src)
                 return
             if cond is not None:
-                value = F.when(cond, value).otherwise(s.get(dst))
+                value, vtype = self._guard_blend(
+                    cond, value, vtype, s, dst
+                )
             s.set(dst, value, vtype)
             if cond is None:
                 s.delete(src)

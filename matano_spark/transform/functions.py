@@ -937,12 +937,26 @@ def _single_path_seg(arg):
     """A VRL dynamic path argument `[expr]`: a raw python list
     (literal path) or a compiled one-element array column (parser's
     __array of a non-literal segment). Returns (Column, py_value|None)."""
-    v, _t_ = arg
+    v, ty = arg
     if isinstance(v, list):
         if len(v) != 1:
             raise ValueError("only single-segment dynamic paths are supported")
         return F.lit(v[0]), v[0]
-    return F.element_at(_c(arg), 1), None
+    if isinstance(ty, T.ArrayType):
+        return F.element_at(_c(arg), 1), None
+    if isinstance(ty, T.VariantType):
+        # could be a 1-element path array OR a bare scalar key (zeek
+        # smb_files: get(_map, .zeek.smb_files.action) passes the key
+        # value directly) — try both
+        return (
+            F.coalesce(
+                F.try_variant_get(v, "$[0]", "string"),
+                F.try_variant_get(v, "$", "string"),
+            ),
+            None,
+        )
+    # bare scalar segment (string key or numeric index)
+    return _c(arg), None
 
 
 @fn("get")

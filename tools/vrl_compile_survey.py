@@ -59,12 +59,18 @@ def main() -> int:
     ok = bad = 0
     errors: Counter[str] = Counter()
     failing: list[tuple[str, str, str]] = []
+    import time
+
     for path, kind, prog in sorted(iter_programs(REF)):
         rel = os.path.relpath(path, REF)
+        t0 = time.time()
         try:
             out = compile_vrl(prog)(base)
             _ = out.schema  # force analysis
             ok += 1
+            el = time.time() - t0
+            if VERBOSE or el > 5:
+                print(f"ok   {rel} [{kind}] {el:.1f}s", flush=True)
         except Exception as e:  # noqa: BLE001 — survey tool
             bad += 1
             lines = [ln for ln in str(e).splitlines() if ln.strip()]
