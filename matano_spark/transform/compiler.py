@@ -28,6 +28,7 @@ like okta's took minutes to analyze; the tree form is linear.
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Any, Iterable
 
@@ -696,6 +697,12 @@ class Compiler:
                     (lt if not isinstance(lt, (T.NullType,)) and lt else rt),
                 )
             if op == "+":
+                if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
+                    # VRL `+` on strings concatenates
+                    return (
+                        F.concat(lc.cast("string"), rc.cast("string")),
+                        T.StringType(),
+                    )
                 return lc + rc, lt
             if op == "-":
                 return lc - rc, lt
@@ -851,6 +858,12 @@ class Compiler:
         ):
             old = target.get(parts)
             oldt = target.get_type(parts)
+            if isinstance(oldt, T.VariantType):
+                # the target lives inside a dynamic object (event
+                # became map<string,variant> after a ragged-lookup
+                # merge): concretize the read to an array of variants
+                old = F.try_variant_get(old, "$", "array<variant>")
+                oldt = T.ArrayType(T.VariantType())
             v, vt = self.expr(expr.args[1])
             if expr.name == "push":
                 et = (
@@ -866,6 +879,11 @@ class Compiler:
                     # hosts=[]): concretize the element, else Spark
                     # widens the whole array to unorderable variant
                     v = F.try_variant_get(v, "$", et.simpleString())
+                elif isinstance(et, T.VariantType) and not isinstance(
+                    vt, (T.VariantType, T.NullType)
+                ) and vt is not None:
+                    # the reverse: concrete value onto a variant array
+                    v = v.cast("variant")
                 out_t = T.ArrayType(et)
                 tail = F.array(v)
             else:  # append: second arg is already an array
@@ -888,6 +906,12 @@ class Compiler:
                     v = F.try_variant_get(
                         v, "$", out_t.simpleString()
                     )
+                elif (
+                    isinstance(vt, T.ArrayType)
+                    and isinstance(out_t.elementType, T.VariantType)
+                    and not isinstance(vt.elementType, T.VariantType)
+                ):
+                    v = v.cast("array<variant>")
                 tail = F.coalesce(v, F.array().cast(out_t))
             empty = F.array().cast(out_t)
             # When the guard is FALSE the assignment never ran in
@@ -947,19 +971,38 @@ class Compiler:
             )
             oldt = vtype
 
+        def _widening_pair(a, b):
+            # pairs where Spark's CASE coercion matches VRL intent
+            # (the old value keeps its meaning in the widened type)
+            dt = (T.DateType, T.TimestampType, T.TimestampNTZType)
+            if isinstance(a, dt) and isinstance(b, dt):
+                return True
+            return isinstance(a, T.NumericType) and isinstance(b, T.NumericType)
+
         if (
             oldt is not None
             and vtype is not None
             and not isinstance(oldt, T.NullType)
             and not isinstance(vtype, T.NullType)
             and oldt.simpleString() != vtype.simpleString()
-            and (_complex(oldt) or _complex(vtype))
+            and not _widening_pair(oldt, vtype)
         ):
-            # the guard RETYPES the path between shapes Spark can't
-            # coerce in one CASE (gw login's events[0] array→struct
-            # rebind): the off-guard arm nulls — scalar mismatches
-            # keep the blend (CASE coercion handles them)
-            old = F.lit(None).cast(vtype)
+            # the guard RETYPES the path (gw login's events[0]
+            # array→struct rebind, falcon's bigint→timestamp,
+            # suricata's flow_id int→string). Complex rebinds null
+            # the off-guard arm; scalar rebinds TRY_CAST the old
+            # value to the NEW type — letting CASE coerce instead is
+            # wrong both ways (ANSI coerces string+bigint toward
+            # BIGINT, silently undoing a to_string! write) — and the
+            # cast keeps the pre-write value readable for an
+            # else-branch that re-reads the path (falcon's epoch
+            # seconds/millis dichotomy; state threads linearly).
+            # Numeric/datetime widening pairs keep the blend.
+            old = (
+                F.lit(None).cast(vtype)
+                if _complex(oldt) or _complex(vtype)
+                else old.try_cast(vtype)
+            )
         return F.when(cond, value).otherwise(old), vtype
 
     # -- for_each: closure loop → one JVM-side fold ---------------------
@@ -1341,6 +1384,199 @@ class Compiler:
             raise TypeError(f"unknown step {step!r}")
 
 
+def _flatten_whens(steps, guard: str | None = None, counter=None):
+    """Rewrite `When` trees into hoisted boolean guard LOCALS plus
+    per-step singleton Whens, so the chunked compile's projection
+    boundaries can fall INSIDE branch bodies. A 30-assign event_type
+    branch (suricata eve) otherwise compiles as ONE unsplittable step
+    whose shared cond/value DAGs re-expand per use and blow the
+    driver heap at Column→Catalyst conversion.
+
+    Semantics preserved exactly: the guard local is evaluated at the
+    When's position (before any body write can mutate what the cond
+    reads), the else-guard is parent && !coalesce(cond, false) —
+    matching Compiler.run's `inner`/`neg` composition — and each body
+    step compiles through the same guarded-write machinery it always
+    did, just with a cheap Var-ref cond. ForEach/Lambda bodies are
+    untouched (they compile to folds, not sequential writes)."""
+    if counter is None:
+        counter = itertools.count()
+    out = []
+    for s in steps:
+        if isinstance(s, ast.When):
+            n = next(counter)
+            cn = f"__wg{n}_c"
+            out.append(ast.LetVar(cn, ast.Fn("__bool_guard", s.cond)))
+
+            def conj(e):
+                return e if guard is None else ast.BinOp("&", ast.Var(guard), e)
+
+            gt = f"__wg{n}_t"
+            out.append(ast.LetVar(gt, conj(ast.Var(cn))))
+            out.extend(_flatten_whens(s.steps, gt, counter))
+            if s.orelse:
+                ge = f"__wg{n}_e"
+                out.append(
+                    ast.LetVar(ge, conj(ast.UnaryOp("!", ast.Var(cn))))
+                )
+                out.extend(_flatten_whens(s.orelse, ge, counter))
+        elif guard is None:
+            out.append(s)
+        else:
+            out.append(ast.When(ast.Var(guard), (s,)))
+    return out
+
+
+def _read_vars(obj, acc: set) -> set:
+    """Collect local-variable names READ by the given steps/exprs —
+    the liveness set used to prune dead locals at chunk boundaries
+    (every flattened When leaves behind guard locals that die two
+    steps later; carrying them all makes boundary projections wide
+    and reanalysis quadratic). Conservative: closure params are not
+    excluded, nested local writes count as reads of their root (a
+    subpath assign merges into the existing value)."""
+    if isinstance(obj, (tuple, list)):
+        for x in obj:
+            _read_vars(x, acc)
+    elif isinstance(obj, ast.Var):
+        acc.add(obj.name.split(".")[0].split("[")[0])
+    elif isinstance(obj, ast.Fn):
+        _read_vars(obj.args, acc)
+        _read_vars(tuple(obj.kwargs.values()), acc)
+    elif isinstance(obj, ast.BinOp):
+        _read_vars(obj.left, acc)
+        _read_vars(obj.right, acc)
+    elif isinstance(obj, ast.UnaryOp):
+        _read_vars(obj.operand, acc)
+    elif isinstance(obj, ast.Lambda):
+        _read_vars(obj.body, acc)
+        _read_vars(obj.steps, acc)
+    elif isinstance(obj, ast.Assign):
+        _read_vars(obj.expr, acc)
+    elif isinstance(obj, ast.Delete):
+        if obj.var:
+            acc.add(ast.split_path(obj.path)[0])
+    elif isinstance(obj, ast.AbortIf):
+        _read_vars(obj.cond, acc)
+    elif isinstance(obj, ast.When):
+        _read_vars(obj.cond, acc)
+        _read_vars(obj.steps, acc)
+        _read_vars(obj.orelse, acc)
+    elif isinstance(obj, ast.LetVar):
+        parts = ast.split_path(obj.path)
+        if len(parts) > 1:
+            acc.add(parts[0])
+        _read_vars(obj.expr, acc)
+    elif isinstance(obj, ast.LetErr):
+        if obj.val_path and not obj.val_row:
+            parts = ast.split_path(obj.val_path)
+            if len(parts) > 1:
+                acc.add(parts[0])
+        _read_vars(obj.expr, acc)
+    elif isinstance(obj, ast.ExprStmt):
+        _read_vars(obj.expr, acc)
+    elif isinstance(obj, ast.Multi):
+        _read_vars(obj.steps, acc)
+    elif isinstance(obj, ast.ForEach):
+        _read_vars(obj.coll, acc)
+        _read_vars(obj.steps, acc)
+
+        # loop accumulators read their pre-loop value even when the
+        # body write is a whole-path LetVar — count every body write
+        # target as a read (conservative; params just over-carry)
+        def targets(ss):
+            for s in ss:
+                if isinstance(s, ast.LetVar):
+                    acc.add(ast.split_path(s.path)[0])
+                elif isinstance(s, ast.LetErr) and s.val_path and not s.val_row:
+                    acc.add(ast.split_path(s.val_path)[0])
+                elif isinstance(s, ast.When):
+                    targets(s.steps)
+                    targets(s.orelse)
+                elif isinstance(s, ast.ForEach):
+                    targets(s.steps)
+                elif isinstance(s, ast.Multi):
+                    targets(s.steps)
+
+        targets(obj.steps)
+    return acc
+
+
+def _const_var_names(steps) -> set:
+    """Names of locals that are PURE LITERALS for the whole stage:
+    every write is an unconditional top-level LetVar whose expression
+    references no row path (P), no closure, no raw Column, and only
+    other const locals. Such locals are row-independent, so chunk
+    boundaries carry their expression objects symbolically instead of
+    spilling them as columns — crowdstrike fdr's ~1000-entry mappings
+    literal would otherwise be re-materialized into EVERY boundary
+    projection (quadratic reanalysis) and string-coerced on the way."""
+    PURE_PY = (str, int, float, bool, bytes, type(None), list, dict, tuple)
+
+    def expr_pure(e, const):
+        if isinstance(e, ast.L):
+            return True
+        if isinstance(e, ast.Var):
+            return e.name.split(".")[0].split("[")[0] in const
+        if isinstance(e, ast.Fn):
+            return all(expr_pure(a, const) for a in e.args) and all(
+                expr_pure(v, const) for v in e.kwargs.values()
+            )
+        if isinstance(e, ast.BinOp):
+            return expr_pure(e.left, const) and expr_pure(e.right, const)
+        if isinstance(e, ast.UnaryOp):
+            return expr_pure(e.operand, const)
+        if isinstance(e, (ast.P, ast.Lambda)):
+            return False
+        # plain python literal (kwargs like pattern="...", raw lists)
+        return isinstance(e, PURE_PY) and not isinstance(e, Column)
+
+    top_writes: dict[str, list] = {}
+    tainted: set = set()
+
+    def taint_writes(ss):
+        for s in ss:
+            if isinstance(s, ast.LetVar):
+                tainted.add(ast.split_path(s.path)[0])
+            elif isinstance(s, ast.LetErr) and s.val_path and not s.val_row:
+                tainted.add(ast.split_path(s.val_path)[0])
+            elif isinstance(s, ast.Delete) and s.var:
+                tainted.add(ast.split_path(s.path)[0])
+            elif isinstance(s, ast.When):
+                taint_writes(s.steps)
+                taint_writes(s.orelse)
+            elif isinstance(s, (ast.ForEach, ast.Multi)):
+                taint_writes(s.steps)
+
+    for s in steps:
+        if isinstance(s, ast.LetVar):
+            parts = ast.split_path(s.path)
+            if len(parts) == 1:
+                top_writes.setdefault(parts[0], []).append(s.expr)
+            else:
+                tainted.add(parts[0])
+        elif isinstance(s, ast.LetErr) and s.val_path and not s.val_row:
+            tainted.add(ast.split_path(s.val_path)[0])
+        elif isinstance(s, ast.Delete) and s.var:
+            tainted.add(ast.split_path(s.path)[0])
+        elif isinstance(s, ast.When):
+            taint_writes(s.steps)
+            taint_writes(s.orelse)
+        elif isinstance(s, (ast.ForEach, ast.Multi)):
+            taint_writes(s.steps)
+
+    const = {n for n in top_writes if n not in tainted}
+    while True:
+        nxt = {
+            n
+            for n in const
+            if all(expr_pure(e, const) for e in top_writes[n])
+        }
+        if nxt == const:
+            return const
+        const = nxt
+
+
 def compile_pipeline(steps: Iterable[ast.Step]):
     """Compile steps into a DataFrame -> DataFrame transformation.
 
@@ -1353,16 +1589,22 @@ def compile_pipeline(steps: Iterable[ast.Step]):
     steps = tuple(steps)
     stages: list[tuple] = []
     cur: list = []
+    wg_counter = itertools.count()
     for s in steps:
         if isinstance(s, ast.Enrich):
-            stages.append(("steps", tuple(cur)))
+            stages.append(("steps", tuple(_flatten_whens(cur, None, wg_counter))))
             cur = []
             stages.append(("enrich", s))
         else:
             cur.append(s)
-    stages.append(("steps", tuple(cur)))
+    stages.append(("steps", tuple(_flatten_whens(cur, None, wg_counter))))
 
-    chunk_n = int(os.environ.get("MATANO_VRL_STAGE_CHUNK", "24"))
+    # 6 measured optimal post-flattening: larger chunks re-expand
+    # shared value DAGs (chained same-chunk writes inline their
+    # predecessors — suricata eve OOMs a 24g driver at 24), smaller
+    # ones pay a quadratic reanalysis per boundary select
+    # (suricata: 54s @6, 70s @4, 127s @10; s3access 397s→2s vs r5)
+    chunk_n = int(os.environ.get("MATANO_VRL_STAGE_CHUNK", "6"))
 
     def apply_steps(df: DataFrame, stage_steps) -> DataFrame:
         # compile in CHUNKS of top-level steps with a projection
@@ -1387,6 +1629,8 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         # `File` and `file` until a later del) and Spark's analyzer
         # resolves names case-insensitively
         carry: list[tuple[str, str]] | None = None
+        const_names = _const_var_names(stage_steps)
+        const_carry: dict = {}
         for ci, chunk in enumerate(chunks):
             if carry is None:
                 state = _RowState(out)
@@ -1408,6 +1652,12 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                         comp.vars.nodes[name] = leaf
                     else:  # root remainder variant
                         state.rest = leaf.col
+                # pure-literal locals carry their expression objects
+                # straight through — row-independent, so rebinding
+                # across the projection is valid and the (possibly
+                # enormous — fdr mappings) literal never lands in a
+                # boundary projection
+                comp.vars.nodes.update(const_carry)
             comp.run(chunk)
             for f in state.filters:
                 out = out.filter(f)
@@ -1420,7 +1670,20 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             cols = state.columns()
             entries = [("row", n) for n in state.nodes]
             if ci < len(chunks) - 1:
+                # spill only locals still LIVE in later chunks:
+                # flattened-When guard vars die within a step or two,
+                # and carrying every dead local makes each boundary
+                # projection wide and plan reanalysis quadratic
+                live: set = set()
+                for later in chunks[ci + 1 :]:
+                    _read_vars(later, live)
+                const_carry = {}
                 for vn, vnode in comp.vars.nodes.items():
+                    if vn not in live:
+                        continue
+                    if vn in const_names:
+                        const_carry[vn] = vnode
+                        continue
                     vc, _vt = _materialize(vnode)
                     cols.append(vc)
                     entries.append(("var", vn))
@@ -1429,10 +1692,29 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                     entries.append(("rest", "__root_rest"))
                 # per-chunk mangle prefix: chunk ci+1's select reads
                 # these names as inputs, so its own output aliases
-                # must not reuse them
+                # must not reuse them.
+                #
+                # Optimizer barrier: CollapseProject (the rule AND
+                # the ScanOperation/PhysicalOperation planning
+                # pattern that calls its cost helpers directly, so
+                # excludedRules can't help) re-merges adjacent
+                # Projects, re-expanding every shared value per use —
+                # the exponential tree the chunking exists to prevent
+                # (falcon/suricata/msft hang the optimizer 10+ min or
+                # OOM a 24g driver). A NONDETERMINISTIC always-true
+                # filter between boundary projections stops both:
+                # projects are never adjacent, patterns only collect
+                # deterministic filters, predicate pushdown can't
+                # move it, BooleanSimplification can't fold it.
+                # Whole-stage codegen still fuses the whole
+                # Project/Filter chain into one loop — named local
+                # reuse instead of tree duplication, exactly what we
+                # want at 100 TB. Chunk 0 stays scan-adjacent, so
+                # parquet column/nested-schema pruning still sees the
+                # first projection.
                 out = out.select(
                     *[c.alias(f"__o{ci}_{i}") for i, c in enumerate(cols)]
-                )
+                ).filter(F.monotonically_increasing_id() >= 0)
                 carry = entries
             else:
                 tmp = out.select(

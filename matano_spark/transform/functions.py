@@ -899,28 +899,22 @@ def _struct_dynamic_get(c: Column, t: T.StructType, seg: Column):
         vt = t.fields[0].dataType
         vals = {f.name: c.getField(f.name) for f in t.fields}
     elif all(isinstance(f.dataType, T.StructType) for f in t.fields):
-        # union superstruct: each arm padded with nulls for fields it
-        # doesn't carry (VRL lookup tables with ragged object values)
-        union: dict[str, T.DataType] = {}
-        for f in t.fields:
-            for g in f.dataType.fields:
-                union.setdefault(g.name, g.dataType)
-        vt = T.StructType(
-            [T.StructField(n, dt) for n, dt in sorted(union.items())]
-        )
-        vals = {}
-        for f in t.fields:
-            have = {g.name: g.dataType for g in f.dataType.fields}
-            cols = []
-            for n, dt in sorted(union.items()):
-                if n in have:
-                    src = c.getField(f.name).getField(n)
-                    if have[n].simpleString() != dt.simpleString():
-                        src = src.cast(dt.simpleString())
-                else:
-                    src = F.lit(None).cast(dt)
-                cols.append(src.alias(n))
-            vals[f.name] = F.struct(*cols)
+        # ragged object values (VRL lookup tables): each arm becomes
+        # a map<string,variant> holding ONLY its own keys — a union
+        # superstruct would pad absent keys with nulls, and a later
+        # `|= lookup_result` merge would clobber fields the selected
+        # entry never mentioned (suricata eve's event_mappings carry
+        # `kind` on 2 of 19 entries; the http entry must not null
+        # .event.kind)
+        vt = T.MapType(T.StringType(), T.VariantType())
+        vals = {
+            f.name: F.try_variant_get(
+                F.to_variant_object(c.getField(f.name)),
+                "$",
+                "map<string,variant>",
+            )
+            for f in t.fields
+        }
     else:
         vt = T.StringType()
         vals = {
@@ -991,6 +985,17 @@ def _get(args, kw):
         # verbatim form get(value, [seg]) — seg may be a closure var
         # (zeek: get!(ttls, [i])) or negative literal (okta: [-1])
         seg, raw = _single_path_seg(args[1])
+        if isinstance(t, T.StringType) and (
+            isinstance(raw, int) or raw is None
+        ):
+            # indexing a STRING (crowdstrike fdr's `path[1] == ":"`
+            # drive-letter check): character at index, null when out
+            # of range; negative counts from the end
+            ix = seg.cast("int")
+            ch = F.when(
+                ix >= 0, F.substring(c, ix + F.lit(1), F.lit(1))
+            ).otherwise(F.substring(c, F.length(c) + ix + F.lit(1), F.lit(1)))
+            return F.nullif(ch, F.lit("")), T.StringType()
         if isinstance(t, T.ArrayType) or isinstance(raw, int) or (
             raw is None and not isinstance(t, (T.MapType, T.StructType))
         ):
@@ -1013,6 +1018,18 @@ def _get(args, kw):
         return F.try_element_at(c, seg.cast("string")), et
     idx = kw.get("index")
     if idx is not None:
+        if isinstance(t, T.StringType):
+            # indexing a STRING (fdr's `path[1] == ":"`): char at
+            # index, null out of range; negative counts from the end
+            pos = (
+                F.lit(idx + 1)
+                if idx >= 0
+                else F.length(c) + F.lit(idx + 1)
+            )
+            return (
+                F.nullif(F.substring(c, pos, F.lit(1)), F.lit("")),
+                T.StringType(),
+            )
         et = t.elementType if isinstance(t, T.ArrayType) else T.StringType()
         return F.try_element_at(c, F.lit(idx + 1 if idx >= 0 else idx)), et
     key = kw.get("key")
@@ -1685,7 +1702,11 @@ def _merge(args, kw):
         return rc, rt if rt is not None else T.StringType()
     if rt is None or isinstance(rt, T.NullType):
         return lc, lt
-    if isinstance(lt, T.MapType) and isinstance(rt, T.MapType):
+    if (
+        isinstance(lt, T.MapType)
+        and isinstance(rt, T.MapType)
+        and not isinstance(rt.valueType, T.VariantType)
+    ):
         key = lt.keyType
         out = T.MapType(key, lt.valueType)
         return (
@@ -1695,6 +1716,35 @@ def _merge(args, kw):
                     lambda k, _v: ~F.array_contains(F.map_keys(rc), k),
                 ),
                 rc.cast(out.simpleString()),
+            ),
+            out,
+        )
+    if (isinstance(lt, T.MapType) and isinstance(lt.valueType, T.VariantType)) or (
+        isinstance(rt, T.MapType) and isinstance(rt.valueType, T.VariantType)
+    ):
+        # a dynamic-object side (ragged lookup-table entry, object!()
+        # of a mutated payload): unify through map<string,variant> so
+        # non-string values (arrays, nested objects) survive — right
+        # side wins per VRL, keys absent from the right keep the left
+        def to_vmap(c, t):
+            if isinstance(t, T.MapType) and isinstance(t.valueType, T.VariantType):
+                return c
+            if isinstance(t, T.MapType):
+                return F.transform_values(c, lambda _k, v: v.cast("variant"))
+            return F.try_variant_get(
+                F.to_variant_object(c), "$", "map<string,variant>"
+            )
+
+        out = T.MapType(T.StringType(), T.VariantType())
+        l_m, r_m = to_vmap(lc, lt), to_vmap(rc, rt)
+        empty = F.create_map().cast("map<string,variant>")
+        return (
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(l_m, empty),
+                    lambda k, _v: ~F.array_contains(F.map_keys(r_m), k),
+                ),
+                F.coalesce(r_m, empty),
             ),
             out,
         )
@@ -1893,18 +1943,87 @@ def _map_values(args, kw):
 @fn("map_keys")
 def _map_keys(args, kw):
     f = kw["fn"]
+    recursive = bool(kw.get("recursive", False))
     c, t = args[0]
+    if isinstance(t, T.StructType):
+        # static shape: go through the dynamic-object form so one
+        # code path (and the recursion) serves both
+        c, t = (
+            F.try_variant_get(
+                F.to_variant_object(c), "$", "map<string,variant>"
+            ),
+            T.MapType(T.StringType(), T.VariantType()),
+        )
     if isinstance(t, (T.VariantType, T.NullType)) or t is None:
         c, t = _as_map(args[0])
-    if isinstance(t, T.MapType):
+    if not isinstance(t, T.MapType):
+        raise ValueError("map_keys requires a map-typed column")
 
-        def apply_key(k):
-            if isinstance(f, TypedLambda):
-                return f((k, t.keyType))[0]
-            return f(k)
+    def apply_key(k):
+        if isinstance(f, TypedLambda):
+            return f((k, t.keyType))[0]
+        return f(k)
 
+    if not recursive or not isinstance(t.valueType, T.VariantType):
         return F.transform_keys(c, lambda k, v: apply_key(k)), t
-    raise ValueError("map_keys requires a map-typed column")
+
+    # recursive rename over a DYNAMIC object (msft aad logs snake_case
+    # the whole PascalCase payload). Structural recursion over nested
+    # lambdas explodes the expression tree exponentially (the closure
+    # is embedded per level), so rename on the serialized JSON TEXT
+    # instead: in serialized JSON an unescaped `"k":` token can only
+    # be a key (quotes inside string values are escaped, and a closing
+    # value-quote is never followed by `:`), so replacing each
+    # distinct key's token renames it at EVERY depth in one pass. A
+    # sentinel phase (\x00 never appears raw in serialized JSON)
+    # prevents rename chains when f(k1) == k2. One closure instance,
+    # two linear folds — analysis and execution both stay O(payload).
+    js = F.to_json(F.to_variant_object(c))
+    keys = F.array_distinct(
+        F.regexp_extract_all(js, F.lit(r'"((?:[^"\\]|\\.)*)":'), F.lit(1))
+    )
+    pairs = F.transform(
+        keys, lambda k, i: F.struct(k.alias("k"), i.alias("i"))
+    )
+
+    def tok(s):
+        return F.concat(F.lit('"'), s, F.lit('":'))
+
+    def sentinel(i):
+        return F.concat(F.lit("\x00"), i.cast("string"), F.lit("\x00"))
+
+    def esc(s):  # keep the rewritten key valid inside JSON text
+        return F.replace(
+            F.replace(s, F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        )
+
+    phase1 = F.aggregate(
+        pairs,
+        js,
+        lambda acc, p: F.replace(acc, tok(p["k"]), tok(sentinel(p["i"]))),
+    )
+    phase2 = F.aggregate(
+        pairs,
+        phase1,
+        lambda acc, p: F.replace(
+            acc, tok(sentinel(p["i"])), tok(esc(apply_key(p["k"])))
+        ),
+    )
+    out = F.try_variant_get(F.parse_json(phase2), "$", "map<string,variant>")
+    return out, t
+
+
+@fn("__bool_guard")
+def _bool_guard(args, kw):
+    """Internal (compiler-emitted, not VRL-visible): null-safe branch
+    guard — coalesce(bool(x), false). Used by the When-flattening
+    pass so hoisted guard locals are never null."""
+    c, t = args[0]
+    if isinstance(t, T.VariantType):
+        c = F.try_variant_get(c, "$", "boolean")
+    return F.coalesce(c.cast("boolean"), F.lit(False)), T.BooleanType()
 
 
 @fn("object_keys")

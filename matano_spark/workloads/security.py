@@ -440,11 +440,12 @@ def vrl_transform_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ],
             ),
-            Assign(
-                "user_name",
-                F.concat(F.lit("user-"), F.col("user_id").cast("string")),
-            ),
-            Assign("value_int", F.floor(F.col("value")).cast("bigint")),
+            # DSL paths, not raw F.col(...): the chunked compile may
+            # place these steps past a projection boundary where the
+            # original column names are mangled — P() rebinds, a raw
+            # Column cannot
+            Assign("user_name", L("user-") + Fn("to_string", P("user_id"))),
+            Assign("value_int", Fn("to_int", Fn("floor", P("value")))),
             Assign("ecs_version", L("8.5.0")),
             Delete("user_id"),
             Delete("event_type"),

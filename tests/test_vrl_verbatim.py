@@ -436,12 +436,27 @@ LOOKUP_OBJECT = """
 
 def test_lookup_object_dynamic_get(spark):
     """get! with a DYNAMIC key over a heterogeneous object literal —
-    a CASE chain whose ragged struct values pad to their union."""
+    a CASE chain whose ragged entries become per-arm dynamic objects
+    (map<string,variant>), so keys an entry never mentions stay
+    ABSENT instead of null-padded (a later `|=` merge must not
+    clobber them — suricata event_mappings)."""
+    import json as _json
+    from pyspark.sql.types import VariantVal
+
+    def dec(v):
+        if isinstance(v, VariantVal):
+            return dec(_json.loads(v.toJson()))
+        if isinstance(v, dict):
+            return {k: dec(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [dec(x) for x in v]
+        return v
+
     f = compile_vrl(LOOKUP_OBJECT)
     df = spark.createDataFrame(
         [(1, "dns"), (2, "alert"), (3, "flow")], "id long, event_type string"
     )
-    rows = {r["id"]: r.asDict(recursive=True) for r in f(df).collect()}
+    rows = {r["id"]: dec(r.asDict(recursive=True)) for r in f(df).collect()}
     assert rows[1]["network"] == {"protocol": "dns"}
     assert rows[1]["categories"] == ["network"]
     assert rows[1]["sev"] is None
