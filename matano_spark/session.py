@@ -28,6 +28,11 @@ def get_spark(app_name: str = "matano_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # VRL object semantics are last-wins on duplicate keys; the
+        # default EXCEPTION policy makes any map_from_entries /
+        # map_concat over real-world data (repeated URL query params)
+        # task-fatal
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,4 +54,7 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
         os.environ["TZ"] = "UTC"
         time.tzset()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # driver-owned sessions don't come through get_spark(): re-pin the
+    # VRL last-wins duplicate-key semantics here too
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     return spark

@@ -46,13 +46,24 @@ CONFIG_VARS = {"tenants"}
 
 
 class _Leaf:
-    """An unexploded column expression + its (best-effort) type."""
+    """An unexploded column expression + its (best-effort) type.
 
-    __slots__ = ("col", "dtype")
+    `guarded` marks a value written ONLY under a runtime guard (the
+    blend is `CASE WHEN g THEN v ELSE old END`, which is null exactly
+    when the key never existed): dynamic-object materialization then
+    includes the key only when the value is non-null, so a false guard
+    doesn't fabricate the key — VRL `if g { .a.b = x }` with g false
+    leaves `.a` absent (o365's ExceptionInfo.Reason rewrite must not
+    make `.ExceptionInfo != null` true)."""
 
-    def __init__(self, col: Column, dtype: T.DataType | None):
+    __slots__ = ("col", "dtype", "guarded")
+
+    def __init__(
+        self, col: Column, dtype: T.DataType | None, guarded: bool = False
+    ):
         self.col = col
         self.dtype = dtype
+        self.guarded = guarded
 
 
 class _Tree:
@@ -90,6 +101,19 @@ def _explode(node: _Leaf) -> _Tree:
     )
 
 
+def _is_guarded(node) -> bool:
+    """True when every value under `node` was written ONLY behind
+    runtime guards — the subtree's keys must not exist for rows where
+    no guard fired (all values runtime-null ⇒ the subtree is absent)."""
+    if isinstance(node, _Leaf):
+        return node.guarded
+    if not isinstance(node, _Tree) or not node.children:
+        return False
+    if "__vrest__" in node.children:
+        return False  # retains base content — exists regardless
+    return all(_is_guarded(c) for c in node.children.values())
+
+
 def _materialize(node) -> tuple[Column, T.DataType]:
     if isinstance(node, _Leaf):
         return node.col, node.dtype if node.dtype is not None else T.StringType()
@@ -114,29 +138,69 @@ def _materialize(node) -> tuple[Column, T.DataType]:
             base = F.try_variant_get(rest.col, "$", "map<string,variant>")
         explicit = [n for n in node.children if n != "__vrest__"]
         pairs: list[Column] = []
+        cond_pairs: list[tuple[str, Column]] = []
         for name in explicit:
-            c, t = _materialize(node.children[name])
+            child = node.children[name]
+            c, t = _materialize(child)
             if isinstance(t, T.NullType):
                 continue  # deleted key: excluded below, not re-added
             if isinstance(t, (T.MapType, T.StructType, T.ArrayType)):
                 c = F.to_variant_object(c)
             elif not isinstance(t, T.VariantType):
                 c = c.cast("variant")
-            pairs += [F.lit(name), c]
+            if _is_guarded(child):
+                # guard-only write: the blend is null exactly when the
+                # key never existed (false guard over an absent base)
+                # — include the key only when the value is non-null,
+                # so `if g { .a.b = x }` with g false leaves the
+                # object without `b` (and `del` under guard truly
+                # removes the key for matched rows)
+                cond_pairs.append((name, c))
+            else:
+                pairs += [F.lit(name), c]
         names = F.array(*[F.lit(n) for n in explicit])
         mt = T.MapType(T.StringType(), T.VariantType())
         kept = F.map_filter(
             F.coalesce(base, F.create_map().cast(mt)),
             lambda k, _v: ~F.array_contains(names, k),
         )
-        out = F.map_concat(kept, F.create_map(*pairs)) if pairs else kept
+        segs = [kept]
+        if pairs:
+            segs.append(F.create_map(*pairs))
+        for name, c in cond_pairs:
+            segs.append(
+                F.when(c.isNotNull(), F.create_map(F.lit(name), c)).otherwise(
+                    F.create_map().cast(mt)
+                )
+            )
+        out = F.map_concat(*segs) if len(segs) > 1 else kept
+        if not pairs and cond_pairs:
+            # no unconditional content: when the base is absent AND no
+            # guard fired, the whole object never came to exist —
+            # null, not {} (o365's `.ExceptionInfo != null` gate)
+            absent = base.isNull()
+            for _, c in cond_pairs:
+                absent = absent & c.isNull()
+            out = F.when(~absent, out)
         return out, mt
-    cols, fields = [], []
+    cols, fields, raw = [], [], []
     for name, child in node.children.items():
         c, t = _materialize(child)
         cols.append(c.alias(name))
+        raw.append(c)
         fields.append(T.StructField(name, t))
-    return F.struct(*cols), T.StructType(fields)
+    out = F.struct(*cols)
+    if node.children and all(
+        _is_guarded(c) for c in node.children.values()
+    ):
+        # every field written only behind guards: if none fired the
+        # struct never came to exist — null, not a struct of nulls
+        # (parent `!= null` checks must not see a fabricated object)
+        any_set = raw[0].isNotNull()
+        for c in raw[1:]:
+            any_set = any_set | c.isNotNull()
+        out = F.when(any_set, out)
+    return out, T.StructType(fields)
 
 
 class _RowState:
@@ -155,6 +219,11 @@ class _RowState:
         # schemaless payload (matano_alerts) — top-level reads of
         # names without an explicit node resolve through this variant
         self.rest: Column | None = None
+        # keys del'd at the root while a remainder is live: reads must
+        # stop resolving through `rest`, and the key must NOT appear in
+        # columns() (a NullType mask column is void-typed and fails
+        # parquet sinks)
+        self.tombstones: set[str] = set()
 
     # -- reads ---------------------------------------------------------
     def _node(self, parts: tuple[str, ...]):
@@ -165,7 +234,11 @@ class _RowState:
         fields) compiles the remaining path to try_variant_get — the
         VRL dynamic-object read on semi-structured data."""
         node = self.nodes.get(parts[0])
-        if node is None and self.rest is not None:
+        if (
+            node is None
+            and self.rest is not None
+            and parts[0] not in self.tombstones
+        ):
             path = "$"
             for p in parts:
                 path += f"[{p}]" if p.isdigit() else f".{p}"
@@ -255,7 +328,11 @@ class _RowState:
     def _tree_at(self, parts: tuple[str, ...]) -> _Tree:
         """Walk/create the tree at `parts`, exploding leaves in place."""
         node = self.nodes.get(parts[0])
-        if node is None and self.rest is not None:
+        if (
+            node is None
+            and self.rest is not None
+            and parts[0] not in self.tombstones
+        ):
             sub = (
                 f"$[{parts[0]}]" if parts[0].isdigit() else f"$.{parts[0]}"
             )
@@ -289,8 +366,15 @@ class _RowState:
             node = child
         return node
 
-    def set(self, parts: tuple[str, ...], value: Column, vtype: T.DataType) -> None:
-        leaf = _Leaf(value, vtype)
+    def set(
+        self,
+        parts: tuple[str, ...],
+        value: Column,
+        vtype: T.DataType,
+        guarded: bool = False,
+    ) -> None:
+        leaf = _Leaf(value, vtype, guarded=guarded)
+        self.tombstones.discard(parts[0])
         if len(parts) == 1:
             self.nodes[parts[0]] = leaf
             return
@@ -298,10 +382,11 @@ class _RowState:
 
     def delete(self, parts: tuple[str, ...]) -> None:
         if len(parts) == 1:
-            if parts[0] not in self.nodes and self.rest is not None:
-                # deleting a root-rest key: mask it
-                self.nodes[parts[0]] = _Leaf(F.lit(None), T.NullType())
-                return
+            if self.rest is not None:
+                # a live root remainder may also hold this key: reads
+                # must stop resolving through it (tombstone, not a
+                # NullType mask column — void columns fail sinks)
+                self.tombstones.add(parts[0])
             self.nodes.pop(parts[0], None)
             return
         # only explode if the path actually exists
@@ -383,6 +468,7 @@ class _VarState(_RowState):
         self.nodes = nodes or {}
         self.filters: list[Column] = []
         self.rest: Column | None = None
+        self.tombstones: set[str] = set()
 
 
 def _infer_type(value: Any) -> T.DataType:
@@ -644,8 +730,21 @@ class Compiler:
                     rc, rt = rc.cast("map<string,variant>"), lt
                 elif isinstance(rt, T.BooleanType):
                     lc, lt = lc.try_cast("boolean"), T.BooleanType()
-            # variants aren't orderable/comparable — concretize to
-            # string (identical to the pre-variant read behavior)
+            # variants aren't orderable/comparable — concretize by the
+            # operator: arithmetic funnels to double (zeek kerberos
+            # `.valid.until - .valid.from` on epoch-seconds variants),
+            # everything else to string (the pre-variant read behavior)
+            if op in ("-", "*", "/", "%"):
+                if isinstance(lt, T.VariantType):
+                    lc, lt = (
+                        F.try_variant_get(lc, "$", "double"),
+                        T.DoubleType(),
+                    )
+                if isinstance(rt, T.VariantType):
+                    rc, rt = (
+                        F.try_variant_get(rc, "$", "double"),
+                        T.DoubleType(),
+                    )
             if isinstance(lt, T.VariantType):
                 lc, lt = lc.cast("string"), T.StringType()
             if isinstance(rt, T.VariantType):
@@ -795,7 +894,7 @@ class Compiler:
                     # only the new shape anyway)
                     old = F.lit(None).cast(vtype)
                 value = F.when(cond, value).otherwise(old)
-            target.set(parts, value, vtype)
+            target.set(parts, value, vtype, guarded=cond is not None)
             self.vars.delete((tmp,))
             return
         if not parts:
@@ -839,7 +938,9 @@ class Compiler:
                             # widens a struct): off-guard arm nulls
                             old = F.lit(None).cast(newt)
                         newc = F.when(cond, newc).otherwise(old)
-                    target.set((f.name,), newc, newt)
+                    target.set(
+                        (f.name,), newc, newt, guarded=cond is not None
+                    )
                 return
             raise ValueError("unsupported root (`.`) assignment form")
         # conditional self-append (`if c { .p = push(.p, v) }`) is the
@@ -925,14 +1026,14 @@ class Compiler:
                 F.coalesce(old, F.when(cond, empty)),
                 F.when(cond, tail).otherwise(empty),
             )
-            target.set(parts, value, out_t)
+            target.set(parts, value, out_t, guarded=True)
             return
         value, vtype = self.expr(expr)
         if cond is not None:
             value, vtype = self._guard_blend(
                 cond, value, vtype, target, parts
             )
-        target.set(parts, value, vtype)
+        target.set(parts, value, vtype, guarded=cond is not None)
 
     def _guard_blend(self, cond, value, vtype, target, parts):
         """CASE WHEN cond THEN value ELSE old END with type
@@ -953,12 +1054,17 @@ class Compiler:
             and vtype is not None
             and not isinstance(vtype, (T.VariantType, T.NullType))
         ):
-            old = (
-                F.lit(None).cast(vtype)
-                if _complex(vtype)
-                else old.try_cast(vtype)
-            )
-            oldt = vtype
+            if _complex(vtype):
+                # keep the blend VARIANT-typed by lifting the new
+                # value: nulling the old arm breaks guarded rebinding
+                # chains (o365's `x = if A {[]} else if is_array(x)
+                # {x} else {[x]}` — later branches must still see the
+                # original value when their guard is the live one)
+                value = F.to_variant_object(value)
+                vtype = T.VariantType()
+            else:
+                old = old.try_cast(vtype)
+                oldt = vtype
         elif (
             isinstance(vtype, T.VariantType)
             and oldt is not None
@@ -1175,6 +1281,7 @@ class Compiler:
             }
             sub_state.filters = []
             sub_state.rest = self.state.rest
+            sub_state.tombstones = set(self.state.tombstones)
             sub_vars = _VarState(
                 {k: _copy_node(v) for k, v in self.vars.nodes.items()}
             )
@@ -1273,7 +1380,7 @@ class Compiler:
                     # neither assignment ran — the path is absent
                     old = F.lit(None).cast(t)
                 value = F.when(cond, value).otherwise(old)
-            st.set(parts, value, t)
+            st.set(parts, value, t, guarded=cond is not None)
 
     def step(self, step: ast.Step, cond: Column | None) -> None:
         s = self.state
@@ -1292,7 +1399,7 @@ class Compiler:
                     val, vt = self._guard_blend(
                         cond, vc, vt, target, parts
                     )
-                target.set(parts, val, vt)
+                target.set(parts, val, vt, guarded=cond is not None)
             if step.err_path:
                 err = F.when(vc.isNull(), F.lit("error"))
                 if cond is not None:
@@ -1344,7 +1451,7 @@ class Compiler:
                 value, vtype = self._guard_blend(
                     cond, value, vtype, s, dst
                 )
-            s.set(dst, value, vtype)
+            s.set(dst, value, vtype, guarded=cond is not None)
             if cond is None:
                 s.delete(src)
         elif isinstance(step, ast.Delete):
@@ -1360,10 +1467,14 @@ class Compiler:
                 if s._node(parts) is not None:
                     old = s.get(parts)
                     t = s.get_type(parts) or T.StringType()
+                    # guarded=True: in dynamic-object form the key
+                    # then drops exactly when the del ran (value
+                    # null) — true VRL del, not just a null value
                     s.set(
                         parts,
                         F.when(cond, F.lit(None).cast(t)).otherwise(old),
                         t,
+                        guarded=True,
                     )
                 return
             s.delete(parts)
@@ -1631,6 +1742,7 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         carry: list[tuple[str, str]] | None = None
         const_names = _const_var_names(stage_steps)
         const_carry: dict = {}
+        prev_tombstones: set = set()
         for ci, chunk in enumerate(chunks):
             if carry is None:
                 state = _RowState(out)
@@ -1640,6 +1752,10 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                 state.nodes = {}
                 state.filters = []
                 state.rest = None
+                # masks are compile-time: carry them across the
+                # projection boundary (the spilled __root_rest column
+                # still physically contains del'd keys)
+                state.tombstones = set(prev_tombstones)
                 comp = Compiler(state)
                 for i, (kind, name) in enumerate(carry):
                     leaf = _Leaf(
@@ -1659,6 +1775,7 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                 # boundary projection
                 comp.vars.nodes.update(const_carry)
             comp.run(chunk)
+            prev_tombstones = state.tombstones
             for f in state.filters:
                 out = out.filter(f)
             # materialize through temp names, then rename: an output
@@ -1720,9 +1837,22 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                 tmp = out.select(
                     *[c.alias(f"__out_{i}") for i, c in enumerate(cols)]
                 )
+                # final projection: void-typed outputs (reads of
+                # deleted keys, explicit nulls) fail parquet sinks —
+                # cast by the ANALYZED schema, not the compile-time
+                # claim (which can be stale for When-unified values)
+                final_types = {
+                    f.name: f.dataType for f in tmp.schema.fields
+                }
                 out = tmp.select(
                     *[
-                        F.col(f"`__out_{i}`").alias(name)
+                        (
+                            F.col(f"`__out_{i}`").cast("string")
+                            if isinstance(
+                                final_types[f"__out_{i}"], T.NullType
+                            )
+                            else F.col(f"`__out_{i}`")
+                        ).alias(name)
                         for i, (_k, name) in enumerate(entries)
                     ]
                 )

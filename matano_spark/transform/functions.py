@@ -719,7 +719,12 @@ def _join(args, kw):
         # head + (sep ++ elem)* instead — stays one expression
         joined = F.aggregate(
             F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-            F.coalesce(F.element_at(arr, 1).cast("string"), F.lit("")),
+            # try_element_at: plain element_at throws
+            # INVALID_ARRAY_INDEX_IN_ELEMENT_AT on an empty array
+            # under ANSI mode (a filtered/compacted fdr array)
+            F.coalesce(
+                F.try_element_at(arr, F.lit(1)).cast("string"), F.lit("")
+            ),
             lambda acc, x: F.concat(acc, sep, x.cast("string")),
         )
         return F.when(arr.isNotNull(), joined), T.StringType()
@@ -730,6 +735,19 @@ def _join(args, kw):
 def _includes(args, kw):
     if isinstance(_t(args[0]), (T.VariantType, T.NullType)):
         args = [_as_array(args[0]), *args[1:]]
+    null_member = False
+    if isinstance(args[0][0], list) and any(
+        x is None for x in args[0][0]
+    ):
+        # null in a literal membership list (falcon's
+        # [null, "", "-", "N/A"]): array_contains can never match
+        # null, and lifting None via str() would fabricate the string
+        # "None" — drop it here and OR an explicit isNull below
+        null_member = True
+        kept = [x for x in args[0][0] if x is not None]
+        if not kept:
+            return _c(args[1]).isNull(), T.BooleanType()
+        args = [(kept, args[0][1]), *args[1:]]
     if isinstance(args[0][0], list) and len(
         {type(x) for x in args[0][0]}
     ) > 1:
@@ -759,7 +777,10 @@ def _includes(args, kw):
         # literals in one list is value-based
         arr = F.transform(arr, lambda x: x.cast("string"))
         v = v.cast("string")
-    return F.array_contains(arr, v), T.BooleanType()
+    hit = F.array_contains(arr, v)
+    if null_member:
+        hit = F.coalesce(hit, F.lit(False)) | v.isNull()
+    return hit, T.BooleanType()
 
 
 @fn("filter")
@@ -1292,25 +1313,33 @@ def _parse_url(args, kw):
         ]
     )
     qs = F.parse_url(c, F.lit("QUERY"))
-    query = F.when(
-        qs.isNotNull() & (qs != ""),
-        F.map_from_entries(
-            F.transform(
-                F.split(qs, "&"),
-                lambda kv: F.struct(
-                    F.split_part(kv, F.lit("="), F.lit(1)).alias("key"),
-                    F.when(
-                        kv.contains("="),
-                        F.try_url_decode(
-                            kv.substr(
-                                F.locate("=", kv) + F.lit(1), F.length(kv)
-                            )
-                        ),
-                    )
-                    .otherwise("")
-                    .alias("value"),
+    entries = F.transform(
+        F.split(qs, "&"),
+        lambda kv: F.struct(
+            F.split_part(kv, F.lit("="), F.lit(1)).alias("key"),
+            F.when(
+                kv.contains("="),
+                F.try_url_decode(
+                    kv.substr(F.locate("=", kv) + F.lit(1), F.length(kv))
                 ),
             )
+            .otherwise("")
+            .alias("value"),
+        ),
+    )
+    # last-wins fold instead of map_from_entries: repeated query params
+    # (?a=1&a=2 — routine in real URLs, e.g. the urlhaus feed) throw
+    # DUPLICATED_MAP_KEY under the default mapKeyDedupPolicy=EXCEPTION;
+    # VRL parse_url never errors there (last value wins)
+    query = F.when(
+        qs.isNotNull() & (qs != ""),
+        F.aggregate(
+            entries,
+            F.create_map().cast("map<string,string>"),
+            lambda m, e: F.map_concat(
+                F.map_filter(m, lambda k, _v: k != e["key"]),
+                F.create_map(e["key"], e["value"]),
+            ),
         ),
     )
     host_port = F.parse_url(c, F.lit("HOST"))

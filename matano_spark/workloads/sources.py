@@ -1722,13 +1722,20 @@ def m1_compaction_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant the reference's hourly rewrite_data_files procedure
     relies on (iceberg-maintenance.ts:62-74).
     """
+    import atexit
+    import shutil
     import tempfile
 
     from matano_spark.operators.maintenance import compact_parquet_dir
     from matano_spark.workloads.util import dsum
 
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 400)
-    d = tempfile.mkdtemp(prefix="m1_oracle_")
+    # fixed scratch path (overwritten per run, removed at exit): the
+    # returned DataFrame is collected lazily by the caller, so the
+    # directory can't be rmtree'd here — a per-run mkdtemp leaks one
+    # multi-file parquet dir per gate/bench invocation
+    d = os.path.join(tempfile.gettempdir(), "matano_m1_oracle")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     li.repartition(24).write.mode("overwrite").parquet(d)
     before, after = compact_parquet_dir(spark, d, target_file_bytes=1 << 30)
     return (

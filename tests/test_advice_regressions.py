@@ -129,3 +129,135 @@ def test_prefilter_partitions_per_rule(spark):
     }
     assert by_rule["fast_rule"] == 10
     assert by_rule["dyn_rule"] == 37  # values 38..74
+
+
+# -- round-6 ADVICE regressions -------------------------------------
+
+
+def test_parse_url_duplicate_query_params_last_wins(spark):
+    """?a=1&a=2 must not throw DUPLICATED_MAP_KEY (default
+    mapKeyDedupPolicy=EXCEPTION); VRL parse_url keeps the last value."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program('.u = parse_url!(.url)')
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [
+            ("http://example.com/p?a=1&a=2&b=3",),
+            ("https://h.io/x?k=only",),
+        ],
+        ["url"],
+    )
+    rows = pipe(df).select("u.query").collect()
+    assert rows[0].query["a"] == "2"  # last wins
+    assert rows[0].query["b"] == "3"
+    assert rows[1].query == {"k": "only"}
+
+
+def test_join_nonliteral_separator_empty_array(spark):
+    """join(arr, sep_col) on an EMPTY array must return "" — plain
+    element_at(arr, 1) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under
+    ANSI mode."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program('.out = join!(.arr, .sep)')
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [(["a", "b"], ","), ([], ",")], ["arr", "sep"]
+    )
+    rows = pipe(df).select("out").collect()
+    assert rows[0].out == "a,b"
+    assert rows[1].out == ""
+
+
+def test_root_rest_delete_emits_no_void_column(spark):
+    """del of a key that only exists in the root dynamic remainder must
+    REMOVE it — not emit a void-typed null column (fails parquet
+    sinks), and later reads must not resurrect it through the
+    remainder."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as T
+
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        '.json = parse_json!(.payload)\n'
+        '. = del(.json)\n'
+        '.keep2 = .drop_me\n'
+        'del(.drop_me)\n'
+        '.probe = .drop_me\n'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [(_json.dumps({"keep": "k", "drop_me": "d"}),)], ["payload"]
+    )
+    out = pipe(df).drop("payload")
+    assert "drop_me" not in out.columns
+    assert not any(
+        isinstance(f.dataType, T.NullType) for f in out.schema.fields
+    ), out.schema
+    r = out.collect()[0]
+    assert str(r.keep2).strip('"') == "d"  # read BEFORE the del sees it
+    assert r.probe is None  # read AFTER the del must not resurrect
+    # the real failure mode: a void column kills the parquet sink
+    d = _os.path.join(_tempfile.gettempdir(), "tomb_sink_test")
+    out.write.mode("overwrite").parquet(d)
+    import shutil as _shutil
+
+    _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_root_rest_delete_mask_survives_chunk_boundary(spark, monkeypatch):
+    """Tombstones are compile-time state: with a 1-step chunk size the
+    del and the later read land in different chunks, and the spilled
+    __root_rest column still physically holds the key."""
+    import json as _json
+
+    monkeypatch.setenv("MATANO_VRL_STAGE_CHUNK", "1")
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        '.json = parse_json!(.payload)\n'
+        '. = del(.json)\n'
+        'del(.gone)\n'
+        '.probe = .gone\n'
+        '.keep_out = .keep\n'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [(_json.dumps({"keep": "k", "gone": "g"}),)], ["payload"]
+    )
+    out = pipe(df)
+    assert "gone" not in out.columns
+    r = out.collect()[0]
+    assert r.probe is None
+    assert str(r.keep_out).strip('"') == "k"
+
+
+def test_includes_null_membership_list(spark):
+    """includes([null, "", "-"], x): a null x must match (explicit
+    null membership), and the literal string "None" must NOT."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        '.hit = includes([null, "", "-"], .v)'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [("x1", None), ("x2", ""), ("x3", "-"), ("x4", "None"), ("x5", "v")],
+        ["id", "v"],
+    )
+    rows = {r.id: r.hit for r in pipe(df).collect()}
+    assert rows["x1"] is True
+    assert rows["x2"] is True
+    assert rows["x3"] is True
+    assert rows["x4"] is False  # "None" is not null
+    assert rows["x5"] is False

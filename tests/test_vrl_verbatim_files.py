@@ -250,3 +250,122 @@ def test_google_workspace_login_full_transform_verbatim(spark):
     # authentication + session categories, success/start type tagging
     assert d["event"]["category"] == ["authentication", "session"]
     assert "start" in d["event"]["type"]
+
+
+KERBEROS_EVENT = {
+    "ts": 1612460515.0,
+    "uid": "CUM2Nq2XXZ8NV8Sw3k",
+    "id.orig_h": "10.0.0.5",
+    "id.orig_p": 49210,
+    "id.resp_h": "10.0.0.2",
+    "id.resp_p": 88,
+    "request_type": "TGS",
+    "client": "valid.user/EXAMPLE.COM",
+    "service": "krbtgt/EXAMPLE.COM",
+    "success": True,
+    "till": 1612546915.0,
+    "from": 1612460515.0,
+    "cipher": "aes256-cts-hmac-sha1-96",
+    "forwardable": True,
+    "renewable": True,
+}
+
+
+def test_zeek_kerberos_full_transform_verbatim(spark):
+    """zeek/tables/kerberos.yml end to end (the r6 compile-gap file):
+    dotted-key restructuring via dynamic set(), variant ARITHMETIC
+    (`(.valid.until - .valid.from) / 86400` on epoch-second variants —
+    must funnel to double, not string), client user/domain split,
+    epoch→timestamp casts, related.* accumulation."""
+    prog = _load_transform("zeek/tables/kerberos.yml")
+    df = spark.createDataFrame(
+        [(json.dumps(KERBEROS_EVENT),)], "raw string"
+    ).select(
+        F.parse_json(F.col("raw")).alias("json"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = compile_vrl(prog)(df)
+    r = out.collect()[0]
+    d = r.asDict(recursive=True)
+    assert d["network"]["protocol"] == "kerberos"
+    assert d["event"]["outcome"] == "success"
+    assert d["user"]["name"] == "valid.user"
+    assert d["user"]["domain"] == "EXAMPLE.COM"
+    assert str(d["source"]["address"]) .strip('"') == "10.0.0.5"
+    assert "10.0.0.5" in [str(x).strip('"') for x in d["related"]["ip"]]
+    # the variant-arithmetic line: (till - from) / 86400 rounded
+    kerb = d["zeek"]["kerberos"]
+    valid = kerb["valid"] if isinstance(kerb, dict) else None
+    if isinstance(valid, dict) and "days" in valid:
+        assert float(str(valid["days"]).strip('"')) == 1.0
+    assert "valid.user" in [str(x).strip('"') for x in d["related"]["user"]]
+
+
+O365_DLP_EVENT = {
+    "CreationTime": "2021-02-04T17:51:55",
+    "Id": "e9c2a5c1-dc16-4a29-b511-0001112222aa",
+    "Operation": "DlpRuleMatch",
+    "OrganizationId": "d8f6a7b1-0001-4a29-b511-000111222333",
+    "RecordType": 13,
+    "UserId": "sender@example.com",
+    "Workload": "Exchange",
+    "ExchangeMetaData": {
+        "From": "sender@example.com",
+        "To": ["alice@example.com", "bob@example.com"],
+        "CC": "carol@example.com",
+        "Subject": "quarterly numbers",
+    },
+    "PolicyDetails": [
+        {
+            "PolicyId": "pid-1",
+            "PolicyName": "PII policy",
+            "Rules": [
+                {
+                    "RuleId": "rid-1",
+                    "RuleName": "SSN rule",
+                    "Severity": "High",
+                    "Actions": ["BlockAccess"],
+                },
+                {
+                    "RuleId": "rid-2",
+                    "RuleName": "CC rule",
+                    "Severity": "Low",
+                    "Actions": [],
+                },
+            ],
+        }
+    ],
+}
+
+
+def test_o365_audit_full_transform_verbatim(spark):
+    """o365/tables/audit.yml end to end (the r6 compile-gap file): the
+    `x = if A {[]} else if is_array(x) {x} else {[x]}` guarded
+    rebinding chain over variant email fields (scalar CC must wrap,
+    array To must pass through), the PolicyDetails nested for_each
+    (rule id/name accumulation, max-severity fold, BlockAccess scan)."""
+    prog = _load_transform("o365/tables/audit.yml")
+    df = spark.createDataFrame(
+        [(json.dumps(O365_DLP_EVENT),)], "raw string"
+    ).select(
+        F.parse_json(F.col("raw")).alias("json"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = compile_vrl(prog)(df)
+    r = out.collect()[0]
+    d = r.asDict(recursive=True)
+
+    def s(v):  # variant-typed leaves collect as VariantVal
+        return str(v).strip('"')
+
+    emails = s(d["destination"]["user"]["email"])
+    assert "alice@example.com" in emails and "bob@example.com" in emails
+    assert "carol@example.com" in emails  # scalar CC wrapped into the list
+    assert s(d["source"]["user"]["email"]) == "sender@example.com"
+    assert s(d["rule"]["id"]) == "rid-1, rid-2"
+    assert s(d["rule"]["name"]) == "SSN rule, CC rule"
+    assert int(s(d["event"]["severity"])) == 4  # max(High=4, Low=2)
+    # BlockAccess → allowed=false, and the absent ExceptionInfo must
+    # NOT have been fabricated by its guarded rewrite (that would
+    # flip the outcome chain back to success)
+    assert d["event"]["outcome"] == "failure"
