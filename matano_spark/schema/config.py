@@ -65,8 +65,18 @@ def merge_configs(managed: dict, user: dict) -> dict:
     return out
 
 
-def load_log_source(path: str, user_overrides: dict | None = None) -> list[TableDef]:
-    """Load a log-source directory into compiled TableDefs."""
+def load_log_source(
+    path: str, user_overrides: dict | None = None, strict: bool = True
+) -> list[TableDef]:
+    """Load a log-source directory into compiled TableDefs.
+
+    strict=False downgrades the assigned-but-undeclared lint to a
+    warning — required for running REFERENCE managed packs verbatim:
+    the reference itself ships transforms that write paths its schema
+    does not declare (aws_cloudtrail's tls.version_protocol and legacy
+    aws.cloudtrail.flattened), relying on its schema cast to silently
+    drop them; the full-schema projection here has the same drop
+    semantics."""
     with open(os.path.join(path, "log_source.yml")) as f:
         source_cfg = yaml.safe_load(f) or {}
     if user_overrides:
@@ -84,17 +94,21 @@ def load_log_source(path: str, user_overrides: dict | None = None) -> list[Table
 
     defs: list[TableDef] = []
     if not table_files:  # single-table source defined by log_source.yml
-        return [build_table(name, "default", source_cfg, {})]
+        return [build_table(name, "default", source_cfg, {}, strict=strict)]
     for tf in table_files:
         with open(os.path.join(tables_dir, tf)) as f:
             table_cfg = yaml.safe_load(f) or {}
         tname = table_cfg.get("name") or os.path.splitext(tf)[0]
-        defs.append(build_table(name, tname, source_cfg, table_cfg))
+        defs.append(build_table(name, tname, source_cfg, table_cfg, strict=strict))
     return defs
 
 
 def build_table(
-    source_name: str, table_name: str, source_cfg: dict, table_cfg: dict
+    source_name: str,
+    table_name: str,
+    source_cfg: dict,
+    table_cfg: dict,
+    strict: bool = True,
 ) -> TableDef:
     src_schema = source_cfg.get("schema") or {}
     tbl_schema = table_cfg.get("schema") or {}
@@ -128,11 +142,16 @@ def build_table(
 
     bad = lint_transform(program, schema)
     if bad:
-        raise ValueError(
+        msg = (
             f"{source_name}/{table_name}: transform assigns paths the "
             f"resolved schema does not declare (silently dropped by the "
             f"full-schema projection): {bad}"
         )
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     pipeline = compile_pipeline(program)
     return TableDef(
         log_source=source_name,

@@ -589,7 +589,15 @@ class Compiler:
                     if len(cols) > 1
                     else cols[0][0]
                 )
-                self.state.filters.append(value.isNotNull())
+                keep = value.isNotNull()
+                g = getattr(self, "_cur_guard", None)
+                if g is not None:
+                    # abort inside `if g { ... }`: VRL never evaluates
+                    # the expression when g is false — the row only
+                    # drops when the guard actually fired (cloudtrail's
+                    # `object!(fields)` under `fields != null`)
+                    keep = ~F.coalesce(g, F.lit(False)) | keep
+                self.state.filters.append(keep)
                 return value, cols[0][1]
         if (
             isinstance(e, ast.Fn)
@@ -1104,11 +1112,58 @@ class Compiler:
             # else-branch that re-reads the path (falcon's epoch
             # seconds/millis dichotomy; state threads linearly).
             # Numeric/datetime widening pairs keep the blend.
-            old = (
-                F.lit(None).cast(vtype)
-                if _complex(oldt) or _complex(vtype)
-                else old.try_cast(vtype)
-            )
+            if (
+                isinstance(vtype, T.MapType)
+                and isinstance(vtype.valueType, T.VariantType)
+                and isinstance(oldt, (T.StructType, T.MapType))
+            ):
+                # struct/map → dynamic-object rebind (cloudtrail's
+                # guarded `.event = merge(.event, object!(fields),
+                # deep: true)`): the off-guard arm must KEEP the old
+                # object, converted to the same map form — nulling it
+                # wipes every pre-merge field for rows the guard
+                # skipped
+                old = F.try_variant_get(
+                    F.to_variant_object(old), "$", "map<string,variant>"
+                )
+            elif isinstance(oldt, T.StructType) and isinstance(
+                vtype, T.StructType
+            ):
+                # struct → wider/re-shaped struct (guarded self-merge
+                # where the lookup value is a typed literal): rebuild
+                # the old value field-by-field in the NEW shape so the
+                # off-guard arm keeps every pre-merge field
+                byname = {f.name: f for f in oldt.fields}
+
+                def _refield(f):
+                    src = byname.get(f.name)
+                    if src is None:
+                        return F.lit(None).cast(f.dataType).alias(f.name)
+                    c = old.getField(f.name)
+                    if src.dataType.simpleString() == f.dataType.simpleString():
+                        return c.alias(f.name)
+                    if isinstance(f.dataType, T.VariantType):
+                        return (
+                            c.cast("variant")
+                            if not isinstance(
+                                src.dataType,
+                                (T.StructType, T.ArrayType, T.MapType),
+                            )
+                            else F.to_variant_object(c)
+                        ).alias(f.name)
+                    if not isinstance(
+                        src.dataType, (T.StructType, T.ArrayType, T.MapType)
+                    ) and not isinstance(
+                        f.dataType, (T.StructType, T.ArrayType, T.MapType)
+                    ):
+                        return c.try_cast(f.dataType).alias(f.name)
+                    return F.lit(None).cast(f.dataType).alias(f.name)
+
+                old = F.struct(*[_refield(f) for f in vtype.fields])
+            elif _complex(oldt) or _complex(vtype):
+                old = F.lit(None).cast(vtype)
+            else:
+                old = old.try_cast(vtype)
         return F.when(cond, value).otherwise(old), vtype
 
     # -- for_each: closure loop → one JVM-side fold ---------------------
@@ -1383,6 +1438,14 @@ class Compiler:
             st.set(parts, value, t, guarded=cond is not None)
 
     def step(self, step: ast.Step, cond: Column | None) -> None:
+        prev_guard = getattr(self, "_cur_guard", None)
+        self._cur_guard = cond
+        try:
+            return self._step(step, cond)
+        finally:
+            self._cur_guard = prev_guard
+
+    def _step(self, step: ast.Step, cond: Column | None) -> None:
         s = self.state
         if isinstance(step, ast.LetVar):
             self._assign(

@@ -38,6 +38,28 @@ _PACK_ROOT = os.path.join(
     "log_sources",
 )
 
+# reference managed tree (read-only): verbatim-text queries load the
+# transform straight from the reference yml when present, falling back
+# to the repo's ported copy of the same pack
+_REF_PACK_ROOT = "/root/reference/data/managed/log_sources"
+
+
+@lru_cache(maxsize=16)
+def _verbatim_table_def(pack: str, table: str):
+    """Compile one pack table from the REFERENCE yml text itself —
+    the migration guarantee (a matano user's transform runs unedited).
+    Falls back to the repo's ported pack if the reference tree is
+    absent."""
+    from matano_spark.schema.config import load_log_source
+
+    root = _REF_PACK_ROOT if os.path.isdir(_REF_PACK_ROOT) else _PACK_ROOT
+    # strict=False: reference transforms write some paths their own
+    # schema omits (relying on the schema cast to drop them)
+    for td in load_log_source(os.path.join(root, pack), strict=False):
+        if td.name == table:
+            return td
+    raise KeyError(f"{pack}/{table}")
+
 
 @lru_cache(maxsize=32)
 def _table_def(pack: str, table: str):
@@ -112,6 +134,111 @@ def okta_failed_auth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_failures"))
     )
+
+
+@query(
+    "msft_signin_verbatim_rollup",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
+             AS outcome,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_signins,
+           COUNT(DISTINCT concat('user-', CAST(user_id AS VARCHAR)))
+             AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def msft_signin_verbatim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-in outcome rollup through the REFERENCE msft/aad_signinlogs
+    transform text loaded verbatim from the reference yml (fallback:
+    the repo's ported copy) — PascalCase→snake_case recursive map_keys
+    regex loop, status.error_code outcome chain, parse_groks
+    user-principal split (ref msft/tables/aad_signinlogs.yml:183-300).
+    The migration guarantee as an oracle-gated query, not just a
+    pytest golden."""
+    td = _verbatim_table_def("msft", "aad_signinlogs")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("ts").cast("string").alias("CreatedDateTime"),
+                    F.col("event_id").cast("string").alias("Id"),
+                    F.concat(
+                        F.lit("user-"),
+                        F.col("user_id").cast("string"),
+                        F.lit("@example.com"),
+                    ).alias("UserPrincipalName"),
+                    F.struct(
+                        F.when(F.col("event_type") == "error", F.lit(50126))
+                        .otherwise(F.lit(0))
+                        .alias("ErrorCode")
+                    ).alias("Status"),
+                )
+            )
+        ).alias("json")
+    )
+    ecs = td.pipeline(raw)
+    return ecs.groupBy(
+        F.col("event.outcome").alias("outcome"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_signins"),
+        F.countDistinct(F.col("user.name")).alias("n_users"),
+    )
+
+
+@query(
+    "cloudtrail_verbatim_action_rollup",
+    oracle="""
+    SELECT event_type AS action,
+           CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
+             AS outcome,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def cloudtrail_verbatim_action_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Action/outcome rollup through the REFERENCE aws_cloudtrail
+    transform text verbatim — the source-level program
+    (log_source.yml:10-95: eventTime ts, userIdentity spread,
+    sourceIPAddress grok) concatenated with the full tables/default.yml
+    program (errorCode→outcome chain at :572, per-action related-user
+    mappings), exactly as the reference deploys it."""
+    td = _verbatim_table_def("aws_cloudtrail", "default")
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("ts").cast("string").alias("eventTime"),
+                    F.col("event_type").alias("eventName"),
+                    F.col("event_id").cast("string").alias("eventID"),
+                    F.lit("signin.amazonaws.com").alias("eventSource"),
+                    F.concat(
+                        F.lit("10.0.0."),
+                        (F.col("user_id") % 250).cast("string"),
+                    ).alias("sourceIPAddress"),
+                    F.when(
+                        F.col("event_type") == "error", F.lit("AccessDenied")
+                    ).alias("errorCode"),
+                )
+            )
+        ).alias("json")
+    )
+    ecs = td.pipeline(raw)
+    return ecs.groupBy(
+        # event.action is a variant passthrough of .json.eventName —
+        # concretize for grouping
+        F.col("event.action").cast("string").alias("action"),
+        F.col("event.outcome").cast("string").alias("outcome"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
 @query(

@@ -261,3 +261,76 @@ def test_includes_null_membership_list(spark):
     assert rows["x3"] is True
     assert rows["x4"] is False  # "None" is not null
     assert rows["x5"] is False
+
+
+def test_guarded_self_merge_keeps_old_fields(spark):
+    """cloudtrail's `fields, err = get(mappings, [.event.action]);
+    if err == null && fields != null { .event = merge(.event, ...) }`:
+    rows whose action is NOT in the mapping must keep every pre-merge
+    .event field — the off-guard arm of a struct→struct retype must
+    rebuild the old value in the new shape, not null it."""
+    import json as _json
+
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        '.event.action = .json.eventName\n'
+        '.event.kind = "event"\n'
+        'mappings = {"AddUser": {"category": ["iam"], "type": ["user"]}}\n'
+        'fields, err = get(mappings, [.event.action])\n'
+        'if err == null && fields != null {\n'
+        '  .event = merge(.event, object!(fields), deep: true)\n'
+        '}\n'
+    )
+    pipe = compile_pipeline(prog)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Unmapped",), ("AddUser",)], "et string"
+    ).select(
+        F.parse_json(
+            F.to_json(F.struct(F.col("et").alias("eventName")))
+        ).alias("json")
+    )
+    out = pipe(df)
+    assert out.count() == 2  # no row may be dropped
+    rows = {
+        str(r["action"]).strip('"'): r
+        for r in out.select(
+            F.col("event.action").cast("string").alias("action"),
+            F.col("event.kind").cast("string").alias("kind"),
+            F.col("event.category").cast("string").alias("category"),
+        ).collect()
+    }
+    assert rows["Unmapped"].kind == "event"  # old field survived
+    assert rows["Unmapped"].category is None
+    assert rows["AddUser"].kind == "event"
+    assert "iam" in rows["AddUser"].category
+
+
+def test_abort_coalesce_scoped_to_guard(spark):
+    """`x ?? { abort }` inside `if g { ... }` must only drop rows where
+    g fired — VRL never evaluates the expression when the guard is
+    false."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+    from pyspark.sql import functions as F
+
+    prog = parse_program(
+        'if .kind == "strict" {\n'
+        '  .v = to_int(.maybe) ?? { abort }\n'
+        '}\n'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [
+            ("strict", "12"),   # guard fires, parse ok → kept
+            ("strict", None),   # guard fires, null → aborted
+            ("lax", None),      # guard false → MUST be kept
+        ],
+        "kind string, maybe string",
+    )
+    out = pipe(df).select("kind", "maybe").collect()
+    kinds = sorted((r.kind, r.maybe) for r in out)
+    assert kinds == [("lax", None), ("strict", "12")]
