@@ -1773,12 +1773,14 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             cur.append(s)
     stages.append(("steps", tuple(_flatten_whens(cur, None, wg_counter))))
 
-    # 6 measured optimal post-flattening: larger chunks re-expand
-    # shared value DAGs (chained same-chunk writes inline their
-    # predecessors — suricata eve OOMs a 24g driver at 24), smaller
-    # ones pay a quadratic reanalysis per boundary select
-    # (suricata: 54s @6, 70s @4, 127s @10; s3access 397s→2s vs r5)
-    chunk_n = int(os.environ.get("MATANO_VRL_STAGE_CHUNK", "6"))
+    # 12 measured optimal for the r7 compiler (guard-scoped aborts +
+    # variant-preserving blends changed the expression shapes): bigger
+    # chunks cut boundary selects/analyses — okta 14.2s→10.1s,
+    # panw/threat 73s→~45s, falcon 24s→~19s, o365 42s→~34s — while
+    # suricata eve (the pathological shared-DAG program, 42s @6,
+    # 195s @12, 342s+ @24) still completes. Programs of eve's shape
+    # can pin MATANO_VRL_STAGE_CHUNK=6.
+    chunk_n = int(os.environ.get("MATANO_VRL_STAGE_CHUNK", "12"))
 
     def apply_steps(df: DataFrame, stage_steps) -> DataFrame:
         # compile in CHUNKS of top-level steps with a projection

@@ -39,6 +39,11 @@ def fn(name: str):
 # `.json.*` reads); everything else gets the scalar concretization
 # (cast to string — the pre-variant behavior) applied in build_call
 VARIANT_AWARE = {
+    "to_timestamp",
+    "is_string",
+    "is_integer",
+    "is_float",
+    "is_boolean",
     "get",
     "join",
     "filter",
@@ -307,19 +312,32 @@ def _to_timestamp(args, kw):
         if len(args) > 1 and isinstance(args[1][0], str)
         else kw.get("unit", "seconds")
     )
-    if isinstance(t, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType)):
+    def _from_num(n):
         if unit == "seconds":
-            return F.timestamp_seconds(c), T.TimestampType()
+            return F.timestamp_seconds(n)
         if unit == "milliseconds":
-            return F.timestamp_millis(c.cast("bigint")), T.TimestampType()
+            return F.timestamp_millis(n.cast("bigint"))
         if unit == "microseconds":
-            return F.timestamp_micros(c.cast("bigint")), T.TimestampType()
+            return F.timestamp_micros(n.cast("bigint"))
         if unit == "nanoseconds":
-            return (
-                F.timestamp_micros((c.cast("bigint") / 1000).cast("bigint")),
-                T.TimestampType(),
-            )
+            return F.timestamp_micros((n.cast("bigint") / 1000).cast("bigint"))
         raise ValueError(f"bad unit {unit}")
+
+    if isinstance(t, T.TimestampType):
+        return c, t  # already a timestamp (falcon re-runs the dichotomy)
+    if isinstance(t, T.VariantType):
+        # a variant holds either a JSON number (unit applies) or a
+        # datetime string (parse) — the old string funnel turned
+        # falcon/kerberos epoch numbers into unparseable strings
+        num = F.try_variant_get(c, "$", "double")
+        return (
+            F.when(num.isNotNull(), _from_num(num)).otherwise(
+                F.try_to_timestamp(c.cast("string"))
+            ),
+            T.TimestampType(),
+        )
+    if isinstance(t, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType)):
+        return _from_num(c), T.TimestampType()
     return F.try_to_timestamp(c), T.TimestampType()
 
 
@@ -537,13 +555,31 @@ def _static_type_check(args, types) -> tuple[Column, T.DataType]:
     return (c.isNotNull() & F.lit(ok)), T.BooleanType()
 
 
+def _variant_type_check(a: Arg, names: tuple[str, ...]):
+    """Runtime type test on a VARIANT value via schema_of_variant —
+    the static check is meaningless there (every variant used to
+    funnel to string, making is_string() true for ints and flipping
+    falcon's epoch-dichotomy guards)."""
+    st = F.schema_of_variant(_cv(a))
+    ok = F.lit(False)
+    for n in names:
+        ok = ok | (st == F.lit(n)) | st.startswith(n + "(")
+    return (_cv(a).isNotNull() & ok), T.BooleanType()
+
+
 @fn("is_string")
 def _is_string(args, kw):
+    if isinstance(_t(args[0]), T.VariantType):
+        return _variant_type_check(args[0], ("STRING",))
     return _static_type_check(args, T.StringType)
 
 
 @fn("is_integer")
 def _is_integer(args, kw):
+    if isinstance(_t(args[0]), T.VariantType):
+        return _variant_type_check(
+            args[0], ("BIGINT", "INT", "SMALLINT", "TINYINT")
+        )
     return _static_type_check(
         args, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
@@ -551,11 +587,15 @@ def _is_integer(args, kw):
 
 @fn("is_float")
 def _is_float(args, kw):
+    if isinstance(_t(args[0]), T.VariantType):
+        return _variant_type_check(args[0], ("DOUBLE", "FLOAT", "DECIMAL"))
     return _static_type_check(args, (T.FloatType, T.DoubleType))
 
 
 @fn("is_boolean")
 def _is_boolean(args, kw):
+    if isinstance(_t(args[0]), T.VariantType):
+        return _variant_type_check(args[0], ("BOOLEAN",))
     return _static_type_check(args, T.BooleanType)
 
 

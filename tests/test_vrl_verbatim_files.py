@@ -369,3 +369,111 @@ def test_o365_audit_full_transform_verbatim(spark):
     # NOT have been fabricated by its guarded rewrite (that would
     # flip the outcome chain back to success)
     assert d["event"]["outcome"] == "failure"
+
+
+FALCON_EVENT = {
+    "metadata": {
+        "eventType": "UserActivityAuditEvent",
+        "eventCreationTime": 1612460515000,
+        "customerIDString": "cid-1",
+    },
+    "event": {
+        "UserName": "admin@example.com",
+        "UserId": "uid-1",
+        "Success": False,
+        "OperationName": "twoFactorAuthenticate",
+        "UTCTimestamp": 1612460515,
+        "LocalPort": "443",
+        "PID": "1234",
+    },
+}
+
+
+def test_crowdstrike_falcon_full_transform_verbatim(spark):
+    """crowdstrike_falcon/log_source.yml end to end: epoch
+    seconds-vs-millis dichotomy (UTCTimestamp 1612460515 → seconds
+    path, eventCreationTime ms → ts), Success=false outcome, '||'
+    outcome default, string→int port/PID casts, user email split."""
+    prog = _load_transform("crowdstrike_falcon/log_source.yml")
+    df = spark.createDataFrame(
+        [(json.dumps(FALCON_EVENT),)], "raw string"
+    ).select(
+        F.parse_json(F.col("raw")).alias("json"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = compile_vrl(prog)(df)
+    r = out.collect()[0]
+    d = r.asDict(recursive=True)
+
+    def s(v):
+        return str(v).strip('"')
+
+    assert d["event"]["outcome"] == "failure"  # Success=false
+    assert s(d["user"]["name"]) == "admin@example.com"
+    assert s(d["user"]["email"]) == "admin@example.com"  # has exactly one @
+    assert "2021-02-04 17:41:55" in str(d["ts"])  # ms epoch
+    cs = d["crowdstrike"]
+    ev = cs["event"] if isinstance(cs, dict) else None
+    if isinstance(ev, dict):
+        # string ports/PIDs cast to ints by the guarded to_int! chain
+        assert int(s(ev["LocalPort"])) == 443
+        assert int(s(ev["PID"])) == 1234
+        # UTCTimestamp took the SECONDS path (1612460515 < 1e12)
+        assert "2021-02-04" in s(ev["UTCTimestamp"])
+
+
+EVE_ALERT_EVENT = {
+    "timestamp": "2021-02-04T17:51:55.123456+0000",
+    "flow_id": 1234567890123456,
+    "event_type": "ALERT",
+    "src_ip": "10.0.0.5",
+    "src_port": 54321,
+    "dest_ip": "10.0.0.9",
+    "dest_port": 443,
+    "proto": "TCP",
+    "ether": {"src_mac": "aa:bb:cc:dd:ee:ff", "dest_mac": "11:22:33:44:55:66"},
+    "alert": {
+        "action": "blocked",
+        "signature_id": 2019401,
+        "signature": "ET EXPLOIT bad thing",
+        "category": "Attempted Administrator Privilege Gain",
+        "severity": 1,
+        "metadata": {"cve": ["CVE-2021-0001"]},
+    },
+}
+
+
+def test_suricata_eve_full_transform_verbatim(spark, monkeypatch):
+    """suricata/tables/eve.yml end to end (the 620-line eve program —
+    the compiler's pathological shared-DAG case, pinned at stage
+    chunk 6): event_type downcase + mappings lookup, tz-suffix
+    timestamp rewrite, alert action blocked→denied, signature/severity
+    mapping, flow_id int→string, MAC normalization."""
+    monkeypatch.setenv("MATANO_VRL_STAGE_CHUNK", "6")
+    prog = _load_transform("suricata/tables/eve.yml")
+    df = spark.createDataFrame(
+        [(json.dumps(EVE_ALERT_EVENT),)], "raw string"
+    ).select(
+        F.parse_json(F.col("raw")).alias("json"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = compile_vrl(prog)(df)
+    r = out.collect()[0]
+    d = r.asDict(recursive=True)
+
+    def s(v):
+        return str(v).strip('"')
+
+    assert s(d["source"]["ip"]) == "10.0.0.5"
+    assert d["source"]["port"] == 54321
+    assert s(d["source"]["mac"]) == "AA-BB-CC-DD-EE-FF"
+    assert s(d["destination"]["mac"]) == "11-22-33-44-55-66"
+    assert s(d["network"]["transport"]).lower() == "tcp"
+    assert s(d["rule"]["id"]) == "2019401"
+    assert s(d["rule"]["name"]) == "ET EXPLOIT bad thing"
+    assert int(s(d["event"]["severity"])) == 1
+    assert s(d["event"]["kind"]) == "alert"  # event_mappings lookup
+    assert "denied" in str(d["event"]["type"])  # blocked→denied
+    assert s(d["suricata"]["eve"]["event_type"]) == "alert"  # downcased
+    assert s(d["suricata"]["eve"]["flow_id"]) == "1234567890123456"
+    assert "2021-02-04" in str(d["ts"])
