@@ -25,6 +25,7 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB-runnable ANSI SQL, or None → rows-only check
     doc: str = ""
+    front: bool = False  # hoist into the driver's sampled window
 
 
 REGISTRY: dict[str, Query] = {}
@@ -38,11 +39,16 @@ _WORKLOAD_MODULES = (
 )
 
 
-def query(name: str, oracle: str | None = None):
-    """Decorator: register a query under `name` with its oracle SQL."""
+def query(name: str, oracle: str | None = None, front: bool = False):
+    """Decorator: register a query under `name` with its oracle SQL.
+    `front=True` hoists the query to the head of the interleave so the
+    driver's ~50-entry correctness sample exercises it (used for the
+    newest round's marquee entries)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", front=front
+        )
         return fn
 
     return deco
@@ -63,9 +69,13 @@ def load_registry() -> dict[str, Query]:
         by_module.setdefault(q.fn.__module__, []).append(q)
     stacks = [list(reversed(v)) for v in by_module.values()]
     ordered: dict[str, Query] = {}
+    for st in stacks:  # front-flagged entries lead the whole listing
+        for q in [q for q in st if q.front]:
+            ordered[q.name] = q
     while any(stacks):
         for st in stacks:
             if st:
                 q = st.pop(0)
-                ordered[q.name] = q
+                if q.name not in ordered:
+                    ordered[q.name] = q
     return ordered

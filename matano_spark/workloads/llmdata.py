@@ -1803,3 +1803,66 @@ _REG["curation_pipeline_stats"].oracle = f"""
     WHERE NOT decon.contaminated
     GROUP BY d.lang
 """
+
+
+@query(
+    "dedup_span_duplication",
+    front=True,
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    spans AS (
+      SELECT lang,
+             unnest([md5(array_to_string(w[(i*10+1):(i*10+10)], ' '))
+                     for i in range(0, CAST(floor(len(w)/10.0) AS BIGINT))])
+               AS span
+      FROM words
+    ),
+    counted AS (
+      SELECT lang, span, COUNT(*) AS n FROM spans GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(COUNT(CASE WHEN n >= 2 THEN 1 END) AS BIGINT)
+             AS n_distinct_dup
+    FROM counted
+    GROUP BY 1
+    """,
+)
+def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile (the C4/RefinedWeb paragraph-
+    dedup shape, on word windows since the synthetic docs are
+    single-paragraph): split each doc into non-overlapping 10-word
+    spans, count within-language duplicate spans, report per-language
+    totals. Scale shape: spans reduce by their md5 (fixed-width
+    shuffle key, never the raw text), one partial-agg shuffle on
+    (lang, span-hash) then a tiny per-lang rollup — the document side
+    is scanned once and the span explosion is map-side."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_spans = F.floor(F.size(words) / F.lit(10.0)).cast("int")
+    spans = docs.select(
+        F.col("lang"),
+        F.explode(
+            F.when(
+                n_spans >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(words, i * 10 + 1, 10), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span"),
+    )
+    counted = spans.groupBy("lang", "span").agg(F.count(F.lit(1)).alias("n"))
+    return counted.groupBy("lang").agg(
+        F.sum("n").alias("n_spans"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0)).alias(
+            "n_dup_spans"
+        ),
+        F.count(F.when(F.col("n") >= 2, F.lit(1))).alias("n_distinct_dup"),
+    )

@@ -138,6 +138,7 @@ def okta_failed_auth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "msft_signin_verbatim_rollup",
+    front=True,
     oracle="""
     SELECT CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
              AS outcome,
@@ -191,6 +192,7 @@ def msft_signin_verbatim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cloudtrail_verbatim_action_rollup",
+    front=True,
     oracle="""
     SELECT event_type AS action,
            CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
