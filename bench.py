@@ -59,6 +59,8 @@ HEADLINE = [
     "lpm_v6_enrichment",
     "fuzzy_name_pairs",
     "curation_pipeline_stats",
+    # r7: span-level duplication profile (paragraph-dedup shape)
+    "dedup_span_duplication",
 ]
 
 
