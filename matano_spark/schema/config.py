@@ -65,6 +65,18 @@ def merge_configs(managed: dict, user: dict) -> dict:
     return out
 
 
+# Paths the REFERENCE's own managed transforms assign while omitting
+# them from their declared schema, relying on the schema cast to drop
+# them (aws_cloudtrail/log_source.yml:616 assigns tls.version_protocol
+# with tls.version_protocol absent from ecs_field_names:684-687;
+# :641 builds the legacy aws.cloudtrail.flattened object the default
+# table does not declare). Known-benign: silenced so real lint hits
+# stay visible in gate/pytest logs.
+_KNOWN_REFERENCE_LINT = {
+    "aws_cloudtrail": {"tls.version_protocol", "aws.cloudtrail.flattened"},
+}
+
+
 def load_log_source(
     path: str, user_overrides: dict | None = None, strict: bool = True
 ) -> list[TableDef]:
@@ -141,6 +153,7 @@ def build_table(
     from matano_spark.schema.lint import lint_transform
 
     bad = lint_transform(program, schema)
+    bad = [p for p in bad if p not in _KNOWN_REFERENCE_LINT.get(source_name, ())]
     if bad:
         msg = (
             f"{source_name}/{table_name}: transform assigns paths the "

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import time
 from typing import Any, Iterable
 
 from pyspark.sql import Column, DataFrame
@@ -374,6 +375,11 @@ class _RowState:
         guarded: bool = False,
     ) -> None:
         leaf = _Leaf(value, vtype, guarded=guarded)
+        if len(parts) > 1 and parts[0] in self.tombstones:
+            # the root key was deleted: a nested write starts from an
+            # empty object, never from the root remainder's old value
+            # (VRL: del(.a); .a.b = x  ->  {a: {b: x}})
+            self.nodes[parts[0]] = _Tree()
         self.tombstones.discard(parts[0])
         if len(parts) == 1:
             self.nodes[parts[0]] = leaf
@@ -1601,6 +1607,20 @@ def _flatten_whens(steps, guard: str | None = None, counter=None):
     return out
 
 
+def _is_root_assign(s) -> bool:
+    """True for `. = <expr>` steps (and their When/Multi wrappers) —
+    the root-spread shape the chunker must isolate."""
+    if isinstance(s, ast.Assign) and not s.path:
+        return True
+    if isinstance(s, ast.When):
+        return any(_is_root_assign(x) for x in s.steps) or any(
+            _is_root_assign(x) for x in s.orelse
+        )
+    if isinstance(s, ast.Multi):
+        return any(_is_root_assign(x) for x in s.steps)
+    return False
+
+
 def _read_vars(obj, acc: set) -> set:
     """Collect local-variable names READ by the given steps/exprs —
     the liveness set used to prune dead locals at chunk boundaries
@@ -1778,9 +1798,16 @@ def compile_pipeline(steps: Iterable[ast.Step]):
     # chunks cut boundary selects/analyses — okta 14.2s→10.1s,
     # panw/threat 73s→~45s, falcon 24s→~19s, o365 42s→~34s — while
     # suricata eve (the pathological shared-DAG program, 42s @6,
-    # 195s @12, 342s+ @24) still completes. Programs of eve's shape
-    # can pin MATANO_VRL_STAGE_CHUNK=6.
-    chunk_n = int(os.environ.get("MATANO_VRL_STAGE_CHUNK", "12"))
+    # 195s @12, 342s+ @24) degrades superlinearly. No static estimate
+    # discriminates eve from the programs 12 helps (tree-weight models
+    # rank panw WORSE than eve yet panw improves at 12), so the loop
+    # below self-tunes at compile time: each chunk's driver-side
+    # compile+analysis is timed, and a slow chunk halves the size for
+    # the rest of the program (12→6→3). Setting MATANO_VRL_STAGE_CHUNK
+    # pins a fixed size and disables the adaptation.
+    fixed_chunk = os.environ.get("MATANO_VRL_STAGE_CHUNK")
+    chunk_n = int(fixed_chunk) if fixed_chunk else 12
+    slow_chunk_s = float(os.environ.get("MATANO_VRL_CHUNK_SLOW_S", "1.5"))
 
     def apply_steps(df: DataFrame, stage_steps) -> DataFrame:
         # compile in CHUNKS of top-level steps with a projection
@@ -1793,11 +1820,8 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         # root remainder spill to __var_* / __root_rest columns and
         # rehydrate in the next chunk; Catalyst's CollapseProject
         # keeps non-duplicating projections cheap at runtime.
-        chunks = [
-            stage_steps[i : i + chunk_n]
-            for i in range(0, len(stage_steps), chunk_n)
-        ] or [()]
         out = df
+        remaining = list(stage_steps)
         # positional carry between chunks: intermediate boundaries
         # keep mangled __out_i names and rehydrate BY POSITION — never
         # by real name, because live values can collide
@@ -1808,7 +1832,29 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         const_names = _const_var_names(stage_steps)
         const_carry: dict = {}
         prev_tombstones: set = set()
-        for ci, chunk in enumerate(chunks):
+        cur_n = chunk_n
+        trial: dict | str | None = None
+        ci = 0
+        while True:
+            t0 = time.monotonic()
+            snapshot = (out, carry, const_carry, set(prev_tombstones))
+            chunk_l = list(remaining[:cur_n])
+            # Isolate root-spread assigns (`. = merge(., x, deep:
+            # true)`) into single-step chunks: the merge folds x's
+            # value expression into the row ONCE PER TOP-LEVEL FIELD,
+            # so sharing a chunk with the steps that built x (vpcflow:
+            # a 29-field two-pattern parse_groks + recursive
+            # map_values) multiplies the already-huge tree ~30× and
+            # OOMs a 24g driver at analysis. A boundary before AND
+            # after materializes x once and every fold reads a plain
+            # column.
+            for j, s in enumerate(chunk_l):
+                if _is_root_assign(s):
+                    chunk_l = chunk_l[:j] if j else chunk_l[:1]
+                    break
+            chunk = tuple(chunk_l)
+            remaining = remaining[len(chunk) :]
+            is_last = not remaining
             if carry is None:
                 state = _RowState(out)
                 comp = Compiler(state)
@@ -1851,14 +1897,13 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             # to the lateral alias)
             cols = state.columns()
             entries = [("row", n) for n in state.nodes]
-            if ci < len(chunks) - 1:
+            if not is_last:
                 # spill only locals still LIVE in later chunks:
                 # flattened-When guard vars die within a step or two,
                 # and carrying every dead local makes each boundary
                 # projection wide and plan reanalysis quadratic
                 live: set = set()
-                for later in chunks[ci + 1 :]:
-                    _read_vars(later, live)
+                _read_vars(remaining, live)
                 const_carry = {}
                 for vn, vnode in comp.vars.nodes.items():
                     if vn not in live:
@@ -1921,6 +1966,50 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                         for i, (_k, name) in enumerate(entries)
                     ]
                 )
+            dt = time.monotonic() - t0
+            if os.environ.get("MATANO_VRL_CHUNK_DEBUG"):
+                print(
+                    f"CHUNK ci={ci} n={len(chunk)} cur_n={cur_n} "
+                    f"dt={dt:.2f}s",
+                    flush=True,
+                )
+            # Self-tuning guard. Per-chunk driver cost has two parts:
+            # (a) per-boundary reanalysis of the whole accumulated
+            # plan — INDEPENDENT of chunk size (crowdstrike fdr:
+            # ~4 s/boundary, so halving the size DOUBLES boundaries
+            # and nearly doubles total compile), and (b) superlinear
+            # within-chunk shared-DAG tree expansion (suricata eve:
+            # one 12-step chunk costs 10 s where two 6-step chunks
+            # cost 1 s each). No static signal separates the two, so
+            # the first slow chunk runs a TRIAL: roll back (keeping
+            # the bloated boundary would tax every later reanalysis —
+            # measured 0.47 → 1.05 s/chunk on eve), recompile the
+            # same steps at half size, and keep the smaller size only
+            # if the trial actually beat the slow chunk. Measured:
+            # eve 195 s → ~38 s (trial accepted), fdr stays within
+            # ~1.2× of its fixed-12 time (trial rejected).
+            if fixed_chunk is None:
+                if (
+                    trial is None
+                    and cur_n > 6
+                    and len(chunk) > 6
+                    and dt > slow_chunk_s
+                ):
+                    cur_n = max(6, cur_n // 2)
+                    trial = {"left": len(chunk), "cost": 0.0, "base": dt}
+                    out, carry, const_carry, prev_tombstones = snapshot
+                    remaining = list(chunk) + remaining
+                    continue
+                if isinstance(trial, dict):
+                    trial["cost"] += dt
+                    trial["left"] -= len(chunk)
+                    if trial["left"] <= 0:
+                        if trial["cost"] > 0.6 * trial["base"]:
+                            cur_n = chunk_n  # shrink didn't pay
+                        trial = "done"
+            if is_last:
+                break
+            ci += 1
         return out
 
     def apply_enrich(df: DataFrame, step: ast.Enrich) -> DataFrame:

@@ -44,6 +44,22 @@ _PACK_ROOT = os.path.join(
 _REF_PACK_ROOT = "/root/reference/data/managed/log_sources"
 
 
+def _oracle_scratch(prefix: str) -> str:
+    """Per-process scratch dir for lazily-collected oracle stores.
+
+    The returned DataFrames are collected lazily by the caller, so the
+    directory can't be rmtree'd inline; mkdtemp keeps concurrent
+    gate/bench runs from compacting each other's files, and the atexit
+    hook stops the dirs leaking across runs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 @lru_cache(maxsize=16)
 def _verbatim_table_def(pack: str, table: str):
     """Compile one pack table from the REFERENCE yml text itself —
@@ -398,8 +414,6 @@ def cisa_kev_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-looked-up from a lineitem-derived event stream — hit
     counts per KEV vendor. The enrichment side stays broadcast-sized
     by construction (the reference's whole design constraint)."""
-    import tempfile
-
     from matano_spark.operators.enrichment import (
         EnrichmentStore,
         enrich,
@@ -421,7 +435,7 @@ def cisa_kev_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    store = EnrichmentStore(spark, tempfile.mkdtemp(prefix="kev_oracle_"))
+    store = EnrichmentStore(spark, _oracle_scratch("kev_oracle_"))
     kev = sync_enrichment(
         store, os.path.join(_PACK_ROOT, "..", "enrichment", "cisa_kev"), raw
     )
@@ -1705,8 +1719,6 @@ def threatfox_ioc_merge_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast lookup. Exercises ip:port ioc splitting, the confidence
     tiering, AND the upsert write path inside the oracle gate.
     """
-    import tempfile
-
     from matano_spark.operators.enrichment import (
         EnrichmentStore,
         enrich,
@@ -1737,7 +1749,7 @@ def threatfox_ioc_merge_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pack = os.path.join(_PACK_ROOT, "..", "enrichment", "abusech_threatfox")
-    store = EnrichmentStore(spark, tempfile.mkdtemp(prefix="tf_oracle_"))
+    store = EnrichmentStore(spark, _oracle_scratch("tf_oracle_"))
     sync_enrichment(store, pack, feed(F.lit(20)))  # initial: all Low
     # second delivery: first 100 indicators re-reported at High
     updated = sync_enrichment(
@@ -1786,8 +1798,6 @@ def otx_append_indicator_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threatfox's merge), and indicators from BOTH must hit from the
     lookup side. All three reference write modes now sit inside the
     gate."""
-    import tempfile
-
     from matano_spark.operators.enrichment import (
         EnrichmentStore,
         enrich,
@@ -1813,7 +1823,7 @@ def otx_append_indicator_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pack = os.path.join(_PACK_ROOT, "..", "enrichment", "otx")
-    store = EnrichmentStore(spark, tempfile.mkdtemp(prefix="otx_oracle_"))
+    store = EnrichmentStore(spark, _oracle_scratch("otx_oracle_"))
     sync_enrichment(store, pack, pulse(0))
     landed = sync_enrichment(store, pack, pulse(100))
     flat = landed.selectExpr("threat.indicator.ip AS ip").distinct()
@@ -1851,20 +1861,11 @@ def m1_compaction_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant the reference's hourly rewrite_data_files procedure
     relies on (iceberg-maintenance.ts:62-74).
     """
-    import atexit
-    import shutil
-    import tempfile
-
     from matano_spark.operators.maintenance import compact_parquet_dir
     from matano_spark.workloads.util import dsum
 
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 400)
-    # fixed scratch path (overwritten per run, removed at exit): the
-    # returned DataFrame is collected lazily by the caller, so the
-    # directory can't be rmtree'd here — a per-run mkdtemp leaks one
-    # multi-file parquet dir per gate/bench invocation
-    d = os.path.join(tempfile.gettempdir(), "matano_m1_oracle")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    d = _oracle_scratch("m1_oracle_")
     li.repartition(24).write.mode("overwrite").parquet(d)
     before, after = compact_parquet_dir(spark, d, target_file_bytes=1 << 30)
     return (

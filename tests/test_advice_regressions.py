@@ -334,3 +334,35 @@ def test_abort_coalesce_scoped_to_guard(spark):
     out = pipe(df).select("kind", "maybe").collect()
     kinds = sorted((r.kind, r.maybe) for r in out)
     assert kinds == [("lax", None), ("strict", "12")]
+
+
+def test_delete_then_nested_write_does_not_resurrect(spark):
+    """`del(.a); .a.b = "new"` after a schemaless root spread must
+    yield {a: {b: "new"}} — the nested write starts from an empty
+    object, never from the root remainder's old subtree (round-7
+    ADVICE: the tombstone was discarded before path resolution, so
+    `.a` resolved through the root remainder and resurrected `old`)."""
+    import json as _json
+    from matano_spark.transform.parser import compile_vrl
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import VariantVal
+
+    df = spark.createDataFrame(
+        [('{"a": {"old": "X"}, "keep": 1}',)], "raw string"
+    ).select(F.parse_json("raw").alias("json"))
+    prog = '. = del(.json)\ndel(.a)\n.a.b = "new"\n.k2 = .keep'
+    out = compile_vrl(prog)(df)
+
+    def norm(v):
+        if isinstance(v, VariantVal):
+            return norm(_json.loads(v.toJson()))
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        return v
+
+    d = norm(out.collect()[0].asDict(recursive=True))
+    assert d.get("a") == {"b": "new"}, d
+    # non-deleted keys still resolve through the root remainder
+    assert norm(d.get("k2")) == 1
