@@ -236,3 +236,243 @@ def wav_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return rate, nch, nframes, samples[: nframes * nch].reshape(
         nframes, nch
     )
+
+
+# -- GIF (GIF87a/GIF89a, pure stdlib) ---------------------------------
+#
+# Backs the real (fake=False) video-frame path of
+# operators/multimodal.decode_frames: an animated GIF is the one
+# multi-frame container decodable from the published spec with zero
+# third-party code. LZW decode is the classic table-rebuild algorithm
+# from the GIF89a specification, appendix F.
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, npixels: int) -> bytearray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # table maps code -> byte sequence; rebuilt on CLEAR
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    bitbuf = bitlen = 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf |= byte << bitlen
+        bitlen += 8
+        while bitlen >= code_size:
+            code = bitbuf & ((1 << code_size) - 1)
+            bitbuf >>= code_size
+            bitlen -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise MediaDecodeError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise MediaDecodeError("LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            if len(out) >= npixels:
+                return out
+    return out
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise MediaDecodeError("truncated GIF sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        chunks.append(data[pos : pos + n])
+        pos += n
+
+
+_GIF_DEINTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode_frames(data: bytes):
+    """Yield (index, delay_ms, HxWx3 uint8 RGB canvas) per frame,
+    composited per the GIF89a disposal model (sub-rectangle frames,
+    transparency, restore-to-background)."""
+    if data[:6] not in GIF_SIGS:
+        raise MediaDecodeError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise MediaDecodeError("truncated GIF header")
+    width, height, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        if gct.shape[0] != n:
+            raise MediaDecodeError("truncated global color table")
+        pos += 3 * n
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:, :] = gct[bg_idx]
+    bg = canvas.copy()
+    delay_ms = 0
+    transparent: int | None = None
+    disposal = 0
+    idx = 0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            return
+        if b == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            block, npos = _gif_subblocks(data, pos)
+            pos = npos
+            if label == 0xF9 and len(block) >= 4:  # graphic control
+                gflags, delay_cs, tidx = struct.unpack_from("<BHB", block, 0)
+                delay_ms = delay_cs * 10
+                disposal = (gflags >> 2) & 0x07
+                transparent = tidx if gflags & 0x01 else None
+            continue
+        if b != 0x2C:
+            raise MediaDecodeError(f"unknown GIF block 0x{b:02x}")
+        # image descriptor
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if left + w > width or top + h > height:
+            raise MediaDecodeError("GIF frame exceeds logical screen")
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(
+                data[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise MediaDecodeError("GIF frame without a color table")
+        min_code = data[pos]
+        pos += 1
+        lzw, pos = _gif_subblocks(data, pos)
+        indices = _gif_lzw_decode(min_code, lzw, w * h)
+        if len(indices) < w * h:
+            raise MediaDecodeError("GIF frame pixel data truncated")
+        grid = np.frombuffer(bytes(indices[: w * h]), dtype=np.uint8).reshape(
+            h, w
+        )
+        if iflags & 0x40:  # interlaced: reorder rows per spec passes
+            de = np.empty_like(grid)
+            src = 0
+            for start, step in _GIF_DEINTERLACE:
+                rows = range(start, h, step)
+                for r in rows:
+                    de[r] = grid[src]
+                    src += 1
+            grid = de
+        if grid.max() >= len(ct):
+            raise MediaDecodeError("GIF pixel index outside color table")
+        prev_region = canvas[top : top + h, left : left + w].copy()
+        rgb = ct[grid]
+        region = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        yield idx, delay_ms, canvas.copy()
+        idx += 1
+        if disposal == 2:  # restore to background
+            canvas[top : top + h, left : left + w] = bg[
+                top : top + h, left : left + w
+            ]
+        elif disposal == 3:  # restore to previous
+            canvas[top : top + h, left : left + w] = prev_region
+    raise MediaDecodeError("GIF missing trailer")
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Minimal spec-correct LZW: emit CLEAR, then literal codes,
+    re-CLEARing before the code width would grow past the literal
+    range — O(n), no string table, decodes on any conformant reader."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    bitbuf = bitlen = 0
+
+    def emit(code: int):
+        nonlocal bitbuf, bitlen
+        bitbuf |= code << bitlen
+        bitlen += code_size
+        while bitlen >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+
+    emit(clear)
+    # after CLEAR the table holds `end + 1` codes; each literal we emit
+    # conceptually adds one (decoder-side), so re-CLEAR before the
+    # decoder's table reaches 1 << code_size
+    budget = (1 << code_size) - end - 2
+    for i in indices:
+        emit(i)
+        budget -= 1
+        if budget <= 0:
+            emit(clear)
+            budget = (1 << code_size) - end - 2
+    emit(end)
+    if bitlen:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(frames, palette, delays_ms=None, transparent=None) -> bytes:
+    """Encode HxW uint8 index grids into an animated GIF89a (test
+    fixture + snapshot-export path; palette is Nx3 uint8, N a power of
+    two >= 2)."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = palette.shape[0]
+    if n & (n - 1) or n < 2:
+        raise ValueError("palette size must be a power of two >= 2")
+    depth = max(1, n.bit_length() - 1)
+    h, w = np.asarray(frames[0]).shape
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    if len(frames) > 1:  # Netscape loop extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for i, frame in enumerate(frames):
+        grid = np.asarray(frame, dtype=np.uint8)
+        delay_cs = (delays_ms[i] if delays_ms else 100) // 10
+        gflags = (1 << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", gflags, delay_cs, transparent or 0
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        min_code = max(2, depth)
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode(min_code, grid.tobytes())
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

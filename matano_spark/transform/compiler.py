@@ -155,7 +155,14 @@ def _materialize(node) -> tuple[Column, T.DataType]:
                 # — include the key only when the value is non-null,
                 # so `if g { .a.b = x }` with g false leaves the
                 # object without `b` (and `del` under guard truly
-                # removes the key for matched rows)
+                # removes the key for matched rows).
+                # KNOWN DIVERGENCE (accepted tradeoff): when g is TRUE
+                # but the assigned value is null, VRL sets the key to
+                # null while this drops it — exists()/key-count over a
+                # guard-written null key differ; null READS are
+                # unaffected. A precise fix would key inclusion on a
+                # tracked guard-fired column instead of value
+                # non-nullness.
                 cond_pairs.append((name, c))
             else:
                 pairs += [F.lit(name), c]
@@ -570,6 +577,13 @@ class Compiler:
             # tree (maps/variants descend; edited trees stay exact)
             parts = (e.args[0].name,) + ast.split_path(e.kwargs["path"])
             if parts[0] in self.vars.nodes:
+                if self.vars._node(parts) is None:
+                    # ABSENT local subpath: claim NullType (same
+                    # reasoning as the row-path read below — a string
+                    # claim makes map_values/merge reject programs
+                    # whose optional inputs are missing, e.g.
+                    # gcp_audit's authn_info.serviceAccountDelegationInfo)
+                    return self.vars.get(parts), T.NullType()
                 return (
                     self.vars.get(parts),
                     self.vars.get_type(parts) or T.StringType(),
@@ -1521,7 +1535,11 @@ class Compiler:
                     cond, value, vtype, s, dst
                 )
             s.set(dst, value, vtype, guarded=cond is not None)
-            if cond is None:
+            if cond is None and dst != src:
+                # `.x = del(.x)` keeps the value (VRL: del returns the
+                # old value, the assign puts it straight back — panw's
+                # `.message = del(.message)` idiom); deleting after
+                # the set would drop the just-written node
                 s.delete(src)
         elif isinstance(step, ast.Delete):
             if step.var:

@@ -343,7 +343,11 @@ def _to_timestamp(args, kw):
 
 @fn("parse_timestamp")
 def _parse_timestamp(args, kw):
+    # VRL passes the format positionally (`parse_timestamp!(x, "%Y...")`,
+    # panw traffic :291) or as `format:` kwarg
     fmt = kw.get("format")
+    if fmt is None and len(args) > 1 and isinstance(args[1][0], str):
+        fmt = args[1][0]
     java = strftime_to_java(fmt) if fmt else None
     c = _c(args[0])
     if java:

@@ -149,7 +149,18 @@ def parse_groks(
             fields_t.append(T.StructField(k, t))
         return F.struct(*cols), T.StructType(fields_t)
 
-    return build(union, "")
+    c, t = build(union, "")
+    # NO pattern matched -> NULL result (not a struct of null fields):
+    # the `_grokked, err = parse_groks(...)` idiom keys err on a null
+    # result, and a non-null all-null struct made `if err == null`
+    # branches fire on unparseable input (duo auth's ip:port split
+    # merged null over the bare ip)
+    matched = None
+    for regex, _f in per:
+        matched = col.rlike(regex) if matched is None else matched | col.rlike(regex)
+    if matched is not None:
+        c = F.when(matched, c)
+    return c, t
 
 
 def parse_grok(col: Column, pattern: str, patterns: dict[str, str] | None = None):
@@ -181,4 +192,6 @@ def parse_grok(col: Column, pattern: str, patterns: dict[str, str] | None = None
             fields_t.append(T.StructField(k, t))
         return F.struct(*cols), T.StructType(fields_t)
 
-    return build(tree)
+    c, t = build(tree)
+    # no match -> NULL result, same err-idiom reasoning as parse_groks
+    return F.when(col.rlike(regex), c), t

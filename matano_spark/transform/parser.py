@@ -326,7 +326,24 @@ class Parser:
                 if isinstance(last, ast.ExprStmt):
                     steps.pop()
                     return tuple(steps), last.expr
-                # statement block (trailing del/...): value is null
+                if isinstance(last, ast.Delete):
+                    # trailing `del(x)` is the block's VALUE (VRL del
+                    # returns the deleted value — aws_waf's
+                    # `if .s != "-" { del(.json.s) } else { null }`):
+                    # capture before deleting, value the capture
+                    tmp = f"__delval_{self.i}"
+                    if last.var:
+                        nm, _, sub = last.path.partition(".")
+                        read = (
+                            ast.Fn("__field", ast.Var(nm), path=sub)
+                            if sub
+                            else ast.Var(nm)
+                        )
+                    else:
+                        read = ast.P(last.path)
+                    steps[-1:] = [ast.LetVar(tmp, read), last]
+                    return tuple(steps), ast.Var(tmp)
+                # statement block (trailing abort/...): value is null
                 return tuple(steps), ast.L(None)
             if self.peek().text == "if":
                 # an if ENDING the block may be the block's VALUE

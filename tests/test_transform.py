@@ -162,7 +162,9 @@ def test_grok_translate_and_parse(spark):
     )(df)
     rows = [r.asDict(recursive=True)["g"] for r in out.collect()]
     assert rows[0] == {"ip": "10.1.2.3", "verb": "GET", "code": "200"}
-    assert rows[1] == {"ip": None, "verb": None, "code": None}
+    # no match -> NULL result (not a struct of null fields): the
+    # `x, err = parse_grok(...)` idiom keys err on a null result
+    assert rows[1] is None
 
 
 def test_grok_dotted_fields_nest(spark):

@@ -1,0 +1,553 @@
+"""Round-8 verbatim full-file executions: the ten heaviest managed
+transforms that compiled but had no execution-level semantic check
+(the round-7 verdict's top item) run STRAIGHT from the reference yml
+text against realistic events — gcp_audit, panw/traffic,
+cloudflare/http_request, duo/auth, github_audit, snyk/audit,
+onepassword/signin_attempts, teleport/audit, aws_waf, aws_inspector.
+
+Reference programs: /root/reference/data/managed/log_sources/
+<pack>/(log_source.yml | tables/<table>.yml)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from matano_spark.transform.parser import compile_vrl
+
+REF_MANAGED = "/root/reference/data/managed/log_sources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_MANAGED), reason="reference tree not present"
+)
+
+
+def _load_transform(rel_yml: str) -> str:
+    from tools.vrl_parse_survey import iter_programs
+
+    path = os.path.join(REF_MANAGED, rel_yml)
+    for p, kind, prog in iter_programs(os.path.dirname(path)):
+        if p == path and kind == "transform":
+            return prog
+    raise AssertionError(f"no transform block in {rel_yml}")
+
+
+def _run(spark, rel_yml: str, event: dict | None, message: str | None = None) -> dict:
+    """Compile the verbatim transform against the event's inferred
+    struct schema and execute it on one row. `message` feeds the
+    text-framed programs (panw CSV)."""
+    prog = _load_transform(rel_yml)
+    raw = spark.createDataFrame(
+        [(message if message is not None else json.dumps(event),)],
+        "message string",
+    )
+    if event:
+        inferred = spark.read.json(
+            spark.sparkContext.parallelize([json.dumps(event)], 1)
+        )
+        df = raw.crossJoin(
+            inferred.select(
+                F.struct(
+                    *[F.col(f"`{c}`") for c in inferred.columns]
+                ).alias("json")
+            ).limit(1)
+        )
+    else:
+        df = raw.select(
+            "message", F.parse_json(F.lit("{}")).alias("json")
+        )
+    out = compile_vrl(prog)(df)
+    rows = out.collect()
+    assert rows, f"{rel_yml}: event fell into an abort branch"
+    return _norm(rows[0].asDict(recursive=True))
+
+
+def _norm(v):
+    from pyspark.sql.types import VariantVal
+
+    if isinstance(v, VariantVal):
+        return _norm(json.loads(v.toJson()))
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    return v
+
+
+def _ts_utc(v):
+    """Normalize a collected timestamp to a naive-UTC datetime."""
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v
+    return v
+
+
+# ---------------------------------------------------------------- gcp
+
+
+def test_gcp_audit_full_transform_verbatim(spark):
+    event = {
+        "insertId": "abc123",
+        "logName": "projects/my-proj/logs/cloudaudit.googleapis.com%2Factivity",
+        "severity": "NOTICE",
+        "timestamp": "2024-05-01T10:00:00Z",
+        "resource": {
+            "type": "service_account",
+            "labels": {"project_id": "my-proj", "instance_id": "i-42"},
+        },
+        "protoPayload": {
+            "@type": "type.googleapis.com/google.cloud.audit.AuditLog",
+            "methodName": "google.iam.admin.v1.CreateServiceAccount",
+            "serviceName": "iam.googleapis.com",
+            "resourceName": "projects/my-proj/serviceAccounts/sa@my-proj.iam.gserviceaccount.com",
+            "authenticationInfo": {
+                "principalEmail": "alice@example.com",
+                "principalSubject": "user:alice@example.com",
+            },
+            "authorizationInfo": [
+                {
+                    "granted": True,
+                    "permission": "iam.serviceAccounts.create",
+                    "resource": "projects/my-proj",
+                    "resourceAttributes": {"name": "projects/my-proj"},
+                }
+            ],
+            "requestMetadata": {
+                "callerIp": "203.0.113.9",
+                "callerSuppliedUserAgent": "google-cloud-sdk gcloud/478.0.0",
+            },
+            "status": {"code": 0},
+            "numResponseItems": "1",
+            "request": {"name": "projects/my-proj"},
+        },
+    }
+    d = _run(spark, "gcp_audit/log_source.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 5, 1, 10, 0, 0)
+    ev = d["event"]
+    assert ev["action"] == "google.iam.admin.v1.CreateServiceAccount"
+    assert ev["id"] == "abc123"
+    assert ev["outcome"] == "success"  # status.code == 0
+    assert ev["provider"] == "activity"  # split(logName, "%2F")[1]
+    # authz len 1 -> network+configuration; iam service -> iam
+    assert {"network", "configuration", "iam"} <= set(ev["category"])
+    # granted -> allowed; Create... -> creation
+    assert {"allowed", "creation"} <= set(ev["type"])
+    assert d["cloud"]["provider"] == "gcp"
+    assert d["cloud"]["project"]["id"] == "my-proj"
+    assert d["cloud"]["service"]["name"] == "iam.googleapis.com"
+    assert d["client"]["user"]["email"] == "alice@example.com"
+    assert d["client"]["user"]["id"] == "user:alice@example.com"
+    assert d["user_agent"]["original"] == "google-cloud-sdk gcloud/478.0.0"
+    ga = d["gcp"]["audit"]
+    assert ga["service_name"] == "iam.googleapis.com"
+    assert ga["num_response_items"] == 1
+    # resourceAttributes non-empty -> encoded to a JSON string
+    authz = ga["authorization_info"][0]
+    assert authz["permission"] == "iam.serviceAccounts.create"
+    assert json.loads(authz["resource_attributes"]) == {
+        "name": "projects/my-proj"
+    }
+    # non-empty request -> encoded
+    assert json.loads(ga["request"]) == {"name": "projects/my-proj"}
+    assert ga["request_metadata"]["caller_ip"] == "203.0.113.9"
+
+
+# --------------------------------------------------------------- panw
+
+
+PANW_TRAFFIC_LINE = (
+    "1,2024/06/03 10:00:05,015351000038802,TRAFFIC,end,2305,2024/06/03 10:00:05,"
+    "192.0.2.10,203.0.113.30,10.0.0.1,203.0.113.30,allow-outbound,corp\\jdoe,,web-browsing,"
+    "vsys1,trust,untrust,ethernet1/2,ethernet1/1,forward-log,2024/06/03 10:00:05,336785,1,"
+    "55236,443,12345,443,0x400053,tcp,allow,1639,1030,609,10,2024/06/03 09:59:51,13,any,,"
+    "7858,0x8000000000000000,United States,United States,,5,5,tcp-fin,0,0,0,0,,PA-VM,from-policy,"
+    ",,0,,0,,N/A,0,0,0,0,1efed0b4-9d51-4b1c-8de1-a1ee0b1b9d4e,0"
+)
+
+
+def test_panw_traffic_full_transform_verbatim(spark):
+    d = _run(spark, "panw/tables/traffic.yml", None, message=PANW_TRAFFIC_LINE)
+    # ts = generated_time + "+00:00" via %Y/%m/%d %H:%M:%S%:z
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 6, 3, 10, 0, 5)
+    assert d["observer"]["serial_number"] == "015351000038802"
+    assert d["panw"]["panos"]["type"] == "TRAFFIC"
+    assert d["panw"]["panos"]["sub_type"] == "end"
+    assert d["source"]["ip"] == "192.0.2.10"
+    assert d["source"]["port"] == 55236
+    assert d["destination"]["ip"] == "203.0.113.30"
+    assert d["destination"]["port"] == 443
+    assert d["source"]["user"]["name"] == "jdoe"
+    assert d["source"]["user"]["domain"] == "corp"
+    assert d["network"]["transport"] == "tcp"
+    assert d["network"]["bytes"] == 1639
+    assert d["event"]["outcome"] == "success"  # action allow
+    assert "network" in d["event"]["category"]
+    assert d["panw"]["panos"]["ruleset"] == "allow-outbound"
+    # the transform dels the duplicate custom fields after copying to
+    # ECS (:981, :998) — assert the ECS destinations
+    assert d["rule"]["uuid"] == "1efed0b4-9d51-4b1c-8de1-a1ee0b1b9d4e"
+    assert d["network"]["application"] == "web-browsing"
+
+
+# --------------------------------------------------------- cloudflare
+
+
+def test_cloudflare_http_request_full_transform_verbatim(spark):
+    ua = (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36"
+    )
+    event = {
+        "EdgeStartTimestamp": "2024-05-01T10:00:00Z",
+        "EdgeEndTimestamp": "2024-05-01T10:00:01Z",
+        "ClientIP": "203.0.113.7",
+        "ClientASN": 13335,
+        "ClientCountry": "us",
+        "ClientRequestMethod": "GET",
+        "ClientRequestHost": "shop.example.com",
+        "ClientRequestPath": "/cart",
+        "ClientRequestProtocol": "HTTP/1.1",
+        "ClientRequestReferer": "https://www.example.com/a?q=1",
+        "ClientRequestUserAgent": ua,
+        "ClientRequestBytes": 2543,
+        "ClientSSLProtocol": "TLSv1.2",
+        "ClientSrcPort": 51111,
+        "EdgeResponseStatus": 200,
+        "EdgeResponseBytes": 17000,
+        "EdgeResponseContentType": "text/html",
+        "OriginIP": "10.1.2.3",
+        "OriginResponseStatus": 200,
+        "RayID": "87abc0123",
+        "ZoneName": "example.com",
+        "CacheCacheStatus": "hit",
+        "JA3Hash": "d" * 32,
+    }
+    d = _run(spark, "cloudflare/tables/http_request.yml", event)
+    cf = d["cloudflare"]["http_request"]
+    assert _ts_utc(cf["edge"]["start_time"]) == dt.datetime(2024, 5, 1, 10, 0, 0)
+    assert _ts_utc(cf["edge"]["end_time"]) == dt.datetime(2024, 5, 1, 10, 0, 1)
+    assert d["http"]["request"]["method"] == "GET"
+    assert d["http"]["response"]["status_code"] == 200
+    assert d["http"]["response"]["mime_type"] == "text/html"
+    assert d["http"]["version"] == "1.1"
+    assert d["network"]["protocol"] == "http"
+    assert d["source"]["ip"] == "203.0.113.7"
+    assert d["source"]["as"]["number"] == 13335
+    assert d["source"]["geo"]["country_iso_code"] == "us"
+    assert d["destination"]["ip"] == "10.1.2.3"
+    # TLSv1.2 -> version_protocol tls, version 1.2
+    assert d["tls"]["version_protocol"] == "tls"
+    assert d["tls"]["version"] == "1.2"
+    # parse_user_agent! (woothee-shaped)
+    assert d["user_agent"]["browser"]["family"] == "Chrome"
+    assert d["user_agent"]["os"]["family"].startswith("Windows")
+    # referer parse_url -> .url
+    assert d["url"]["domain"] == "www.example.com"
+    assert d["url"]["original"] == "https://www.example.com/a?q=1"
+    assert d["url"]["query"] == "q=1"
+    assert set(d["related"]["ip"]) == {"203.0.113.7", "10.1.2.3"}
+    assert d["related"]["hash"] == ["d" * 32]
+    assert cf["ray"]["id"] == "87abc0123"
+    assert cf["cache"]["status"] == "hit"
+
+
+# ---------------------------------------------------------------- duo
+
+
+def test_duo_auth_full_transform_verbatim(spark):
+    event = {
+        "timestamp": 1714557600,
+        "result": "success",
+        "reason": "user_approved",
+        "factor": "duo_push",
+        "event_type": "authentication",
+        "txid": "tx-1",
+        "access_device": {
+            "hostname": None,
+            "ip": "203.0.113.7:8443",
+            "browser": "Chrome",
+            "os": "Windows",
+            "location": {"city": "Ann Arbor", "country": "United States"},
+        },
+        "auth_device": {
+            "ip": "198.51.100.4",
+            "name": "+1 555 0100",
+            "location": {"city": "Ann Arbor", "country": "United States"},
+        },
+        "application": {"key": "appkey", "name": "Example App"},
+        "user": {"key": "ukey", "name": "alice", "groups": ["staff"]},
+        "email": "alice@example.com",
+    }
+    d = _run(spark, "duo/tables/auth.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 5, 1, 10, 0, 0)
+    assert d["event"]["outcome"] == "success"
+    assert d["event"]["reason"] == "user_approved"
+    assert "authentication" in d["event"]["category"]
+    # ip:port grok split
+    assert d["source"]["ip"] == "203.0.113.7"
+    assert d["source"]["port"] == 8443
+    assert d["duo"]["auth"]["auth_device"]["ip"] == "198.51.100.4"
+    assert d["duo"]["auth"]["application"]["name"] == "Example App"
+
+
+# ------------------------------------------------------------- github
+
+
+def test_github_audit_full_transform_verbatim(spark):
+    event = {
+        "@timestamp": 1714557600123,
+        "created_at": 1714557600123,
+        "_document_id": "doc-1",
+        "action": "team.add_member",
+        "actor": "it-admin",
+        "user": "newbie",
+        "org": "example-org",
+        "team": "example-org/platform",
+        "actor_ip": "203.0.113.5",
+        "actor_location": {"country_code": "US"},
+        "data": {"email": "newbie@example.com"},
+        "operation_type": "create",
+    }
+    d = _run(spark, "github_audit/log_source.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 5, 1, 10, 0, 0, 123000)
+    ev = d["event"]
+    assert ev["action"] == "team.add_member"
+    assert ev["id"] == "doc-1"
+    assert {"configuration", "web", "iam"} <= set(ev["category"])
+    # team.* -> group+user types; "add" -> creation
+    assert {"group", "user", "creation"} <= set(ev["type"])
+    assert d["user"]["name"] == "it-admin"
+    assert d["user"]["target"]["name"] == "newbie"
+    assert d["user"]["target"]["group"]["name"] == "example-org/platform"
+    assert d["group"]["name"] == "example-org/platform"
+    assert d["github"]["category"] == "team"
+    assert d["github"]["org"] == "example-org"
+    assert d["client"]["ip"] == "203.0.113.5"
+    assert d["client"]["geo"]["country_iso_code"] == "US"
+    assert set(d["related"]["user"]) == {"it-admin", "newbie"}
+
+
+# --------------------------------------------------------------- snyk
+
+
+def test_snyk_audit_full_transform_verbatim(spark):
+    event = {
+        "groupId": "group-1",
+        "orgId": "org-1",
+        "projectId": "proj-1",
+        "userId": "user-1",
+        "event": "org.project.test",
+        "created": 1714557600,
+        "content": {"after": {"name": "api"}, "action": "test"},
+    }
+    d = _run(spark, "snyk/tables/audit.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 5, 1, 10, 0, 0)
+    assert d["event"]["action"] == "org.project.test"
+    assert d["user"]["id"] == "user-1"
+    assert d["user"]["group"]["id"] == "group-1"
+    sa = d["snyk"]["audit"]
+    assert sa["org_id"] == "org-1"
+    assert sa["project_id"] == "proj-1"
+    assert json.loads(sa["content"]) == {
+        "after": {"name": "api"},
+        "action": "test",
+    }
+    # consumed fields deleted from the snyk.audit remainder
+    assert "created" not in sa and "event" not in sa and "userId" not in sa
+
+
+# -------------------------------------------------------- onepassword
+
+
+def test_onepassword_signin_attempts_full_transform_verbatim(spark):
+    event = {
+        "uuid": "evt-1",
+        "timestamp": 1714557600,
+        "category": "success",
+        "type": "credentials_ok",
+        "country": "US",
+        "target_user": {
+            "uuid": "u-1",
+            "name": "Alice Doe",
+            "email": "alice@example.com",
+        },
+        "client": {
+            "app_name": "1Password Browser Extension",
+            "app_version": "20240501",
+            "ip_address": "203.0.113.7",
+            "os_name": "MacOSX",
+            "os_version": "14.4",
+            "platform_name": "Chrome",
+        },
+    }
+    d = _run(spark, "onepassword/tables/signin_attempts.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 5, 1, 10, 0, 0)
+    assert d["event"]["action"] == "success"
+    assert d["event"]["outcome"] == "success"
+    assert d["event"]["category"] == ["authentication"]
+    assert d["user"]["id"] == "u-1"
+    assert d["user"]["full_name"] == "Alice Doe"
+    assert d["user"]["email"] == "alice@example.com"
+    assert d["os"]["name"] == "MacOSX"
+    assert d["os"]["version"] == "14.4"
+    assert d["source"]["ip"] == "203.0.113.7"
+    assert {"u-1", "Alice Doe", "alice@example.com"} <= set(
+        d["related"]["user"]
+    )
+    assert "203.0.113.7" in d["related"]["ip"]
+
+
+# ------------------------------------------------------------ teleport
+
+
+def test_teleport_audit_full_transform_verbatim(spark):
+    event = {
+        "time": "2024-05-01T10:00:00Z",
+        "event": "session.start",
+        "uid": "sess-uid-1",
+        "code": "T2000I",
+        "success": True,
+        "user": "alice",
+        "login": "root",
+        "server_hostname": "node-1",
+        "server_id": "srv-1",
+        "cluster_name": "teleport.example.com",
+        "sid": "sid-1",
+        "namespace": "default",
+        "proto": "ssh",
+        "addr.remote": "203.0.113.7:50000",
+    }
+    d = _run(spark, "teleport/tables/audit.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 5, 1, 10, 0, 0)
+    ev = d["event"]
+    assert ev["action"] == "session.start"
+    assert ev["id"] == "sess-uid-1"
+    assert ev["code"] == "T2000I"
+    assert ev["outcome"] == "success"
+    assert "session" in ev["category"]
+    assert "start" in ev["type"]
+    assert d["source"]["user"]["name"] == "alice"
+    assert d["destination"]["user"]["name"] == "root"
+    assert d["host"]["hostname"] == "node-1"
+    assert d["teleport"]["cluster_name"] == "teleport.example.com"
+    assert d["teleport"]["sid"] == "sid-1"
+
+
+# ----------------------------------------------------------------- waf
+
+
+def test_aws_waf_full_transform_verbatim(spark):
+    event = {
+        "timestamp": 1714557600123,
+        "action": "BLOCK",
+        "webaclId": (
+            "arn:aws:wafv2:us-east-1:111122223333:regional/webacl/acl-1/guid-1"
+        ),
+        "terminatingRuleId": "rate-limit-rule",
+        "terminatingRuleType": "RATE_BASED",
+        "httpSourceName": "ALB",
+        "httpSourceId": "app/my-alb/abc",
+        "httpRequest": {
+            "clientIp": "203.0.113.7",
+            "country": "US",
+            "httpMethod": "POST",
+            "httpVersion": "HTTP/1.1",
+            "uri": "/login",
+            "args": "a=1",
+            "requestId": "req-1",
+            "headers": [{"name": "Host", "value": "shop.example.com"}],
+        },
+        "labels": [{"name": "awswaf:ratelimit"}],
+    }
+    d = _run(spark, "aws_waf/log_source.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 5, 1, 10, 0, 0, 123000)
+    ev = d["event"]
+    assert ev["action"] == "BLOCK"
+    assert {"access", "denied"} <= set(ev["type"])
+    assert d["cloud"]["provider"] == "aws"
+    assert d["cloud"]["account"]["id"] == "111122223333"
+    assert d["cloud"]["region"] == "us-east-1"
+    assert d["cloud"]["service"]["name"] == "wafv2"
+    assert d["aws"]["waf"]["id"] == "regional/webacl/acl-1/guid-1"
+    assert d["aws"]["waf"]["source"]["name"] == "ALB"
+    assert d["http"]["request"]["method"] == "POST"
+    assert d["http"]["version"] == "1.1"
+    assert d["network"]["protocol"] == "http"
+    assert d["network"]["transport"] == "tcp"
+    assert d["source"]["ip"] == "203.0.113.7"
+    assert d["source"]["geo"]["country_iso_code"] == "US"
+    assert d["rule"]["id"] == "rate-limit-rule"
+    assert d["rule"]["ruleset"] == "RATE_BASED"
+    assert d["url"]["path"] == "/login"
+    assert d["url"]["query"] == "a=1"
+    assert d["tags"] == ["awswaf:ratelimit"]
+    assert d["related"]["ip"] == ["203.0.113.7"]
+
+
+# ------------------------------------------------------------ inspector
+
+
+def test_aws_inspector_full_transform_verbatim(spark):
+    event = {
+        "updatedAt": "2024-05-01T10:00:00Z",
+        "firstObservedAt": "2024-04-01T00:00:00Z",
+        "lastObservedAt": "2024-05-01T10:00:00Z",
+        "awsAccountId": "111122223333",
+        "description": "CVE-2024-1234 affects openssl",
+        "severity": "HIGH",
+        "findingArn": "arn:aws:inspector2:us-east-1:111122223333:finding/f-1",
+        "fixAvailable": "YES",
+        "inspectorScore": 8.1,
+        "networkReachabilityDetails": {"protocol": "TCP"},
+        "packageVulnerabilityDetails": {
+            "vulnerabilityId": "CVE-2024-1234",
+            "referenceUrls": [
+                "https://example.com/adv-1",
+                "https://example.com/adv-2",
+            ],
+        },
+        "resources": [
+            {
+                "id": "i-0abc",
+                "type": "AWS_EC2_INSTANCE",
+                "region": "us-east-1",
+                "details": {
+                    "awsEc2Instance": {
+                        "imageId": "ami-1",
+                        "ipV4Addresses": ["10.0.0.5", "203.0.113.44"],
+                        "ipV6Addresses": [],
+                        "launchedAt": "2024-01-01T00:00:00Z",
+                        "subnetId": "subnet-1",
+                        "type": "t3.micro",
+                        "vpcId": "vpc-1",
+                    }
+                },
+            }
+        ],
+    }
+    d = _run(spark, "aws_inspector/log_source.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime(2024, 5, 1, 10, 0, 0)
+    assert d["cloud"]["provider"] == "aws"
+    assert d["cloud"]["account"]["id"] == "111122223333"
+    assert d["message"] == "CVE-2024-1234 affects openssl"
+    ai = d["aws"]["inspector"]
+    assert ai["severity"] == "HIGH"
+    assert ai["fix_available"] == "YES"
+    assert ai["inspector_score"] == 8.1
+    assert ai["finding_arn"].endswith("finding/f-1")
+    assert d["network"]["transport"] == "tcp"
+    assert d["vulnerability"]["id"] == "CVE-2024-1234"
+    assert d["vulnerability"]["reference"] == (
+        "https://example.com/adv-1,https://example.com/adv-2"
+    )
+    # resources closure: ec2 details remapped, ips accumulated
+    res = d["aws"]["inspector"]["resources"][0]
+    assert res["details"]["aws"]["ec2_instance"]["image_id"] == "ami-1"
+    assert res["details"]["aws"]["ec2_instance"]["vpc_id"] == "vpc-1"
+    assert d["cloud"]["region"] == "us-east-1"
+    assert set(d["related"]["ip"]) == {"10.0.0.5", "203.0.113.44"}
