@@ -41,6 +41,8 @@ def sniff_mime(data: bytes) -> str | None:
         return "audio/wav"
     if data[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if data[:6] in GIF_SIGS:
+        return "image/gif"
     return None
 
 

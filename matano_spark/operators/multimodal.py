@@ -9,15 +9,16 @@ Binary payloads never enter expressions — they flow scan → Arrow batch
 actually needs the bytes, and partitioning follows the id column like
 any other table.
 
-Image (PNG) and audio (WAV) kernels are REAL, pure-stdlib codecs
-(operators/media_codecs.py: zlib inflate + PNG filter reconstruction,
-wave/PCM unpack) — fake=True swaps in a deterministic pseudo-decoder
-for plumbing tests that don't want to construct valid media bytes.
-Video frame extraction stays a stub (no stdlib video codec exists):
-`decode_frames` raises NotImplementedError unless fake=True."""
+Image (PNG), audio (WAV) and video-frame (animated GIF) kernels are
+REAL, pure-stdlib codecs (operators/media_codecs.py: zlib inflate +
+PNG filter reconstruction, wave/PCM unpack, GIF LZW + GIF89a
+disposal compositing) — fake=True swaps in a deterministic
+pseudo-decoder for plumbing tests that don't want to construct valid
+media bytes."""
 
 from __future__ import annotations
 
+import bisect
 import hashlib
 from typing import Iterator
 
@@ -164,36 +165,69 @@ def decode_frames(
 ) -> DataFrame:
     """Frame decode: media struct → one row per sampled frame.
 
-    Real frame extraction needs a video library not in this container —
-    STUBBED. fake=True derives each frame's checksum from
-    (payload digest, offset) so cardinality, ordering, and batch shape
-    are all real and testable. Cardinality-CHANGING mapInPandas: one
-    input row yields ceil(duration/every_ms) output rows.
+    Real path (default): pure-stdlib animated-GIF decode
+    (media_codecs.gif_decode_frames — LZW, interlace, full GIF89a
+    disposal/transparency compositing). Per-frame delays build the
+    timeline; each sample offset (0, every_ms, ...) checksums the
+    COMPOSITED canvas visible at that instant, so the hash proves the
+    disposal model ran, not a header peek. Undecodable payloads yield
+    one sideline row (null checksum) — never task-fatal. fake=True
+    keeps the deterministic pseudo-decoder (checksum from payload
+    digest + offset) for plumbing tests that don't want to construct
+    valid media bytes. Cardinality-CHANGING mapInPandas: one input
+    row yields ceil(duration/every_ms) output rows.
     """
-    if not fake:
-        raise NotImplementedError(
-            "frame decode requires a video library; run with fake=True "
-            "to exercise the pipeline with the deterministic stub"
-        )
 
     def run(batches) -> Iterator:
         import pandas as pd
 
+        from matano_spark.operators.media_codecs import (
+            MediaDecodeError,
+            gif_decode_frames,
+        )
+
         for pdf in batches:
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
+
+            def emit(id_, i, off, checksum):
+                out["id"].append(int(id_))
+                out["frame_idx"].append(i)
+                out["offset_ms"].append(off)
+                out["frame_checksum"].append(checksum)
+
             for id_, media in zip(pdf["id"], pdf["media"]):
                 data = bytes(media["data"]) if media["data"] is not None else b""
                 digest = hashlib.md5(data).hexdigest()
-                dur = media["meta"]["duration_ms"] or 0
-                n = max(1, -(-int(dur) // every_ms)) if dur > 0 else 1
-                for i in range(n):
-                    off = i * every_ms
-                    out["id"].append(int(id_))
-                    out["frame_idx"].append(i)
-                    out["offset_ms"].append(off)
-                    out["frame_checksum"].append(
-                        hashlib.md5(f"{digest}:{off}".encode()).hexdigest()
-                    )
+                if fake:
+                    dur = media["meta"]["duration_ms"] or 0
+                    n = max(1, -(-int(dur) // every_ms)) if dur > 0 else 1
+                    for i in range(n):
+                        off = i * every_ms
+                        emit(
+                            id_, i, off,
+                            hashlib.md5(f"{digest}:{off}".encode()).hexdigest(),
+                        )
+                    continue
+                try:
+                    starts, sums = [], []
+                    t = 0
+                    for _idx, delay_ms, canvas in gif_decode_frames(data):
+                        starts.append(t)
+                        sums.append(hashlib.md5(canvas.tobytes()).hexdigest())
+                        t += max(0, int(delay_ms))
+                    if not sums:
+                        raise MediaDecodeError("GIF with no frames")
+                except (MediaDecodeError, IndexError, ValueError):
+                    emit(id_, 0, 0, None)  # sideline row
+                    continue
+                total = t
+                offsets = (
+                    range(0, total, every_ms) if total > 0 else [0]
+                )
+                for i, off in enumerate(offsets):
+                    # frame visible at `off`: last start <= off
+                    j = max(0, bisect.bisect_right(starts, off) - 1)
+                    emit(id_, i, off, sums[j])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, FRAME_SCHEMA)

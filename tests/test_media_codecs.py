@@ -194,3 +194,92 @@ def test_spark_decode_audio_features_real(spark):  # noqa: F811
     assert rows[1]["peak"] == 1000
     assert rows[1]["rms"] == pytest.approx(1000.0)
     assert rows[2]["sample_rate"] is None
+
+
+# -- GIF: codec roundtrip + the real Spark frame-decode path ----------
+
+
+def _animated_gif():
+    """3-frame 4x4 animated GIF: solid red -> green -> blue, delays
+    200/300/500 ms, built by our encoder (decode independence is
+    covered by the disposal/interlace goldens below)."""
+    from matano_spark.operators.media_codecs import gif_encode
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 0, 0]], dtype=np.uint8
+    )
+    frames = [np.full((4, 4), i, dtype=np.uint8) for i in range(3)]
+    return gif_encode(frames, palette, delays_ms=[200, 300, 500]), palette
+
+
+def test_gif_roundtrip_frames_and_delays():
+    from matano_spark.operators.media_codecs import gif_decode_frames
+
+    data, palette = _animated_gif()
+    assert sniff_mime(data) == "image/gif"
+    frames = list(gif_decode_frames(data))
+    assert [(i, d) for i, d, _ in frames] == [(0, 200), (1, 300), (2, 500)]
+    for i, _, canvas in frames:
+        assert canvas.shape == (4, 4, 3)
+        np.testing.assert_array_equal(canvas, np.tile(palette[i], (4, 4, 1)))
+
+
+def test_gif_disposal_restore_background():
+    """Hand-assembled 2-frame GIF: frame 2 is a 1x1 sub-rectangle with
+    disposal=2 on frame 1 — compositing must overlay, not replace."""
+    from matano_spark.operators.media_codecs import (
+        _gif_lzw_encode,
+        gif_decode_frames,
+    )
+
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    out += bytes([255, 0, 0, 0, 255, 0])  # GCT: red, green (depth 1)
+    for left, top, w, h, idx_bytes, disposal in (
+        (0, 0, 2, 2, bytes([0, 0, 0, 0]), 1),  # full red frame, keep
+        (1, 1, 1, 1, bytes([1]), 2),  # green dot bottom-right
+    ):
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", disposal << 2, 10, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        lzw = _gif_lzw_encode(2, idx_bytes)
+        out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    frames = list(gif_decode_frames(bytes(out)))
+    assert len(frames) == 2
+    np.testing.assert_array_equal(
+        frames[0][2], np.tile([255, 0, 0], (2, 2, 1)).astype(np.uint8)
+    )
+    f2 = frames[1][2]
+    np.testing.assert_array_equal(f2[1, 1], [0, 255, 0])  # the dot
+    np.testing.assert_array_equal(f2[0, 0], [255, 0, 0])  # red kept
+
+
+def test_spark_decode_frames_real_gif(spark):  # noqa: F811
+    """decode_frames default path: timeline-sampled composited-canvas
+    checksums from a real animated GIF; undecodable bytes sideline."""
+    from matano_spark.operators.media_codecs import gif_decode_frames
+    from matano_spark.operators.multimodal import decode_frames
+
+    data, palette = _animated_gif()
+    expected = {
+        i: hashlib.md5(canvas.tobytes()).hexdigest()
+        for i, _, canvas in gif_decode_frames(data)
+    }
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"not a gif"))],
+        "doc_id long, payload binary",
+    )
+    media = attach_binary_column(df, "doc_id", "payload", "image/gif")
+    rows = sorted(
+        decode_frames(media, every_ms=250).collect(),
+        key=lambda r: (r.id, r.frame_idx),
+    )
+    g1 = [r for r in rows if r.id == 1]
+    # timeline: f0 [0,200), f1 [200,500), f2 [500,1000) -> samples at
+    # 0,250,500,750 see frames 0,1,2,2
+    assert [r.offset_ms for r in g1] == [0, 250, 500, 750]
+    assert [r.frame_checksum for r in g1] == [
+        expected[0], expected[1], expected[2], expected[2],
+    ]
+    side = [r for r in rows if r.id == 2]
+    assert len(side) == 1 and side[0].frame_checksum is None
