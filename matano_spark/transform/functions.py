@@ -1590,54 +1590,170 @@ def _parse_ua(args, kw):
     managed ymls use — cloudflare firewall_event.yml:244,
     http_request.yml:515, okta system.yml:387): woothee-shaped
     {browser:{family,version}, device:{category}, os:{family,version}}.
-    The classifier is a pure Column when-chain compiled from the
-    public woothee ruleset's dominant families (uap-core's
-    regexes.yaml is not available offline — documented divergence for
-    long-tail UAs); common tool agents (curl/wget/python/Go/aws-cli)
-    additionally classify as category 'misc' rather than woothee's
-    UNKNOWN, since security pipelines key on them."""
+
+    The classifier is a pure Column when-chain following woothee's
+    classification order — crawler → appliance/console → Japanese
+    feature phone → browser(+os) → tool — over the families in the
+    public woothee ruleset: the Googlebot sub-family, ~30 named
+    crawlers/previewers with a generic spider fallback, game consoles
+    (PlayStation/Nintendo/Xbox → category 'appliance'), carrier
+    feature phones (docomo/au/SoftBank/WILLCOM → 'mobilephone'),
+    Windows Phone + BlackBerry smartphones, 14 browser engines, and
+    the long tail of HTTP client tools. The woothee dataset itself is
+    not available offline, so long-tail entries woothee names
+    specifically may classify under the generic fallbacks here
+    (documented divergence); tool agents classify as category 'misc'
+    rather than woothee's UNKNOWN, since security pipelines key on
+    them."""
     c = _c(args[0])
     is_ios = c.rlike("iPhone|iPad|iPod")
     is_android = c.contains("Android")
-    crawler = c.rlike(
-        "Googlebot|bingbot|Slurp|DuckDuckBot|Baiduspider|YandexBot"
-        "|AhrefsBot|SemrushBot|facebookexternalhit|[Ss]pider|[Cc]rawler"
+    is_winphone = c.contains("Windows Phone")
+    is_bb = c.rlike("BlackBerry|BB10")
+
+    # -- crawlers (woothee: challenge_google then challenge_crawlers) --
+    crawler_name = (
+        F.when(c.contains("compatible; Googlebot-Mobile"), "Googlebot Mobile")
+        .when(c.rlike("compatible; Googlebot|Googlebot[-/]"), "Googlebot")
+        .when(c.contains("Mediapartners-Google"), "Googlebot Mediapartners")
+        .when(c.contains("AdsBot-Google"), "AdsBot-Google")
+        .when(c.contains("Feedfetcher-Google"), "Google Feedfetcher")
+        .when(c.contains("AppEngine-Google"), "Google AppEngine")
+        .when(c.contains("Google Web Preview"), "Google Web Preview")
+        .when(c.contains("Google-InspectionTool"), "Google-InspectionTool")
+        .when(c.contains("GoogleOther"), "GoogleOther")
+        .when(c.contains("Storebot-Google"), "Storebot-Google")
+        .when(c.contains("Yahoo! Slurp"), "Yahoo! Slurp")
+        .when(c.contains("bingbot"), "bingbot")
+        .when(c.contains("BingPreview"), "BingPreview")
+        .when(c.contains("msnbot"), "msnbot")
+        .when(c.contains("Baiduspider"), "Baiduspider")
+        .when(c.contains("YandexBot"), "YandexBot")
+        .when(c.contains("DuckDuckBot"), "DuckDuckBot")
+        .when(c.contains("Applebot"), "Applebot")
+        .when(c.contains("Yeti/"), "Yeti")
+        .when(c.contains("SeznamBot"), "SeznamBot")
+        .when(c.rlike("Sogou (?:web|News) [Ss]pider"), "Sogou spider")
+        .when(c.contains("Exabot"), "Exabot")
+        .when(c.contains("facebookexternalhit"), "facebookexternalhit")
+        .when(c.contains("Twitterbot"), "Twitterbot")
+        .when(c.contains("Slackbot"), "Slackbot")
+        .when(c.contains("Slack-ImgProxy"), "Slack-ImgProxy")
+        .when(c.contains("LinkedInBot"), "LinkedInBot")
+        .when(c.contains("Discordbot"), "Discordbot")
+        .when(c.contains("TelegramBot"), "TelegramBot")
+        .when(c.contains("WhatsApp/"), "WhatsApp")
+        .when(c.contains("SemrushBot"), "SemrushBot")
+        .when(c.contains("AhrefsBot"), "AhrefsBot")
+        .when(c.contains("MJ12bot"), "MJ12bot")
+        .when(c.contains("DotBot"), "DotBot")
+        .when(c.contains("PetalBot"), "PetalBot")
+        .when(c.contains("Bytespider"), "Bytespider")
+        .when(c.contains("GPTBot"), "GPTBot")
+        .when(c.contains("CCBot"), "CCBot")
+        .when(c.rlike("ia_archiver|archive\\.org_bot"), "Internet Archive")
+        .when(c.contains("Pingdom"), "Pingdom")
+        .when(c.contains("UptimeRobot"), "UptimeRobot")
+        .when(c.contains("FeedBurner/"), "FeedBurner")
+        .when(c.contains("Hatena"), "Hatena")
+        .when(c.contains("ichiro/"), "ichiro")
+        # generic fallback, woothee challenge_etc shape
+        .when(c.rlike("[Ss]pider|[Cc]rawler|[Bb]ot[/; )]|[Bb]ot$"), "misc crawler")
     )
+    crawler = crawler_name.isNotNull()
+
+    # -- appliances / consoles (checked before browsers: several emit
+    #    WebKit tokens that would otherwise fall through to Safari) --
+    appliance_name = (
+        F.when(c.contains("Nintendo Switch"), "Nintendo Switch")
+        .when(c.contains("Nintendo 3DS"), "Nintendo 3DS")
+        .when(c.contains("Nintendo DSi"), "Nintendo DSi")
+        .when(c.contains("Nintendo WiiU"), "Nintendo Wii U")
+        .when(c.contains("Nintendo Wii"), "Nintendo Wii")
+        .when(c.contains("PlayStation 5"), "PlayStation 5")
+        .when(c.contains("PlayStation 4"), "PlayStation 4")
+        .when(c.rlike("PL[Aa][Yy]STATION 3"), "PlayStation 3")
+        .when(c.contains("PlayStation Vita"), "PlayStation Vita")
+        .when(c.contains("PlayStation Portable"), "PSP")
+        .when(c.contains("Xbox"), "Xbox")
+        .when(c.rlike("InettvBrowser|AQUOSBrowser|SmartTV|SMART-TV"), "Digital TV")
+    )
+    appliance = appliance_name.isNotNull()
+    appliance_version = _rex(c, r"(?:PlayStation [45a-zA-Z]*|STATION 3|Nintendo [3A-Za-z]+)[ ;/]+([0-9][0-9.]+)")
+
+    # -- Japanese carrier feature phones (woothee 'mobilephone') --
+    mobile_name = (
+        F.when(c.rlike("^DoCoMo|DoCoMo/"), "docomo")
+        .when(c.rlike("^KDDI-|UP\\.Browser"), "au by KDDI")
+        .when(c.rlike("^SoftBank|^Vodafone|^J-PHONE"), "SoftBank")
+        .when(c.rlike("WILLCOM|DDIPOCKET"), "WILLCOM")
+    )
+    mobilephone = mobile_name.isNotNull()
+
+    # -- tools (woothee 'misc') --
     tool = _rex(
         c,
-        r"^(curl|Wget|wget|aws-cli|python-requests|Python-urllib"
-        r"|Go-http-client|okhttp|Java|libwww-perl)[/ ]",
+        r"^(curl|Wget|wget|aws-cli|aws-sdk-[a-z]+|python-requests|python-httpx"
+        r"|Python-urllib|Go-http-client|okhttp|Java|libwww-perl"
+        r"|Apache-HttpClient|axios|node-fetch|undici|Scrapy|PostmanRuntime"
+        r"|insomnia|HTTPie|Ruby|Faraday|GuzzleHttp|Dart|PHP|Typhoeus"
+        r"|Jakarta Commons-HttpClient|WinHttp\.WinHttpRequest)[/ .0-9]",
     )
+
     browser_family = (
-        F.when(crawler, _rex(c, r"(Googlebot|bingbot|Slurp|DuckDuckBot|Baiduspider|YandexBot|AhrefsBot|SemrushBot)"))
+        F.when(crawler, crawler_name)
+        .when(appliance, appliance_name)
+        .when(mobilephone, mobile_name)
         .when(tool.isNotNull(), tool)
         .when(c.rlike("Edge?/|EdgA/|EdgiOS/"), "Edge")
         .when(c.rlike("OPR/|Opera"), "Opera")
         .when(c.contains("Vivaldi/"), "Vivaldi")
         .when(c.contains("YaBrowser/"), "Yandex Browser")
+        .when(c.contains("SamsungBrowser/"), "Samsung Internet")
+        .when(c.contains("Whale/"), "Whale")
+        .when(c.contains("Sleipnir/"), "Sleipnir")
+        .when(c.rlike("UCBrowser/|UCWEB/"), "UC Browser")
+        .when(c.rlike("QQBrowser"), "QQBrowser")
+        .when(c.contains("Silk/"), "Silk")
         .when(c.rlike("FxiOS/"), "Firefox")
         .when(c.rlike("CriOS/"), "Chrome")
         .when(c.contains("Chromium/"), "Chromium")
         .when(c.contains("Chrome/"), "Chrome")
         .when(c.contains("Firefox/"), "Firefox")
+        .when(is_winphone & c.contains("IEMobile"), "Internet Explorer")
         .when(c.rlike("MSIE |Trident/"), "Internet Explorer")
+        .when(is_bb, "BlackBerry")
         .when(c.contains("Safari/"), "Safari")
     )
     browser_version = (
-        F.when(c.rlike("Edge?/|EdgA/|EdgiOS/"), _rex(c, r"(?:Edge|Edg|EdgA|EdgiOS)/([0-9.]+)"))
+        F.when(crawler | mobilephone, F.lit(None).cast("string"))
+        .when(appliance, appliance_version)
+        .when(tool.isNotNull(), _rex(c, r"^[^/ ]+/([0-9][0-9.a-z]*)"))
+        .when(c.rlike("Edge?/|EdgA/|EdgiOS/"), _rex(c, r"(?:Edge|Edg|EdgA|EdgiOS)/([0-9.]+)"))
         .when(c.contains("OPR/"), _rex(c, r"OPR/([0-9.]+)"))
         .when(c.contains("Vivaldi/"), _rex(c, r"Vivaldi/([0-9.]+)"))
         .when(c.contains("YaBrowser/"), _rex(c, r"YaBrowser/([0-9.]+)"))
+        .when(c.contains("SamsungBrowser/"), _rex(c, r"SamsungBrowser/([0-9.]+)"))
+        .when(c.contains("Whale/"), _rex(c, r"Whale/([0-9.]+)"))
+        .when(c.contains("Sleipnir/"), _rex(c, r"Sleipnir/([0-9.]+)"))
+        .when(c.rlike("UCBrowser/|UCWEB/"), _rex(c, r"(?:UCBrowser|UCWEB)/([0-9.]+)"))
+        .when(c.contains("QQBrowser"), _rex(c, r"QQBrowser/([0-9.]+)"))
+        .when(c.contains("Silk/"), _rex(c, r"Silk/([0-9.]+)"))
         .when(c.rlike("CriOS/|Chromium/|Chrome/"), _rex(c, r"(?:CriOS|Chromium|Chrome)/([0-9.]+)"))
         .when(c.rlike("FxiOS/|Firefox/"), _rex(c, r"(?:FxiOS|Firefox)/([0-9.]+)"))
+        .when(is_winphone & c.contains("IEMobile"), _rex(c, r"IEMobile/([0-9.]+)"))
         .when(c.contains("MSIE "), _rex(c, r"MSIE ([0-9.]+)"))
         .when(c.contains("Trident/"), _rex(c, r"rv:([0-9.]+)"))
+        .when(is_bb, _rex(c, r"Version/([0-9.]+)"))
         .when(c.contains("Safari/"), _rex(c, r"Version/([0-9.]+)"))
-        .when(tool.isNotNull(), _rex(c, r"^[^/ ]+/([0-9][0-9.a-z]*)"))
     )
     nt = _rex(c, r"Windows NT ([0-9.]+)")
     os_family = (
-        F.when(is_ios & c.contains("iPad"), "iPad")
+        F.when(appliance, appliance_name)
+        .when(mobilephone, mobile_name)
+        .when(is_winphone, "Windows Phone OS")
+        .when(is_bb, "BlackBerry")
+        .when(is_ios & c.contains("iPad"), "iPad")
         .when(is_ios, "iPhone")
         .when(is_android, "Android")
         .when(
@@ -1648,6 +1764,7 @@ def _parse_ua(args, kw):
             .when(nt == "6.2", "Windows 8")
             .when(nt == "6.1", "Windows 7")
             .when(nt == "6.0", "Windows Vista")
+            .when(nt == "5.2", "Windows Server 2003")
             .when(nt == "5.1", "Windows XP")
             .when(nt == "5.0", "Windows 2000")
             .otherwise(F.concat(F.lit("Windows NT "), nt)),
@@ -1655,10 +1772,17 @@ def _parse_ua(args, kw):
         .when(c.contains("Mac OS X"), "Mac OSX")
         .when(c.contains("CrOS"), "ChromeOS")
         .when(c.contains("Linux"), "Linux")
-        .when(c.rlike("FreeBSD"), "FreeBSD")
+        .when(c.contains("FreeBSD"), "FreeBSD")
+        .when(c.contains("OpenBSD"), "OpenBSD")
+        .when(c.contains("NetBSD"), "NetBSD")
+        .when(c.contains("SunOS"), "Solaris")
     )
     os_version = (
-        F.when(
+        F.when(appliance, appliance_version)
+        .when(mobilephone, F.lit(None).cast("string"))
+        .when(is_winphone, _rex(c, r"Windows Phone (?:OS )?([0-9.]+)"))
+        .when(is_bb, _rex(c, r"BlackBerry ?(?:[0-9]+)?/([0-9.]+)"))
+        .when(
             is_ios,
             F.replace(_rex(c, r"OS ([0-9_.]+) like"), F.lit("_"), F.lit(".")),
         )
@@ -1668,14 +1792,21 @@ def _parse_ua(args, kw):
             c.contains("Mac OS X"),
             F.replace(_rex(c, r"Mac OS X ([0-9_.]+)"), F.lit("_"), F.lit(".")),
         )
+        .when(c.contains("CrOS"), _rex(c, r"CrOS [^ ]+ ([0-9.]+)"))
     )
     category = (
         F.when(crawler, "crawler")
+        .when(appliance, "appliance")
+        .when(mobilephone, "mobilephone")
         .when(tool.isNotNull(), "misc")
-        .when(is_ios | is_android | c.rlike("FxiOS/|CriOS/|Mobile Safari"), "smartphone")
+        .when(
+            is_winphone | is_bb | is_ios | is_android
+            | c.rlike("FxiOS/|CriOS/|Mobile Safari"),
+            "smartphone",
+        )
         .when(
             nt.isNotNull()
-            | c.rlike("Mac OS X|CrOS|Linux|FreeBSD|Macintosh"),
+            | c.rlike("Mac OS X|CrOS|Linux|FreeBSD|OpenBSD|NetBSD|SunOS|Macintosh"),
             "pc",
         )
     )

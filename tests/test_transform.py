@@ -250,6 +250,97 @@ def test_parse_user_agent(spark):
     assert rows[7]["device"]["category"] == "crawler"
 
 
+def test_parse_user_agent_long_tail(spark):
+    """Extended woothee-order goldens: named crawler sub-families,
+    consoles ('appliance'), carrier feature phones ('mobilephone'),
+    Windows Phone / BlackBerry / Samsung Internet smartphones, and
+    HTTP-client tools — the UA shapes reachable from the reference's
+    suricata eve.yml:573 / cloudflare http_request.yml:515 paths."""
+    cases = [
+        # (ua, family, category, os_family)
+        (
+            "Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+            "bingbot", "crawler", None,
+        ),
+        (
+            "Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; "
+            "GPTBot/1.0; +https://openai.com/gptbot)",
+            "GPTBot", "crawler", None,
+        ),
+        (
+            "facebookexternalhit/1.1 (+http://www.facebook.com/externalhit_uatext.php)",
+            "facebookexternalhit", "crawler", None,
+        ),
+        (
+            "Mozilla/5.0 (compatible; SomethingNew/3.1; +http://x.example/info)",
+            None, None, None,  # unknown stays null, no false browser hit
+        ),
+        (
+            "ExampleCorp-Robot/2.0 (spider; admin@example.com)",
+            "misc crawler", "crawler", None,
+        ),
+        (
+            "Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/606.4 "
+            "(KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/5.1.0.20393",
+            "Nintendo Switch", "appliance", "Nintendo Switch",
+        ),
+        (
+            "Mozilla/5.0 (PlayStation 4 3.11) AppleWebKit/537.73 (KHTML, like Gecko)",
+            "PlayStation 4", "appliance", "PlayStation 4",
+        ),
+        (
+            "DoCoMo/2.0 P903i(c100;TB;W24H12)",
+            "docomo", "mobilephone", "docomo",
+        ),
+        (
+            "SoftBank/1.0/910T/TJ001/SN000000000000000 Browser/NetFront/3.3",
+            "SoftBank", "mobilephone", "SoftBank",
+        ),
+        (
+            "Mozilla/5.0 (compatible; MSIE 10.0; Windows Phone 8.0; Trident/6.0; "
+            "IEMobile/10.0; ARM; Touch; NOKIA; Lumia 920)",
+            "Internet Explorer", "smartphone", "Windows Phone OS",
+        ),
+        (
+            "Mozilla/5.0 (BB10; Touch) AppleWebKit/537.10+ (KHTML, like Gecko) "
+            "Version/10.0.9.2372 Mobile Safari/537.10+",
+            "BlackBerry", "smartphone", "BlackBerry",
+        ),
+        (
+            "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 "
+            "(KHTML, like Gecko) SamsungBrowser/21.0 Chrome/110.0.0.0 Mobile Safari/537.36",
+            "Samsung Internet", "smartphone", "Android",
+        ),
+        (
+            "PostmanRuntime/7.29.2",
+            "PostmanRuntime", "misc", None,
+        ),
+        (
+            "Apache-HttpClient/4.5.13 (Java/11.0.19)",
+            "Apache-HttpClient", "misc", None,
+        ),
+        (
+            "python-requests/2.28.1",
+            "python-requests", "misc", None,
+        ),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], ["ua"])
+    out = compile_pipeline([Assign("p", Fn("parse_user_agent", P("ua")))])(df)
+    rows = [r.asDict(recursive=True)["p"] for r in out.collect()]
+    for (ua, fam, cat, osf), got in zip(cases, rows):
+        assert got["browser"]["family"] == fam, (ua, got)
+        assert got["device"]["category"] == cat, (ua, got)
+        assert got["os"]["family"] == osf, (ua, got)
+    # version extraction spot checks
+    by_ua = dict(zip([u for u, *_ in cases], rows))
+    assert by_ua["PostmanRuntime/7.29.2"]["browser"]["version"] == "7.29.2"
+    assert (
+        by_ua[cases[6][0]]["os"]["version"] == "3.11"  # PS4 firmware
+    )
+    assert by_ua[cases[9][0]]["browser"]["version"] == "10.0"  # IEMobile
+    assert by_ua[cases[11][0]]["browser"]["version"] == "21.0"  # Samsung
+
+
 def test_misc_functions(spark):
     df = spark.createDataFrame([("Hello World", 12, 10)], ["s", "a", "b"])
     out = compile_pipeline(
