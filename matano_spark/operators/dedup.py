@@ -40,24 +40,37 @@ SIMHASH_A = [40503, 99991, 31337, 65537]
 SIMHASH_B = [11, 101, 1009, 10007]
 
 
-def shingles_from_words(
-    words_df: DataFrame, id_col: str, n: int = 3, words_col: str = "__ws"
-) -> DataFrame:
-    """Distinct n-word shingles from a pre-tokenized (id, words[])
-    relation — the shared core of word_shingles. Callers that need
-    several shingle sizes over the same corpus (curation composite:
-    minhash n=3 + decontamination n=8) tokenize ONCE and feed both."""
+from matano_spark.operators.skew import spread_partitions  # noqa: E402,F401
+
+
+def shingle_array(n: int = 3, words_col: str = "__ws") -> Column:
+    """Per-row array of DISTINCT n-word shingles from a words[] column
+    — pure map-side expression, the shared core of every shingle
+    consumer. Empty array when the doc has fewer than n words (the
+    guard matters: sequence(0, size-n) runs DESCENDING when size < n,
+    producing negative element_at indices = from-the-end reads)."""
     ws = F.col(words_col)
     idx = F.sequence(F.lit(0), F.size(ws) - n)
     mk = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
     )
-    return (
-        # Guard: sequence(0, size-n) runs DESCENDING when size < n,
-        # producing negative element_at indices (= from-the-end reads).
-        words_df.filter(F.size(ws) >= n)
-        .select(id_col, F.explode(F.transform(idx, mk)).alias("shingle"))
-        .distinct()
+    return F.when(F.size(ws) >= n, F.array_distinct(F.transform(idx, mk))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_from_words(
+    words_df: DataFrame, id_col: str, n: int = 3, words_col: str = "__ws"
+) -> DataFrame:
+    """Distinct n-word shingles from a pre-tokenized (id, words[])
+    relation — (id, shingle) rows. Distinctness is PER DOC and done
+    map-side (array_distinct before the explode), so this is a pure
+    generate — no distinct shuffle. Callers that need several shingle
+    sizes over the same corpus (curation composite: minhash n=3 +
+    decontamination n=8) tokenize ONCE and feed both."""
+    arr = shingle_array(n, words_col)
+    return words_df.filter(F.size(F.col(words_col)) >= n).select(
+        id_col, F.explode(arr).alias("shingle")
     )
 
 
@@ -116,6 +129,41 @@ def minhash_signatures(
         F.min(hashing.affine(h, i)).alias(f"m{i + 1}") for i in range(num_hashes)
     ]
     return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_from_words(
+    words_df: DataFrame,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+    words_col: str = "__ws",
+) -> DataFrame:
+    """MinHash signatures computed ENTIRELY map-side from a
+    pre-tokenized (id, words[]) relation: the per-doc shingle array is
+    built in-row, each shingle hashed once into a hash array, and all
+    k permutation minima fold over that array — zero shuffles, zero
+    exploded-relation materialization. Bit-identical to
+    minhash_signatures∘shingles_from_words (min over a doc's distinct
+    shingles), which stays for pre-exploded inputs (streaming probe).
+    Docs with fewer than n words are dropped, matching the exploded
+    path (they produced no shingle rows, hence no signature)."""
+    # Two projections: the shingle-hash array lands in a named column
+    # first, so the k minima read it by reference (CollapseProject
+    # keeps non-cheap expressions single-evaluated) instead of
+    # re-hashing every shingle per permutation.
+    hashed = words_df.filter(F.size(F.col(words_col)) >= n).select(
+        id_col,
+        F.transform(
+            shingle_array(n, words_col), lambda s: hashing.poly_hash(s)
+        ).alias("__shh"),
+    )
+    cols = [
+        F.array_min(
+            F.transform(F.col("__shh"), lambda h: hashing.affine(h, i))
+        ).alias(f"m{i + 1}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select(id_col, *cols)
 
 
 def band_keys(
@@ -236,31 +284,36 @@ def minhash_near_dups(
     `words_df` lets a composite pipeline share one tokenization pass
     (an already-checkpointed (id, __ws words[]) relation).
     """
-    if words_df is not None:
-        shingles = shingles_from_words(words_df, id_col).localCheckpoint()
-    else:
-        shingles = word_shingles(df, id_col, text_col).localCheckpoint()
+    if words_df is None:
+        words_df = spread_partitions(
+            df.select(id_col, F.split(F.col(text_col), " ").alias("__ws"))
+        ).localCheckpoint()
+    # Signatures are computed MAP-SIDE from the words array (per-doc
+    # shingle set + k permutation minima fold in-row): the corpus-wide
+    # exploded shingle relation is never built or shuffled here.
     # sigs feeds band_keys on BOTH sides of the candidate self-join;
-    # materializing avoids re-running the k-min aggregation per branch.
-    sigs = minhash_signatures(shingles, id_col).localCheckpoint()
+    # materializing avoids re-running the in-row fold per branch.
+    sigs = minhash_signatures_from_words(words_df, id_col).localCheckpoint()
     # cands feeds the id-set semi-join AND both sides of the verify
     # join — materialize, or the banded self-join re-runs per branch.
     cands = lsh_candidate_pairs(
         sigs, id_col, bucket_cap=bucket_cap
     ).localCheckpoint()
-    # Only candidate docs' shingles enter the verification join: at
-    # 100 TB the candidate set is a sliver of the corpus, so this
-    # semi-join keeps the O(corpus) shingle relation out of the
-    # pair-verification shuffle entirely (AQE broadcasts the id list
-    # when it is small). Results are identical — the restriction keeps
-    # every shingle of every candidate doc, so sizes and intersections
-    # are unchanged.
+    # Shingles explode ONLY for candidate docs: at 100 TB the
+    # candidate set is a sliver of the corpus, so the words→shingle
+    # generate (and the verification shuffle it feeds) touches that
+    # sliver, not O(corpus) — the semi-join runs on the compact words
+    # relation, before the row blowup (AQE broadcasts the id list when
+    # it is small). Results are identical: every shingle of every
+    # candidate doc survives, so sizes and intersections are unchanged.
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_shingles = shingles.join(cand_ids, id_col, "left_semi")
+    cand_shingles = shingles_from_words(
+        words_df.join(cand_ids, id_col, "left_semi"), id_col
+    )
     return jaccard_for_pairs(cand_shingles, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )

@@ -50,10 +50,15 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct().localCheckpoint(eager=True)
 
+    # Init fuses round-0 propagation: label := min(self, neighbors)
+    # straight out of the groupBy (sym is symmetric, so every node
+    # appears as `a`). Typical near-dup components (pairs/triples
+    # rooted at their min id) converge at init, so the loop's first
+    # round is already the zero-change confirmation pass.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nmin"))
+        .select("node", F.least("node", "nmin").alias("component"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):

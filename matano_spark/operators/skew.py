@@ -21,6 +21,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow relation up to the cluster's parallelism
+    before an expensive per-row stage. A small input (one parquet
+    split) otherwise pins every downstream map — a compiled transform
+    projection, shingle hashing, signature folds — to a single core;
+    at real scale the scan already has enough splits and this is a
+    no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

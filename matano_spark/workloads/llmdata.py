@@ -1761,7 +1761,9 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage SEMANTICS are the verified registry building blocks —
     # _decon_flags/_keep_status are the same code paths the standalone
     # queries run, just fed the shared words relation.
-    words = _words_of(docs).localCheckpoint()
+    # spread_partitions: a one-split parquet input would otherwise pin
+    # every downstream shingle/signature map to a single core.
+    words = D.spread_partitions(_words_of(docs)).localCheckpoint()
     decon = _decon_flags(docs, words)
     keep = _keep_status(docs, words)
     quality = REGISTRY["text_quality_score"].fn(spark, sf_dir)
