@@ -1852,6 +1852,8 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         prev_tombstones: set = set()
         cur_n = chunk_n
         trial: dict | str | None = None
+        grown_from: int | None = None
+        no_grow = False
         ci = 0
         while True:
             t0 = time.monotonic()
@@ -1991,7 +1993,20 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                     f"dt={dt:.2f}s",
                     flush=True,
                 )
-            # Self-tuning guard. Per-chunk driver cost has two parts:
+            # Self-tuning, both directions.
+            #
+            # GROWTH: most boundary cost is per-boundary reanalysis of
+            # the accumulated plan, so a program whose chunks compile
+            # FAST (okta: ~0.25 s at 12) wants FEWER boundaries —
+            # double the size while the previous full chunk stayed
+            # under the grow threshold. Growth is safe to probe
+            # because the blowup programs are superlinear ~4× per
+            # doubling: a chunk fast enough to pass the gate can cost
+            # at most a few seconds at 2×, and a grown chunk that
+            # comes in slow is rolled back (snapshot) and growth is
+            # banned for the rest of the program.
+            #
+            # SHRINK guard. Per-chunk driver cost has two parts:
             # (a) per-boundary reanalysis of the whole accumulated
             # plan — INDEPENDENT of chunk size (crowdstrike fdr:
             # ~4 s/boundary, so halving the size DOUBLES boundaries
@@ -2007,6 +2022,16 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             # eve 195 s → ~38 s (trial accepted), fdr stays within
             # ~1.2× of its fixed-12 time (trial rejected).
             if fixed_chunk is None:
+                if grown_from is not None and dt > slow_chunk_s:
+                    # growth probe backfired: roll back the grown
+                    # chunk, restore the proven size, stop probing
+                    out, carry, const_carry, prev_tombstones = snapshot
+                    remaining = list(chunk) + remaining
+                    cur_n = grown_from
+                    grown_from = None
+                    no_grow = True
+                    continue
+                grown_from = None
                 if (
                     trial is None
                     and cur_n > 6
@@ -2018,6 +2043,16 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                     out, carry, const_carry, prev_tombstones = snapshot
                     remaining = list(chunk) + remaining
                     continue
+                if (
+                    trial is None
+                    and not no_grow
+                    and cur_n < 48
+                    and len(chunk) == cur_n
+                    and len(remaining) > cur_n
+                    and dt < 0.25 * slow_chunk_s
+                ):
+                    grown_from = cur_n
+                    cur_n = min(cur_n * 2, 48)
                 if isinstance(trial, dict):
                     trial["cost"] += dt
                     trial["left"] -= len(chunk)

@@ -90,9 +90,17 @@ def _table_def(pack: str, table: str):
 
 def _through_pipeline(td, raw: DataFrame) -> DataFrame:
     """Run a synthesized raw frame through the pack pipeline, mirroring
-    pipeline._read_raw's parse step for json-with-input_fields packs."""
+    pipeline._read_raw's parse step for json-with-input_fields packs.
+
+    spread_partitions: the synthesized raw frame inherits the source
+    scan's split count (one small parquet file → ONE partition), which
+    would pin the compiled per-row transform — the expensive stage —
+    to a single core; at real scale the object listing already yields
+    thousands of splits and the spread is a no-op."""
+    from matano_spark.operators.skew import spread_partitions
     from matano_spark.schema.resolve import fields_to_structtype
 
+    raw = spread_partitions(raw)
     if td.ingest.get("input_fields") and "json" in raw.columns:
         schema = fields_to_structtype(td.ingest["input_fields"])
         raw = raw.select(F.from_json("json", schema).alias("r")).select("r.*")
