@@ -15,8 +15,15 @@ Supported subset (the common shape of public Sigma rules):
       field|cidr: 10.0.0.0/8     # IPv4 network containment
       field|gt/gte/lt/lte: n     # numeric compare
       field|base64[|contains]: v # value base64-encoded at compile time
+      field|base64offset[|contains]: v  # all 3 base64 alignments OR'd
+      field|utf16le|base64offset|contains: v  # (also utf16/utf16be/wide)
       field|windash[|contains]: v# -/ argument-dash variant expansion
+      field|contains|cased: v    # cased disables case-folding
+      field|exists: true         # field presence (non-null)
+      field|fieldref: other.field# compare against another event field
       field: [v1, v2]            # any-of (OR)
+    <selection-name>:            # list of scalars → keyword full-text
+      - keyword1                 # (contains over the row's JSON form)
     condition: selection1 and not selection2 | 1 of them | all of them
                | 1 of sel_* | all of sel_*
 
@@ -112,19 +119,84 @@ def _predicate(col: Column, modifier: str | None, value: Any) -> Column:
             ip.rlike(_IPV4_RE),
             _ipv4_to_long(ip).bitwiseAND(F.lit(mask)) == F.lit(base),
         )
-    if modifier == "base64" or modifier.startswith("base64|"):
+    if modifier == "exists":
+        # spec: `exists: true` matches when the field is present;
+        # against a fixed relational schema, presence = non-null.
+        want = value if isinstance(value, bool) else str(value).lower() == "true"
+        return col.isNotNull() if want else col.isNull()
+    if modifier in ("cased", "contains|cased", "startswith|cased", "endswith|cased"):
+        # spec: `cased` disables the default case-insensitive matching
+        s = col.cast("string")
+        v = str(value)
+        if modifier == "cased":
+            if _WILDCARD.search(v):
+                return s.rlike(_wildcard_to_regex(v))
+            return s == F.lit(v)
+        rest = modifier.split("|", 1)[0]
+        if rest == "contains":
+            return s.contains(v)
+        if rest == "startswith":
+            return s.startswith(v)
+        return s.endswith(v)
+    enc_prefix = None
+    base_mod = modifier
+    head = modifier.split("|", 1)[0]
+    if head in ("utf16le", "utf16be", "utf16", "wide"):
+        # spec: utf16* re-encode the VALUE's bytes and must be chained
+        # with a base64 modifier (the raw utf16 bytes are not
+        # representable as a match literal).
+        enc_prefix = head
+        if "|" not in modifier:
+            raise ValueError(
+                f"sigma modifier {head!r} must chain a base64 modifier"
+            )
+        base_mod = modifier.split("|", 1)[1]
+
+    def _value_bytes() -> bytes:
+        v = str(value)
+        if enc_prefix in ("utf16le", "wide"):
+            return v.encode("utf-16le")
+        if enc_prefix == "utf16be":
+            return v.encode("utf-16be")
+        if enc_prefix == "utf16":
+            return v.encode("utf-16")  # includes the BOM, per spec
+        return v.encode()
+
+    if base_mod == "base64" or base_mod.startswith("base64|"):
         # spec: base64 TRANSFORMS the value (encoded at compile time);
         # any chained modifier (e.g. base64|contains) then applies to
         # the encoded literal. base64 matching is case-SENSITIVE.
         import base64 as _b64
 
-        rest = modifier[len("base64|"):] if "|" in modifier else None
-        enc = _b64.b64encode(str(value).encode()).decode()
+        rest = base_mod[len("base64|"):] if "|" in base_mod else None
+        enc = _b64.b64encode(_value_bytes()).decode()
         if rest is None:
             return col.cast("string") == F.lit(enc)
         if rest == "contains":
             return col.cast("string").contains(enc)
         raise ValueError(f"unsupported sigma modifier chain {modifier!r}")
+    if base_mod == "base64offset" or base_mod.startswith("base64offset|"):
+        # spec: the value may start at any byte offset mod 3 inside
+        # the base64 stream — encode at the 3 alignments (filler bytes
+        # prepended, then the filler-tainted leading chars and the
+        # padding-tainted trailing chars cut) and OR the contains.
+        import base64 as _b64
+
+        rest = base_mod[len("base64offset|"):] if "|" in base_mod else None
+        if rest not in (None, "contains"):
+            raise ValueError(f"unsupported sigma modifier chain {modifier!r}")
+        raw = _value_bytes()
+        start_offsets = (0, 2, 3)
+        end_offsets = (None, -3, -2)
+        out: Column | None = None
+        for i in range(3):
+            enc = _b64.b64encode(b"\x00" * i + raw)[
+                start_offsets[i] : end_offsets[(len(raw) + i) % 3]
+            ].decode()
+            p = col.cast("string").contains(enc)
+            out = p if out is None else (out | p)
+        assert out is not None
+        return out
     if modifier == "windash" or modifier.startswith("windash|"):
         # spec: windash expands EVERY dash-like occurrence (-, /, en
         # dash, em dash, horizontal bar) INDEPENDENTLY — a per-
@@ -161,6 +233,14 @@ def _selection_expr(df: DataFrame, sel: dict[str, Any]) -> Column:
             field, modifier = key.split("|", 1)
         else:
             field, modifier = key, None
+        if modifier == "fieldref":
+            # spec: compare against ANOTHER FIELD of the same event
+            # (case-sensitive — these are references, not patterns)
+            p = _field_col(df, field).cast("string") == _field_col(
+                df, str(value)
+            ).cast("string")
+            preds.append(F.coalesce(p, F.lit(False)))
+            continue
         # `|all` suffix: a list combines with AND instead of any-of OR
         if modifier is not None and modifier.endswith("|all"):
             modifier = modifier[: -len("|all")]
@@ -204,10 +284,31 @@ def compile_sigma(df: DataFrame, rule: dict[str, Any]) -> Column:
             for s in sel[1:]:
                 out = out | _selection_expr(df, s)
             selections[name] = out
+        elif isinstance(sel, list) and sel and all(
+            isinstance(s, (str, int, float)) for s in sel
+        ):
+            # keyword selection (list of scalars): full-text search —
+            # any keyword present anywhere in the event. Relational
+            # analog: case-insensitive contains over the row's JSON
+            # rendering (wildcards honored). One to_json per row —
+            # JVM-side, but necessarily scans every column; prefer
+            # field predicates in hot rules.
+            blob = F.lower(F.to_json(F.struct(*df.columns)))
+            out = None
+            for kw in sel:
+                kws = str(kw).lower()
+                p = (
+                    blob.rlike(_wildcard_to_regex(kws)[1:-1])
+                    if _WILDCARD.search(kws)
+                    else blob.contains(kws)
+                )
+                out = p if out is None else (out | p)
+            assert out is not None
+            selections[name] = out
         else:
-            # keyword lists (full-text search) and other forms are not
-            # supported — fail loudly rather than silently skipping the
-            # selection (it would corrupt '1 of them' conditions)
+            # other forms are not supported — fail loudly rather than
+            # silently skipping the selection (it would corrupt
+            # '1 of them' conditions)
             raise ValueError(
                 f"unsupported sigma selection form for {name!r}"
             )

@@ -671,6 +671,43 @@ def vrl_fold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sigma_longtail_modifiers",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id % 7 = event_id % 7
+      AND props IS NOT NULL
+      AND value < 5.0
+    """,
+)
+def sigma_longtail_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 Sigma long-tail modifiers as one compiled rule: fieldref
+    (compare two event fields), exists (presence), and lt (numeric
+    compare) — the modifier set the public Sigma spec defines beyond
+    the string matchers. Everything compiles to one boolean Column
+    (whole-stage codegen); oracle is the equivalent SQL predicate."""
+    from matano_spark.detections.sigma import sigma_filter
+
+    rule = {
+        "title": "correlated ids with low value",
+        "detection": {
+            "linked": {"uid_mod|fieldref": "eid_mod"},
+            "shaped": {"props|exists": True, "value|lt": 5.0},
+            "condition": "linked and shaped",
+        },
+    }
+    ev = t(spark, sf_dir, "events").withColumns(
+        {
+            "uid_mod": F.col("user_id") % 7,
+            "eid_mod": F.col("event_id") % 7,
+        }
+    )
+    return sigma_filter(ev, rule).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
     "sigma_rule_filter",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value

