@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ALERT_SCHEMA = T.StructType(
@@ -159,6 +160,88 @@ def aggregate_alerts(
         .repartition("rule_name", "dedupe")
         .sortWithinPartitions("rule_name", "dedupe", ts_col, id_col)
         .mapInPandas(fold_partition, ALERT_SCHEMA)
+    )
+
+
+def aggregate_alerts_sql(
+    matches: DataFrame,
+    threshold: int = 1,
+    window_seconds: int = 3600,
+    ts_col: str = "ts",
+    id_col: str = "match_id",
+) -> DataFrame:
+    """JVM-side prototype of aggregate_alerts (see SCALE.md §alert
+    fold): per (rule, dedupe) key, collect the sorted match-timestamp
+    array and run the fixed-anchor fold as a SQL `aggregate` lambda —
+    no Python in the loop, whole plan stays in codegen.
+
+    Semantics identical to aggregate_alerts for a GLOBAL
+    (threshold, window) config (per-rule overrides would need a config
+    join; the Python fold ships them in the closure). Trade-off vs the
+    mapInPandas fold: each key's matches materialize as ONE in-memory
+    array inside the aggregation, so a pathological dedupe key with
+    10⁷ matches lands on one reducer as one array — the streaming
+    partition fold never materializes a key. Benchmarked in SCALE.md;
+    kept as the prototype unless it wins at equal semantics."""
+    win_us = window_seconds * 1_000_000
+    cur_t = (
+        "struct<anchor:bigint,last:bigint,cnt:bigint,created:bigint>"
+    )
+    new_cur = (
+        "named_struct('anchor', t, 'last', t, 'cnt', 1L, 'created', "
+        f"if(1 >= {threshold}, t, cast(null as bigint)))"
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          ts_list,
+          struct(cast(array() as array<{cur_t}>) as done,
+                 cast(null as {cur_t}) as cur),
+          (acc, t) -> case
+            when acc.cur is null
+              then named_struct('done', acc.done, 'cur', {new_cur})
+            when t - acc.cur.anchor >= {win_us}L
+              then named_struct('done', array_append(acc.done, acc.cur),
+                                'cur', {new_cur})
+            else named_struct('done', acc.done,
+              'cur', named_struct(
+                'anchor', acc.cur.anchor, 'last', t,
+                'cnt', acc.cur.cnt + 1L,
+                'created', coalesce(acc.cur.created,
+                  if(acc.cur.cnt + 1L >= {threshold}L, t,
+                     cast(null as bigint)))))
+          end,
+          acc -> if(acc.cur is null, acc.done,
+                    array_append(acc.done, acc.cur))
+        )
+        """
+    )
+    alerts = (
+        matches.groupBy("rule_name", "dedupe")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.unix_micros(F.col(ts_col)))
+            ).alias("ts_list")
+        )
+        .select("rule_name", "dedupe", F.explode(fold).alias("a"))
+    )
+    us = lambda c: F.timestamp_micros(c)  # noqa: E731
+    return alerts.select(
+        "rule_name",
+        "dedupe",
+        F.md5(
+            F.concat_ws(
+                ":",
+                "rule_name",
+                "dedupe",
+                F.col("a.anchor").cast("string"),
+            )
+        ).alias("alert_id"),
+        us(F.col("a.anchor")).alias("first_matched_at"),
+        us(F.col("a.last")).alias("last_matched_at"),
+        F.col("a.cnt").alias("match_count"),
+        (F.col("a.cnt") >= threshold).alias("activated"),
+        us(F.col("a.created")).alias("created_at"),
     )
 
 

@@ -117,3 +117,39 @@ def test_detection_harness_hooks_and_errors(spark):
     assert m.rule_name == "failed_login"
     assert m.dedupe == "login"
     assert m.ts == T0
+
+
+def test_aggregate_alerts_sql_prototype_equivalence(spark):
+    """aggregate_alerts_sql (JVM collect_list+aggregate fold, SCALE.md
+    §alert fold) must be row-identical to the mapInPandas fold for a
+    global (threshold, window) config — bursty multi-key synthetic."""
+    from pyspark.sql import functions as F
+
+    from matano_spark.operators.alerts import (
+        aggregate_alerts,
+        aggregate_alerts_sql,
+    )
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("rule"), (F.col("id") % 3).cast("string")).alias(
+            "rule_name"
+        ),
+        F.concat(F.lit("k"), (F.col("id") % 50).cast("string")).alias("dedupe"),
+        F.timestamp_micros(
+            (
+                # same-key consecutive matches land 3000s apart (inside
+                # the 3600s window) with a daily wrap + jitter, so the
+                # fold exercises open/extend/activate AND re-anchor
+                F.lit(1700000000000000)
+                + (F.col("id") * 60000000) % 86400000000
+                + (F.col("id") % 97) * 1234567
+            ).cast("bigint")
+        ).alias("ts"),
+        F.col("id").alias("match_id"),
+    )
+    a = sorted(tuple(r) for r in aggregate_alerts(df, 3, 3600).collect())
+    b = sorted(tuple(r) for r in aggregate_alerts_sql(df, 3, 3600).collect())
+    assert a == b
+    counts = {r[5] for r in a}  # match_count column
+    assert any(c > 1 for c in counts)  # multi-match alerts exercised
+    assert len(a) > 150  # more alerts than keys: re-anchor exercised
