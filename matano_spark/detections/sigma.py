@@ -106,13 +106,32 @@ def _predicate(col: Column, modifier: str | None, value: Any) -> Column:
     if modifier == "re":
         return col.rlike(str(value))
     if modifier == "cidr":
-        from matano_spark.transform.functions import _IPV4_RE, _ipv4_to_long
+        import ipaddress
 
         base_str, prefix_str = str(value).split("/")
         prefix = int(prefix_str)
-        mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix)) - 1)
-        import ipaddress
+        if ":" in base_str:
+            # IPv6: the rule network expands to four masked 32-bit
+            # words (compile-time); the event IP parses via the same
+            # 128-bit machinery as LPM enrichment.
+            from matano_spark.operators.enrichment import (
+                _mask_words,
+                ip6_words,
+            )
 
+            net = int(ipaddress.IPv6Network(str(value), strict=False).network_address)
+            masks = _mask_words(prefix)
+            words = ip6_words(col.cast("string"))
+            p: Column | None = None
+            for k in range(4):
+                want = (net >> (32 * (3 - k))) & 0xFFFFFFFF & masks[k]
+                q = words[k].bitwiseAND(F.lit(masks[k])) == F.lit(want)
+                p = q if p is None else (p & q)
+            assert p is not None
+            return F.when(col.cast("string").contains(":"), p)
+        from matano_spark.transform.functions import _IPV4_RE, _ipv4_to_long
+
+        mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix)) - 1)
         base = int(ipaddress.IPv4Address(base_str)) & mask
         ip = col.cast("string")
         return F.when(

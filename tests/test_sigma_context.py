@@ -450,3 +450,33 @@ def test_sigma_keyword_selection(spark):
     }
     got = sorted(r.id for r in df.filter(compile_sigma(df, rule)).collect())
     assert got == [1, 3]  # matches across DIFFERENT columns
+
+
+def test_sigma_cidr_ipv6(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2001:db8::1"),
+            (2, "2001:db8:0:0:0:0:0:ffff"),
+            (3, "2001:db9::1"),  # outside /32
+            (4, "10.0.0.1"),  # v4 never matches a v6 network
+            (5, "fe80::1"),
+        ],
+        "id long, ip string",
+    )
+    rule = {
+        "detection": {
+            "sel": {"ip|cidr": "2001:db8::/32"},
+            "condition": "sel",
+        }
+    }
+    got = sorted(r.id for r in df.filter(compile_sigma(df, rule)).collect())
+    assert got == [1, 2]
+    # non-multiple-of-32 prefix exercises the partial-word mask
+    rule = {
+        "detection": {
+            "sel": {"ip|cidr": "fe80::/10"},
+            "condition": "sel",
+        }
+    }
+    got = sorted(r.id for r in df.filter(compile_sigma(df, rule)).collect())
+    assert got == [5]
