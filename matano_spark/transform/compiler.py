@@ -425,6 +425,62 @@ class _RowState:
         return out
 
 
+def _written_var_roots(steps) -> set:
+    """Root names of locals a step list assigns (recursive) — used to
+    detect map-closures that mutate ENCLOSING-scope locals (okta's
+    `oktargets.user = v` inside the target map_values)."""
+    out: set = set()
+    for s in steps:
+        if isinstance(s, ast.LetVar):
+            out.add(ast.split_path(s.path)[0])
+        elif isinstance(s, ast.LetErr) and s.val_path and not s.val_row:
+            out.add(ast.split_path(s.val_path)[0])
+        elif isinstance(s, ast.When):
+            out |= _written_var_roots(s.steps) | _written_var_roots(s.orelse)
+        elif isinstance(s, (ast.Multi, ast.ForEach)):
+            out |= _written_var_roots(s.steps)
+    return out
+
+
+def _reshape_struct(old: Column, oldt: T.StructType, newt: T.StructType) -> Column:
+    """Rebuild a struct value in a NEW struct shape, field by field:
+    same-typed fields pass through, scalars try_cast, struct-struct
+    pairs RECURSE (the vpcflow 29-token grok branch re-types
+    aws.vpcflow's leaves bigint→string — the off-guard arm must keep
+    the old values in the new leaf types, not null the subtree),
+    variants lift, and irreconcilable shapes null only the LEAF."""
+    byname = {f.name: f for f in oldt.fields}
+
+    def _refield(f):
+        src = byname.get(f.name)
+        if src is None:
+            return F.lit(None).cast(f.dataType).alias(f.name)
+        c = old.getField(f.name)
+        if src.dataType.simpleString() == f.dataType.simpleString():
+            return c.alias(f.name)
+        if isinstance(f.dataType, T.VariantType):
+            return (
+                c.cast("variant")
+                if not isinstance(
+                    src.dataType, (T.StructType, T.ArrayType, T.MapType)
+                )
+                else F.to_variant_object(c)
+            ).alias(f.name)
+        if isinstance(src.dataType, T.StructType) and isinstance(
+            f.dataType, T.StructType
+        ):
+            return _reshape_struct(c, src.dataType, f.dataType).alias(f.name)
+        if not isinstance(
+            src.dataType, (T.StructType, T.ArrayType, T.MapType)
+        ) and not isinstance(
+            f.dataType, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            return c.try_cast(f.dataType).alias(f.name)
+        return F.lit(None).cast(f.dataType).alias(f.name)
+
+    return F.struct(*[_refield(f) for f in newt.fields])
+
+
 def _has_row_write(steps) -> bool:
     for s in steps:
         if isinstance(s, (ast.Assign, ast.Move)):
@@ -819,6 +875,19 @@ class Compiler:
                     return F.coalesce(lc, F.lit(None).cast(lt)), lt
                 if isinstance(rt, T.StructType) and isinstance(lt, T.MapType):
                     return F.coalesce(F.lit(None).cast(rt), rc), rt
+                # `typed_array || []`: the empty-list LITERAL adopts the
+                # other arm's element type (okta ipChain — coalescing
+                # array<struct> with the default-typed empty array would
+                # fail analysis)
+                if (
+                    isinstance(lt, T.ArrayType)
+                    and isinstance(rt, T.ArrayType)
+                    and lt != rt
+                ):
+                    if isinstance(e.right, ast.L) and e.right.value == []:
+                        rc, rt = F.array().cast(lt), lt
+                    elif isinstance(e.left, ast.L) and e.left.value == []:
+                        lc, lt = F.array().cast(rt), rt
                 return (
                     F.coalesce(lc, rc),
                     (lt if not isinstance(lt, (T.NullType,)) and lt else rt),
@@ -889,7 +958,17 @@ class Compiler:
             and expr.kwargs["fn"].steps
             and len(expr.kwargs["fn"].params) == 1
             and expr.args
-            and _has_row_write(expr.kwargs["fn"].steps)
+            and (
+                _has_row_write(expr.kwargs["fn"].steps)
+                # ...or mutates an ENCLOSING-scope local (okta target
+                # routing: `oktargets.user = v` inside map_values) —
+                # a pure transform() lambda would drop the side effect
+                or any(
+                    r in self.vars.nodes
+                    for r in _written_var_roots(expr.kwargs["fn"].steps)
+                    if r not in expr.kwargs["fn"].params
+                )
+            )
         ):
             # a map closure that ALSO mutates row paths (route53's
             # answers rebuild pushes .related.ip per element): desugar
@@ -961,10 +1040,19 @@ class Compiler:
                                 newt, (T.StructType, T.ArrayType, T.MapType)
                             )
                         ):
-                            # guard retypes between incompatible
-                            # complex shapes (cloudtrail root-merge
-                            # widens a struct): off-guard arm nulls
-                            old = F.lit(None).cast(newt)
+                            # guard retypes between complex shapes
+                            # (cloudtrail root-merge widens a struct;
+                            # vpcflow's 29-token grok branch re-types
+                            # aws.vpcflow leaves bigint→string):
+                            # struct-struct reshapes field-by-field so
+                            # off-guard rows keep their values in the
+                            # new leaf types; other shapes null
+                            if isinstance(oldt, T.StructType) and isinstance(
+                                newt, T.StructType
+                            ):
+                                old = _reshape_struct(old, oldt, newt)
+                            else:
+                                old = F.lit(None).cast(newt)
                         newc = F.when(cond, newc).otherwise(old)
                     target.set(
                         (f.name,), newc, newt, guarded=cond is not None
@@ -1153,33 +1241,7 @@ class Compiler:
                 # where the lookup value is a typed literal): rebuild
                 # the old value field-by-field in the NEW shape so the
                 # off-guard arm keeps every pre-merge field
-                byname = {f.name: f for f in oldt.fields}
-
-                def _refield(f):
-                    src = byname.get(f.name)
-                    if src is None:
-                        return F.lit(None).cast(f.dataType).alias(f.name)
-                    c = old.getField(f.name)
-                    if src.dataType.simpleString() == f.dataType.simpleString():
-                        return c.alias(f.name)
-                    if isinstance(f.dataType, T.VariantType):
-                        return (
-                            c.cast("variant")
-                            if not isinstance(
-                                src.dataType,
-                                (T.StructType, T.ArrayType, T.MapType),
-                            )
-                            else F.to_variant_object(c)
-                        ).alias(f.name)
-                    if not isinstance(
-                        src.dataType, (T.StructType, T.ArrayType, T.MapType)
-                    ) and not isinstance(
-                        f.dataType, (T.StructType, T.ArrayType, T.MapType)
-                    ):
-                        return c.try_cast(f.dataType).alias(f.name)
-                    return F.lit(None).cast(f.dataType).alias(f.name)
-
-                old = F.struct(*[_refield(f) for f in vtype.fields])
+                old = _reshape_struct(old, oldt, vtype)
             elif _complex(oldt) or _complex(vtype):
                 old = F.lit(None).cast(vtype)
             else:
@@ -1219,6 +1281,16 @@ class Compiler:
                     walk(s.orelse)
                 elif isinstance(s, ast.ForEach):
                     walk(s.steps)
+                elif isinstance(s, ast.Delete) and s.var:
+                    root = ast.split_path(s.path)[0]
+                    if root in params or root not in outer_vars:
+                        # per-iteration temporary delete (okta target
+                        # closure `del(v.detailEntry)`) — the body
+                        # compiler tombstones it; not an accumulator
+                        continue
+                    raise ValueError(
+                        "del of an outer local inside for_each is not supported"
+                    )
                 elif isinstance(s, (ast.AbortIf, ast.Delete)):
                     raise ValueError(
                         "abort/del inside for_each is not supported"
@@ -1415,6 +1487,13 @@ class Compiler:
                 init_t is None
                 or isinstance(init_t, T.NullType)
                 or (isinstance(init_t, T.StructType) and not init_t.fields)
+            ):
+                return F.lit(None).cast(t)
+            # scalar init vs complex steady state (okta: oktargets
+            # primed `{}` reads as a string through the dynamic-object
+            # map, body assigns a struct): uncastable — null-init
+            if isinstance(t, (T.StructType, T.ArrayType, T.MapType)) != (
+                isinstance(init_t, (T.StructType, T.ArrayType, T.MapType))
             ):
                 return F.lit(None).cast(t)
             return init_c.cast(t)

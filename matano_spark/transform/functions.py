@@ -323,6 +323,21 @@ def _to_timestamp(args, kw):
             return F.timestamp_micros((n.cast("bigint") / 1000).cast("bigint"))
         raise ValueError(f"bad unit {unit}")
 
+    def _from_str(s):
+        # VRL to_timestamp accepts the well-known non-ISO layouts too
+        # (chrono-parsed): CLF access-log dates (aws_s3access
+        # `06/Feb/2019:00:00:38 +0000`) and RFC 2822
+        return F.coalesce(
+            F.try_to_timestamp(s),
+            F.try_to_timestamp(s, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
+            # RFC 2822: Spark's parser rejects 'EEE' in parse mode —
+            # strip the weekday prefix and parse the rest
+            F.try_to_timestamp(
+                F.regexp_replace(s, r"^[A-Za-z]{3},\s*", ""),
+                F.lit("dd MMM yyyy HH:mm:ss Z"),
+            ),
+        )
+
     if isinstance(t, T.TimestampType):
         return c, t  # already a timestamp (falcon re-runs the dichotomy)
     if isinstance(t, T.VariantType):
@@ -332,13 +347,13 @@ def _to_timestamp(args, kw):
         num = F.try_variant_get(c, "$", "double")
         return (
             F.when(num.isNotNull(), _from_num(num)).otherwise(
-                F.try_to_timestamp(c.cast("string"))
+                _from_str(c.cast("string"))
             ),
             T.TimestampType(),
         )
     if isinstance(t, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType)):
         return _from_num(c), T.TimestampType()
-    return F.try_to_timestamp(c), T.TimestampType()
+    return _from_str(c), T.TimestampType()
 
 
 @fn("parse_timestamp")
@@ -1317,8 +1332,17 @@ def _parse_json(args, kw):
 
 @fn("parse_key_value")
 def _parse_kv(args, kw):
-    pair = kw.get("field_delimiter", " ")
-    kv = kw.get("key_value_delimiter", "=")
+    # VRL signature: parse_key_value(value[, key_value_delimiter
+    # [, field_delimiter]]) — kwargs (zeek ssl/x509, suricata eve) or
+    # positional (okta system.yml:220 `parse_key_value(b, "=", ", ")`)
+    pair = kw.get("field_delimiter")
+    kv = kw.get("key_value_delimiter")
+    if kv is None and len(args) > 1 and isinstance(args[1][0], str):
+        kv = args[1][0]
+    if pair is None and len(args) > 2 and isinstance(args[2][0], str):
+        pair = args[2][0]
+    pair = " " if pair is None else pair
+    kv = "=" if kv is None else kv
     return (
         F.str_to_map(_c(args[0]), F.lit(pair), F.lit(kv)),
         T.MapType(T.StringType(), T.StringType()),
@@ -1954,24 +1978,44 @@ def _merge(args, kw):
         )
     if isinstance(lt, T.MapType) or isinstance(rt, T.MapType):
         # mixed map/struct (parse_key_value output merged into a typed
-        # object, or vice versa): unify through the map<string,string>
-        # form — right side wins per VRL
+        # object, or vice versa): unify through the map<string,VARIANT>
+        # form — right side wins per VRL. Variant values keep NESTED
+        # objects intact (s3access merges a grok struct carrying
+        # request.method into `.http = {}`; the old map<string,string>
+        # funnel flattened the nested struct to its string cast).
         def to_map(c, t):
             if isinstance(t, T.MapType):
-                return c.cast("map<string,string>")
+                if isinstance(t.valueType, T.VariantType):
+                    return c
+                return F.transform_values(
+                    c, lambda _k, v: v.cast("variant")
+                )
             return F.map_from_arrays(
                 F.array(*[F.lit(f.name) for f in t.fields]),
-                F.array(*[c.getField(f.name).cast("string") for f in t.fields]),
+                F.array(
+                    *[
+                        (
+                            F.to_variant_object(c.getField(f.name))
+                            if isinstance(
+                                f.dataType,
+                                (T.StructType, T.ArrayType, T.MapType),
+                            )
+                            else c.getField(f.name).cast("variant")
+                        )
+                        for f in t.fields
+                    ]
+                ),
             )
-        out = T.MapType(T.StringType(), T.StringType())
+        mt = "map<string,variant>"
+        out = T.MapType(T.StringType(), T.VariantType())
         l_m, r_m = to_map(lc, lt), to_map(rc, rt)
         return (
             F.map_concat(
                 F.map_filter(
-                    F.coalesce(l_m, F.create_map().cast("map<string,string>")),
+                    F.coalesce(l_m, F.create_map().cast(mt)),
                     lambda k, _v: ~F.array_contains(F.map_keys(r_m), k),
                 ),
-                F.coalesce(r_m, F.create_map().cast("map<string,string>")),
+                F.coalesce(r_m, F.create_map().cast(mt)),
             ),
             out,
         )

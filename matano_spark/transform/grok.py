@@ -61,13 +61,40 @@ PATTERNS: dict[str, str] = {
 _REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?\}")
 
 
+def _count_raw_captures(text: str) -> int:
+    """Count RAW capturing groups in a literal regex fragment — a grok
+    pattern may carry bare parens around alternations (s3access:
+    `\"(-|%{DATA:user_agent})\"`), and Java numbers those too, so the
+    %{}-assigned indices must skip past them. Escapes and character
+    classes are honored; `(?...)` (non-capturing/lookaround/named) is
+    not counted — managed patterns don't use named groups."""
+    n = 0
+    i = 0
+    in_class = False
+    while i < len(text):
+        ch = text[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(" and text[i + 1 : i + 2] != "?":
+            n += 1
+        i += 1
+    return n
+
+
 def translate(pattern: str, patterns: dict[str, str] | None = None):
     """Grok pattern → (regex, [(field_name, group_index)]).
 
     Pattern bodies may themselves reference other patterns (the
     standard grok composition style, e.g. ELB's ELBCOMMON →
     ELBTIMESTAMP/ELBNAME/...); expansion is recursive with group
-    indices assigned in document order."""
+    indices assigned in document order, counting raw capturing
+    groups in the literal text between references."""
     table = {**PATTERNS, **(patterns or {})}
     fields: list[tuple[str, int]] = []
     state = {"n": 0}
@@ -78,7 +105,9 @@ def translate(pattern: str, patterns: dict[str, str] | None = None):
         out: list[str] = []
         pos = 0
         for m in _REF.finditer(pat):
-            out.append(pat[pos : m.start()])
+            seg = pat[pos : m.start()]
+            out.append(seg)
+            state["n"] += _count_raw_captures(seg)
             name, field = m.group(1), m.group(2)
             if name not in table:
                 raise KeyError(f"unknown grok pattern %{{{name}}}")
@@ -90,7 +119,9 @@ def translate(pattern: str, patterns: dict[str, str] | None = None):
             else:
                 out.append("(?:" + expand(body, depth + 1) + ")")
             pos = m.end()
-        out.append(pat[pos:])
+        tail = pat[pos:]
+        out.append(tail)
+        state["n"] += _count_raw_captures(tail)
         return "".join(out)
 
     regex = expand(pattern, 0)
