@@ -1489,6 +1489,31 @@ class Compiler:
                 or (isinstance(init_t, T.StructType) and not init_t.fields)
             ):
                 return F.lit(None).cast(t)
+            # struct init whose steady state is a dynamic object (fdr
+            # re-types .crowdstrike via set!() in the loop body):
+            # funnel the struct to map<string,variant>, keeping nested
+            # objects intact (a direct cast is illegal)
+            if (
+                isinstance(init_t, T.StructType)
+                and isinstance(t, T.MapType)
+                and isinstance(t.valueType, T.VariantType)
+            ):
+                return F.map_from_arrays(
+                    F.array(*[F.lit(f.name) for f in init_t.fields]),
+                    F.array(
+                        *[
+                            (
+                                F.to_variant_object(init_c.getField(f.name))
+                                if isinstance(
+                                    f.dataType,
+                                    (T.StructType, T.ArrayType, T.MapType),
+                                )
+                                else init_c.getField(f.name).cast("variant")
+                            )
+                            for f in init_t.fields
+                        ]
+                    ),
+                )
             # scalar init vs complex steady state (okta: oktargets
             # primed `{}` reads as a string through the dynamic-object
             # map, body assigns a struct): uncastable — null-init

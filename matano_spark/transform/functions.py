@@ -426,8 +426,13 @@ def _split(args, kw):
         # r'...' literals stay patterns
         if isinstance(raw, RegexLit):
             sep = str(raw)
+        elif isinstance(raw, str):
+            sep = re.escape(raw)
         else:
-            sep = re.escape(raw) if isinstance(raw, str) else _c(args[1])
+            # runtime separator COLUMN (fdr splits a path by its own
+            # first character, '\\'): still a literal per VRL — quote
+            # with \Q..\E so F.split's regex engine can't choke on it
+            sep = F.concat(F.lit("\\Q"), _c(args[1]), F.lit("\\E"))
     limit = kw.get("limit", -1)
     if len(args) > 2:  # VRL positional limit
         limit = args[2][0] if isinstance(args[2][0], int) else limit
@@ -917,13 +922,26 @@ def _compact(args, kw):
         c, t = _as_array(args[0])
     if isinstance(t, T.StructType):
         # object compact on a typed struct: static schemas can't drop
-        # fields per-row — go through the map form (same rule as
-        # filter/merge)
+        # fields per-row — go through the map<string,VARIANT> form
+        # (same rule as filter/merge); variant values keep nested
+        # objects intact instead of flattening them to display strings
         c = F.map_from_arrays(
             F.array(*[F.lit(f.name) for f in t.fields]),
-            F.array(*[c.getField(f.name).cast("string") for f in t.fields]),
+            F.array(
+                *[
+                    (
+                        F.to_variant_object(c.getField(f.name))
+                        if isinstance(
+                            f.dataType,
+                            (T.StructType, T.ArrayType, T.MapType),
+                        )
+                        else c.getField(f.name).cast("variant")
+                    )
+                    for f in t.fields
+                ]
+            ),
         )
-        t = T.MapType(T.StringType(), T.StringType())
+        t = T.MapType(T.StringType(), T.VariantType())
     if isinstance(t, T.MapType):
         # VRL compact over an object: drop null/empty values
         return (
@@ -1199,7 +1217,27 @@ def _set(args, kw):
         )
     seg, raw = _single_path_seg(args[1])
     if isinstance(ot, T.StructType) and ot.fields:
-        raise ValueError("dynamic set() on a typed struct — use a map")
+        # dynamic (runtime-key) set on a typed struct (crowdstrike
+        # fdr's Count$/Port$ int-coercion loop over object!(x)):
+        # funnel to the map<string,variant> form, keeping nested
+        # objects intact
+        obj = F.map_from_arrays(
+            F.array(*[F.lit(f.name) for f in ot.fields]),
+            F.array(
+                *[
+                    (
+                        F.to_variant_object(obj.getField(f.name))
+                        if isinstance(
+                            f.dataType,
+                            (T.StructType, T.ArrayType, T.MapType),
+                        )
+                        else obj.getField(f.name).cast("variant")
+                    )
+                    for f in ot.fields
+                ]
+            ),
+        )
+        ot = T.MapType(T.StringType(), T.VariantType())
     mt = ot if isinstance(ot, T.MapType) else T.MapType(T.StringType(), T.StringType())
     key = seg.cast(mt.keyType.simpleString())
     base = (
