@@ -146,7 +146,7 @@ def _materialize(node) -> tuple[Column, T.DataType]:
             if isinstance(t, T.NullType):
                 continue  # deleted key: excluded below, not re-added
             if isinstance(t, (T.MapType, T.StructType, T.ArrayType)):
-                c = F.to_variant_object(c)
+                c = _lift_variant_object(c, t)
             elif not isinstance(t, T.VariantType):
                 c = c.cast("variant")
             if _is_guarded(child):
@@ -442,6 +442,32 @@ def _written_var_roots(steps) -> set:
     return out
 
 
+def _void_free(t: T.DataType) -> T.DataType:
+    """Replace VOID (null-literal) leaves with string — to_variant_object
+    cannot cast a struct carrying a VOID field (waf's closure emits
+    `sensitivity_level: null` when the source field is absent)."""
+    if isinstance(t, T.NullType):
+        return T.StringType()
+    if isinstance(t, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _void_free(f.dataType)) for f in t.fields]
+        )
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_void_free(t.elementType))
+    if isinstance(t, T.MapType):
+        return T.MapType(t.keyType, _void_free(t.valueType))
+    return t
+
+
+def _lift_variant_object(c: Column, t: T.DataType) -> Column:
+    """to_variant_object with VOID leaves pre-cast away (see
+    _void_free)."""
+    ft = _void_free(t)
+    if ft.simpleString() != t.simpleString():
+        c = c.cast(ft.simpleString())
+    return F.to_variant_object(c)
+
+
 def _reshape_struct(old: Column, oldt: T.StructType, newt: T.StructType) -> Column:
     """Rebuild a struct value in a NEW struct shape, field by field:
     same-typed fields pass through, scalars try_cast, struct-struct
@@ -464,7 +490,7 @@ def _reshape_struct(old: Column, oldt: T.StructType, newt: T.StructType) -> Colu
                 if not isinstance(
                     src.dataType, (T.StructType, T.ArrayType, T.MapType)
                 )
-                else F.to_variant_object(c)
+                else _lift_variant_object(c, src.dataType)
             ).alias(f.name)
         if isinstance(src.dataType, T.StructType) and isinstance(
             f.dataType, T.StructType
@@ -842,7 +868,20 @@ class Compiler:
             if op == "!=" and (lnull or rnull):
                 return (rc if lnull else lc).isNotNull(), T.BooleanType()
             # VRL equality is VALUE equality (null is a comparable
-            # value): `null != "x"` is true, not SQL-NULL
+            # value): `null != "x"` is true, not SQL-NULL. A
+            # string-vs-boolean pair never coerces in VRL (it is just
+            # unequal) — Spark's ANSI cast would THROW on a non-bool
+            # string (cloudflare audit `.json.ActionResult == true`
+            # over a string field), so compare boolean-side as string.
+            def _strbool(a, b):
+                return isinstance(a, T.StringType) and isinstance(
+                    b, T.BooleanType
+                )
+
+            if _strbool(lt, rt):
+                rc = rc.cast("string")
+            elif _strbool(rt, lt):
+                lc = lc.cast("string")
             if op == "==":
                 return lc.eqNullSafe(rc), T.BooleanType()
             if op == "!=":
@@ -875,6 +914,32 @@ class Compiler:
                     return F.coalesce(lc, F.lit(None).cast(lt)), lt
                 if isinstance(rt, T.StructType) and isinstance(lt, T.MapType):
                     return F.coalesce(F.lit(None).cast(rt), rc), rt
+                # `scalar || []` (gw alert's affectedUserEmails may be
+                # synthesized/claimed scalar): VRL keeps the non-null
+                # lhs whatever its type — blend as VARIANT so the
+                # downstream array!() concretization decides at runtime
+                if (
+                    isinstance(rt, T.ArrayType)
+                    and isinstance(e.right, ast.L)
+                    and e.right.value == []
+                    and lt is not None
+                    and not isinstance(
+                        lt,
+                        (
+                            T.ArrayType,
+                            T.MapType,
+                            T.StructType,
+                            T.VariantType,
+                            T.NullType,
+                        ),
+                    )
+                ):
+                    return (
+                        F.coalesce(
+                            lc.cast("variant"), F.to_variant_object(rc)
+                        ),
+                        T.VariantType(),
+                    )
                 # `typed_array || []`: the empty-list LITERAL adopts the
                 # other arm's element type (okta ipChain — coalescing
                 # array<struct> with the default-typed empty array would
@@ -1176,7 +1241,7 @@ class Compiler:
                 # chains (o365's `x = if A {[]} else if is_array(x)
                 # {x} else {[x]}` — later branches must still see the
                 # original value when their guard is the live one)
-                value = F.to_variant_object(value)
+                value = _lift_variant_object(value, vtype)
                 vtype = T.VariantType()
             else:
                 old = old.try_cast(vtype)
@@ -1187,7 +1252,7 @@ class Compiler:
             and not isinstance(oldt, (T.VariantType, T.NullType))
         ):
             old = (
-                F.to_variant_object(old)
+                _lift_variant_object(old, oldt)
                 if _complex(oldt)
                 else old.cast("variant")
             )
@@ -1403,6 +1468,16 @@ class Compiler:
             )
             is_object = True
         else:
+            if coll_t is not None and not isinstance(
+                coll_t, (T.ArrayType, T.NullType)
+            ):
+                # statically-scalar collection: the guard around the
+                # loop (is_array(...)) is false for such rows, so the
+                # loop body is dead — iterate an empty array instead
+                # of failing analysis (route53 answers synthesized as
+                # a string leaf)
+                coll_c = F.array().cast("array<string>")
+                coll_t = T.ArrayType(T.StringType())
             entries = coll_c
             elem_t = (
                 coll_t.elementType

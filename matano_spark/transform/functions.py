@@ -950,6 +950,11 @@ def _compact(args, kw):
             ),
             t,
         )
+    if not isinstance(t, T.ArrayType) and t is not None:
+        # scalar input: VRL compact on a non-collection is a runtime
+        # error — the fallible form (`compact(x) ?? null`) must see
+        # null, not an analysis failure
+        return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
     return (
         F.filter(c, lambda x: x.isNotNull() & (x.cast("string") != "")),
         t or T.ArrayType(T.StringType()),
@@ -1105,7 +1110,12 @@ def _get(args, kw):
             )
         if isinstance(t, T.StructType) and raw is not None:
             m = next((f for f in t.fields if f.name == raw), None)
-            return c.getField(raw), (m.dataType if m else T.StringType())
+            if m is None:
+                # absent key: VRL get() yields null — getField on a
+                # typed struct would fail ANALYSIS (github_audit reads
+                # "@timestamp" off events that may not carry it)
+                return F.lit(None).cast("string"), T.StringType()
+            return c.getField(raw), m.dataType
         if isinstance(t, T.StructType):
             # DYNAMIC key over a lookup-object (suricata's
             # event_mappings idiom): a CASE chain over the fields,
@@ -1271,19 +1281,37 @@ def _bool_assert(args, kw):
 
 @fn("object")
 def _object_assert(args, kw):
-    """VRL object!(x) type assertion — typed args pass through; a
-    schemaless variant concretizes to its object (map) form."""
-    if isinstance(_t(args[0]), T.VariantType):
+    """VRL object!(x) type assertion — typed object args pass through;
+    a schemaless variant concretizes to its object (map) form; a
+    statically-scalar arg is the runtime type error → typed null (so
+    `??` fallbacks and downstream member reads see an absent object
+    instead of failing analysis)."""
+    t = _t(args[0])
+    if isinstance(t, T.VariantType):
         return _as_map(args[0])
+    if t is not None and not isinstance(
+        t, (T.MapType, T.StructType, T.NullType)
+    ):
+        mt = "map<string,variant>"
+        return F.lit(None).cast(mt), T.MapType(T.StringType(), T.VariantType())
     return args[0]
 
 
 @fn("array")
 def _array_assert(args, kw):
-    """VRL array!(x) type assertion — typed args pass through; a
-    schemaless variant concretizes to its array form."""
-    if isinstance(_t(args[0]), T.VariantType):
+    """VRL array!(x) type assertion — typed array args pass through; a
+    schemaless variant concretizes to its array form; a
+    statically-scalar arg is the runtime type error → typed null
+    (google_workspace indexes array!(.json.events)[0] where events
+    may not be array-shaped)."""
+    t = _t(args[0])
+    if isinstance(t, T.VariantType):
         return _as_array(args[0], "variant")
+    if t is not None and not isinstance(t, (T.ArrayType, T.NullType)):
+        return (
+            F.lit(None).cast("array<variant>"),
+            T.ArrayType(T.VariantType()),
+        )
     return args[0]
 
 
@@ -1629,7 +1657,9 @@ def _parse_vpcflow(args, kw):
     cols = []
     fields = []
     for i, (name, typ) in enumerate(spec):
-        raw = F.element_at(toks, i + 1)
+        # try_element_at: a short line (fewer tokens than the format)
+        # must yield nulls, not an ANSI index error
+        raw = F.try_element_at(toks, F.lit(i + 1))
         val = F.when(raw != "-", raw)
         if typ != "string":
             val = val.try_cast(typ)
@@ -2222,7 +2252,10 @@ def _map_values(args, kw):
     if isinstance(t, T.NullType):  # null in → null out (try-form)
         return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
     if not isinstance(t, (T.MapType, T.StructType)):
-        raise ValueError(f"map_values requires a map- or struct-typed column, got {t}")
+        # scalar input: VRL map_values on a non-collection is a
+        # runtime error, not a compile failure — null (array form) so
+        # `??` fallbacks and sidelining see an absent value
+        return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
     return _map_values_walk(f, c, t, recursive)
 
 
