@@ -729,19 +729,36 @@ class Compiler:
         ):
             # VRL flatten([scalar, arr, ...]) mixes element kinds —
             # lift non-arrays to singletons and concat (a plain array
-            # literal can't hold heterogeneous members in Spark)
+            # literal can't hold heterogeneous members in Spark).
+            # A null ARRAY member stays an ELEMENT in VRL
+            # (flatten([null, "x"]) -> [null, "x"]) while Spark's
+            # concat null-propagates (panw threat's
+            # `flatten([.related.user, .source.user.name])` with
+            # related.user still unset) — so coalesce array members
+            # to [null].
             lifted, et = [], T.StringType()
             for a in e.args[0].args:
                 c, t = self.expr(a)
                 if isinstance(t, T.ArrayType):
-                    lifted.append(c)
+                    lifted.append((c, True))
                     et = t.elementType
                 else:
-                    lifted.append(F.array(c))
+                    lifted.append((F.array(c), False))
                     if not isinstance(t, T.NullType):
                         et = t
             out_t = T.ArrayType(et)
-            return F.concat(*[c.cast(out_t) for c in lifted]), out_t
+            null_elem = F.array(F.lit(None)).cast(out_t)
+            return (
+                F.concat(
+                    *[
+                        F.coalesce(c.cast(out_t), null_elem)
+                        if was_arr
+                        else c.cast(out_t)
+                        for c, was_arr in lifted
+                    ]
+                ),
+                out_t,
+            )
         if isinstance(e, ast.P):
             node = self.state._node(e.parts)
             if node is None:
@@ -882,6 +899,26 @@ class Compiler:
                 rc = rc.cast("string")
             elif _strbool(rt, lt):
                 lc = lc.cast("string")
+            # Same hazard for string-vs-NUMERIC equality: Spark's ANSI
+            # implicit cast would THROW on a non-numeric string (panw
+            # threat's `.panw.panos.http2_connection != 0` over the
+            # parse_csv string "1efed0b4-…"), so for ==/!= compare the
+            # numeric side as string — matching numeric text still
+            # compares equal, garbage text compares unequal instead of
+            # crashing the task.
+            _num = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+            )
+
+            def _strnum(a, b):
+                return isinstance(a, T.StringType) and isinstance(b, _num)
+
+            if op in ("==", "!="):
+                if _strnum(lt, rt):
+                    rc = rc.cast("string")
+                elif _strnum(rt, lt):
+                    lc = lc.cast("string")
             if op == "==":
                 return lc.eqNullSafe(rc), T.BooleanType()
             if op == "!=":

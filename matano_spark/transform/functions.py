@@ -70,6 +70,10 @@ VARIANT_AWARE = {
     "encode_json",
     "coalesce",
     "ternary",
+    # set stores VARIANT values into map<string,variant> objects —
+    # the build_call funnel would render array/object values as JSON
+    # text (google_workspace admin's API_SCOPES multiValue)
+    "set",
 }
 
 
@@ -684,8 +688,11 @@ def _push(args, kw):
     if isinstance(_t(args[0]), T.VariantType):
         args = [_as_array(args[0]), *args[1:]]
     arr, t = args[0]
-    v = _c(args[1])
     vt = _t(args[1])
+    # keep VARIANT values raw — the _c scalar funnel would render
+    # arrays/objects as JSON text (google_workspace admin pushes
+    # v.multiValue read through a schemaless rebind)
+    v = _cv(args[1]) if isinstance(vt, T.VariantType) else _c(args[1])
     et = t.elementType if isinstance(t, T.ArrayType) else (vt or T.StringType())
     if isinstance(et, T.StringType) and isinstance(
         vt, (T.StructType, T.ArrayType, T.MapType)
@@ -694,8 +701,20 @@ def _push(args, kw):
         # complex value re-types to the value's shape (zeek's
         # answers-struct push)
         et = vt
+    if isinstance(et, T.StringType) and isinstance(vt, T.VariantType):
+        # a string-claimed target receiving a VARIANT keeps the
+        # runtime kind — concat's string unification would render
+        # variant arrays/objects as JSON text (google_workspace
+        # admin pushes v.multiValue through a schemaless rebind)
+        et = T.VariantType()
     out_t = T.ArrayType(et)
-    safe = F.coalesce(arr, F.array().cast(out_t))
+    base = arr
+    if (
+        isinstance(t, T.ArrayType)
+        and t.elementType.simpleString() != et.simpleString()
+    ):
+        base = arr.cast(out_t.simpleString())
+    safe = F.coalesce(base, F.array().cast(out_t))
     return F.concat(safe, F.array(v)), out_t
 
 
@@ -711,8 +730,34 @@ def _append(args, kw):
         if isinstance(ta, T.ArrayType)
         else (tb if isinstance(tb, T.ArrayType) else T.ArrayType(T.StringType()))
     )
+    # one side string-claimed (the `[]` placeholder), the other
+    # VARIANT elements: keep the runtime kind — string unification
+    # would render variant values as JSON text (same hazard as push)
+    if (
+        isinstance(out_t.elementType, T.StringType)
+        and any(
+            isinstance(t, T.ArrayType)
+            and isinstance(t.elementType, T.VariantType)
+            for t in (ta, tb)
+        )
+    ):
+        out_t = T.ArrayType(T.VariantType())
+
+    def _side(c, t):
+        if (
+            isinstance(t, T.ArrayType)
+            and t.elementType.simpleString() != out_t.elementType.simpleString()
+        ):
+            c = c.cast(out_t.simpleString())
+        return c
+
     empty = F.array().cast(out_t)
-    return F.concat(F.coalesce(a, empty), F.coalesce(b, empty)), out_t
+    return (
+        F.concat(
+            F.coalesce(_side(a, ta), empty), F.coalesce(_side(b, tb), empty)
+        ),
+        out_t,
+    )
 
 
 @fn("unique")
@@ -762,12 +807,20 @@ def _flatten(args, kw):
         t = T.ArrayType(T.ArrayType(T.StringType()))
     if isinstance(t, T.NullType):
         return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
-    inner = (
-        t.elementType.elementType
-        if isinstance(t, T.ArrayType) and isinstance(t.elementType, T.ArrayType)
-        else T.StringType()
-    )
-    return F.flatten(c), T.ArrayType(inner)
+    if isinstance(t, T.ArrayType) and isinstance(t.elementType, T.ArrayType):
+        inner = t.elementType.elementType
+        # VRL flatten keeps a null ELEMENT as an element ([null, "x"]
+        # -> [null, "x"]); Spark's flatten null-propagates when any
+        # inner array is null (panw threat's
+        # `flatten([.related.user, .source.user.name])` with the
+        # guarded pre-push leaving related.user a typed-null array),
+        # so map null inners to [null] first.
+        null_inner = F.array(F.lit(None).cast(inner.simpleString()))
+        return (
+            F.flatten(F.transform(c, lambda e: F.coalesce(e, null_inner))),
+            T.ArrayType(inner),
+        )
+    return F.flatten(c), T.ArrayType(T.StringType())
 
 
 @fn("join")
@@ -1198,7 +1251,13 @@ def _set(args, kw):
     EXCEPTION dedup policy; null keys leave the object unchanged
     (VRL would error the expression)."""
     obj, ot = args[0]
-    val = _c(args[2])
+    # keep VARIANT values raw (same funnel hazard as push): the
+    # map-store logic below casts per the map's value type
+    val = (
+        _cv(args[2])
+        if isinstance(_t(args[2]), T.VariantType)
+        else _c(args[2])
+    )
     seg_list = args[1][0] if isinstance(args[1][0], list) else None
     if (
         seg_list is not None
@@ -1248,16 +1307,31 @@ def _set(args, kw):
             ),
         )
         ot = T.MapType(T.StringType(), T.VariantType())
-    mt = ot if isinstance(ot, T.MapType) else T.MapType(T.StringType(), T.StringType())
+    # a fresh dynamic object starts as map<string,VARIANT> so array/
+    # object values keep their runtime kind (google_workspace admin
+    # stores API_SCOPES multiValue then branches on is_array vs
+    # is_string — a string-valued map would stringify the array)
+    mt = (
+        ot
+        if isinstance(ot, T.MapType)
+        else T.MapType(T.StringType(), T.VariantType())
+    )
     key = seg.cast(mt.keyType.simpleString())
     base = (
         F.coalesce(obj, F.create_map().cast(mt))
         if isinstance(ot, T.MapType)
         else F.create_map().cast(mt)
     )
+    vt = _t(args[2])
+    if isinstance(mt.valueType, T.VariantType) and isinstance(
+        vt, (T.StructType, T.ArrayType, T.MapType)
+    ):
+        val = F.to_variant_object(val)
+    else:
+        val = val.cast(mt.valueType.simpleString())
     updated = F.map_concat(
         F.map_filter(base, lambda k, _v: k != key),
-        F.create_map(key, val.cast(mt.valueType.simpleString())),
+        F.create_map(key, val),
     )
     return F.when(key.isNull(), base).otherwise(updated), mt
 
