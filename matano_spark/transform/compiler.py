@@ -649,6 +649,22 @@ class Compiler:
                 self.vars.get((e.name,)),
                 self.vars.get_type((e.name,)) or T.StringType(),
             )
+        if isinstance(e, ast.Fn) and e.name == "__del_read":
+            # expression-position del(target): yield the value, queue
+            # the removal for the post-statement flush (step() applies
+            # it under the statement guard AND any lazy-arm guard —
+            # `del(a) || del(b)` must remove b only when the a arm was
+            # null, snyk reads ALTERNATIVE again two statements later)
+            c, t = self.expr(e.args[0])
+            if not hasattr(self, "_pending_dels"):
+                self._pending_dels = []
+            self._pending_dels.append(
+                (
+                    ast.Delete(e.kwargs["target"], var=e.kwargs["var"]),
+                    getattr(self, "_lazy_del_guard", None),
+                )
+            )
+            return c, t
         if (
             isinstance(e, ast.Fn)
             and e.name == "__field"
@@ -741,11 +757,17 @@ class Compiler:
                 c, t = self.expr(a)
                 if isinstance(t, T.ArrayType):
                     lifted.append((c, True))
-                    et = t.elementType
+                    if not isinstance(t.elementType, T.NullType):
+                        et = t.elementType
                 else:
                     lifted.append((F.array(c), False))
                     if not isinstance(t, T.NullType):
                         et = t
+            if isinstance(et, T.NullType):
+                # all-null members: array<void> breaks array_join and
+                # friends downstream (o365 joins a flatten of guarded
+                # placeholders) — claim string
+                et = T.StringType()
             out_t = T.ArrayType(et)
             null_elem = F.array(F.lit(None)).cast(out_t)
             return (
@@ -806,16 +828,38 @@ class Compiler:
                         folded.append(a)
                 e = ast.Fn(e.name, *folded, **e.kwargs)
             args = []
-            for a in e.args:
-                if isinstance(a, ast.L):
-                    # literals reach builders RAW ((value, type)) so
-                    # separator/pattern args keep their python string;
-                    # functions._c lifts to F.lit when a Column is needed
-                    args.append((a.value, _infer_type(a.value)))
-                elif isinstance(a, (ast.P, ast.Fn, ast.BinOp, ast.UnaryOp, ast.Var)):
-                    args.append(self.expr(a))
-                else:
-                    args.append((a, None))
+            _prev_ldg = getattr(self, "_lazy_del_guard", None)
+            _acc_null = None
+            try:
+                for a in e.args:
+                    if e.name == "coalesce" and args:
+                        # `??` evaluates later arms lazily — a del()
+                        # there only fires when every earlier arm was
+                        # null (same rule as `||`)
+                        pc = args[-1][0]
+                        if isinstance(pc, Column):
+                            pn = pc.isNull()
+                            _acc_null = (
+                                pn if _acc_null is None else (_acc_null & pn)
+                            )
+                            self._lazy_del_guard = (
+                                _acc_null
+                                if _prev_ldg is None
+                                else (_prev_ldg & _acc_null)
+                            )
+                    if isinstance(a, ast.L):
+                        # literals reach builders RAW ((value, type)) so
+                        # separator/pattern args keep their python string;
+                        # functions._c lifts to F.lit when a Column is needed
+                        args.append((a.value, _infer_type(a.value)))
+                    elif isinstance(
+                        a, (ast.P, ast.Fn, ast.BinOp, ast.UnaryOp, ast.Var)
+                    ):
+                        args.append(self.expr(a))
+                    else:
+                        args.append((a, None))
+            finally:
+                self._lazy_del_guard = _prev_ldg
             kwargs = {}
             for k, v in e.kwargs.items():
                 if isinstance(v, ast.Lambda):
@@ -831,7 +875,20 @@ class Compiler:
             return build_call(e.name, args, kwargs)
         if isinstance(e, ast.BinOp):
             lc, lt = self.expr(e.left)
-            rc, rt = self.expr(e.right)
+            if e.op == "|":
+                # VRL `||` evaluates the rhs lazily: a del() in the
+                # rhs arm must only remove its target when the lhs arm
+                # was null (snyk `del(.CVE) || del(.ALT)` — ALT is
+                # read again by a later move)
+                prev_ldg = getattr(self, "_lazy_del_guard", None)
+                g = lc.isNull() if prev_ldg is None else (prev_ldg & lc.isNull())
+                self._lazy_del_guard = g
+                try:
+                    rc, rt = self.expr(e.right)
+                finally:
+                    self._lazy_del_guard = prev_ldg
+            else:
+                rc, rt = self.expr(e.right)
             op = e.op
             if (
                 op == "|"
@@ -1677,9 +1734,21 @@ class Compiler:
         prev_guard = getattr(self, "_cur_guard", None)
         self._cur_guard = cond
         try:
-            return self._step(step, cond)
+            r = self._step(step, cond)
         finally:
             self._cur_guard = prev_guard
+        # flush expression-position del()s queued by __del_read: the
+        # removal happens after the statement that read the value,
+        # under the statement guard AND any lazy-arm (`||`/`??`) guard
+        pending = getattr(self, "_pending_dels", None)
+        if pending:
+            self._pending_dels = []
+            for dstep, extra in pending:
+                c2 = cond
+                if extra is not None:
+                    c2 = extra if c2 is None else (c2 & extra)
+                self._step(dstep, c2)
+        return r
 
     def _step(self, step: ast.Step, cond: Column | None) -> None:
         s = self.state
@@ -1853,6 +1922,24 @@ def _is_root_assign(s) -> bool:
     if isinstance(s, ast.Multi):
         return any(_is_root_assign(x) for x in s.steps)
     return False
+
+
+def _ast_weight(o) -> int:
+    """Rough AST node count — the static 'this chunk could explode at
+    analysis' signal for the chunk-growth probe. Plain literal values
+    (the fdr mappings dict) count 0: they never expand into the plan
+    tree. Caches nothing; callers size only small windows."""
+    from dataclasses import fields as _dcf, is_dataclass as _isdc
+
+    if isinstance(o, (tuple, list)):
+        return sum(_ast_weight(x) for x in o)
+    if isinstance(o, ast.L):
+        return 1
+    if _isdc(o) and not isinstance(o, type):
+        return 1 + sum(_ast_weight(getattr(o, f.name)) for f in _dcf(o))
+    if isinstance(o, dict):
+        return sum(_ast_weight(v) for v in o.values())
+    return 0
 
 
 def _read_vars(obj, acc: set) -> set:
@@ -2266,6 +2353,16 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                     and len(chunk) == cur_n
                     and len(remaining) > cur_n
                     and dt < 0.25 * slow_chunk_s
+                    # STATIC guard: growth's rollback can bound the
+                    # cost of a slow grown chunk only AFTER its
+                    # analysis returns — a doubled chunk holding a
+                    # heavy step (fdr's 2k-node event dispatch, eve's
+                    # shared-DAG region) can take minutes in ONE
+                    # uninterruptible JVM analysis call. Probe only
+                    # windows that are light by AST weight (okta ~185
+                    # per 24 steps; fdr's dispatch window ~2400).
+                    and sum(_ast_weight(s) for s in remaining[: cur_n * 2])
+                    <= int(os.environ.get("MATANO_VRL_GROW_WEIGHT", "300"))
                 ):
                     grown_from = cur_n
                     cur_n = min(cur_n * 2, 48)

@@ -815,6 +815,8 @@ def _flatten(args, kw):
         # `flatten([.related.user, .source.user.name])` with the
         # guarded pre-push leaving related.user a typed-null array),
         # so map null inners to [null] first.
+        if isinstance(inner, T.NullType):
+            inner = T.StringType()  # array<void> breaks downstream ops
         null_inner = F.array(F.lit(None).cast(inner.simpleString()))
         return (
             F.flatten(F.transform(c, lambda e: F.coalesce(e, null_inner))),
@@ -971,8 +973,27 @@ def _compact(args, kw):
     semantics, ref: transformer/src/main.rs:276-282; full-row compact
     is null-uniform at rest — see SURVEY §7 'compact() semantics')."""
     c, t = args[0]
-    if isinstance(t, (T.VariantType, T.NullType)):
-        c, t = _as_array(args[0])
+    if isinstance(t, T.NullType):
+        return F.lit(None).cast("array<string>"), T.ArrayType(T.StringType())
+    if isinstance(t, T.VariantType):
+        # schemaless input: VRL compact works on BOTH objects and
+        # arrays — probe the object form first (duo admin's
+        # `encode_json(compact!(parse_json(.description)))`), fall
+        # back to the array form; stay VARIANT so downstream
+        # encode_json/is_* keep the runtime kind
+        raw = _cv(args[0])
+        vm = F.try_variant_get(raw, "$", "map<string,variant>")
+        va = F.try_variant_get(raw, "$", "array<variant>")
+        keep = lambda v: v.isNotNull() & (v.cast("string") != "")  # noqa: E731
+        return (
+            F.coalesce(
+                F.to_variant_object(
+                    F.map_filter(vm, lambda _k, v: keep(v))
+                ),
+                F.to_variant_object(F.filter(va, keep)),
+            ),
+            T.VariantType(),
+        )
     if isinstance(t, T.StructType):
         # object compact on a typed struct: static schemas can't drop
         # fields per-row — go through the map<string,VARIANT> form

@@ -568,8 +568,13 @@ class Parser:
                 return ast.L(None)
             if name == "del":
                 # expression-position del(.p): read + delete — the
-                # compiler's Move handles statement form; in expression
-                # position we read the value (delete folded separately)
+                # compiler's Move handles statement form; here the
+                # __del_read wrapper yields the value and QUEUES the
+                # removal, flushed after the enclosing statement (true
+                # VRL del semantics: cloudtrail digest's
+                # `encode_json(compact(del(.aws.cloudtrail.digest)))`
+                # must drop the subtree). Lazy `||`/`??` arms guard
+                # the removal on the earlier arm being null.
                 self.expect("(")
                 if self.peek().kind == "name":  # del(local_var[.path])
                     nm = self.next().text
@@ -580,12 +585,19 @@ class Parser:
                     ):
                         sub = self.next().text.lstrip(".")
                         self.expect(")")
-                        return ast.Fn("__field", ast.Var(nm), path=sub)
+                        return ast.Fn(
+                            "__del_read",
+                            ast.Fn("__field", ast.Var(nm), path=sub),
+                            target=f"{nm}.{sub}",
+                            var=True,
+                        )
                     self.expect(")")
-                    return ast.Var(nm)
+                    return ast.Fn(
+                        "__del_read", ast.Var(nm), target=nm, var=True
+                    )
                 p = self.expect_path()
                 self.expect(")")
-                return ast.P(p)
+                return ast.Fn("__del_read", ast.P(p), target=p, var=False)
             fallible = name.endswith("!")
             fn_name = name.rstrip("!")
             if self.peek().text != "(":

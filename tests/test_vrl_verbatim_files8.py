@@ -1,0 +1,288 @@
+"""Round-8 verbatim full-file executions, batch 8: zeek long tail —
+ssl (DN parse_key_value + x509 array wrapping + TLS version split),
+http (status-code outcome ladder), notice (src/dst fallback dedup),
+smtp. The dotted-key unflatten (set(.z, split("id.orig_p", "."), ...))
+runs in every one.
+
+Reference programs: /root/reference/data/managed/log_sources/zeek/tables/*.yml"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from matano_spark.transform.parser import compile_vrl
+
+REF_MANAGED = "/root/reference/data/managed/log_sources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_MANAGED), reason="reference tree not present"
+)
+
+
+def _load_transform(rel_yml: str) -> str:
+    from tools.vrl_parse_survey import iter_programs
+
+    path = os.path.join(REF_MANAGED, rel_yml)
+    for p, kind, prog in iter_programs(os.path.dirname(path)):
+        if p == path and kind == "transform":
+            return prog
+    raise AssertionError(f"no transform block in {rel_yml}")
+
+
+def _run(spark, rel_yml: str, event: dict) -> dict:
+    prog = _load_transform(rel_yml)
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(event)], 1)
+    )
+    df = spark.createDataFrame([(json.dumps(event),)], "message string").crossJoin(
+        inferred.select(
+            F.struct(*[F.col(f"`{c}`") for c in inferred.columns]).alias("json")
+        ).limit(1)
+    )
+    out = compile_vrl(prog)(df)
+    rows = out.collect()
+    assert rows, f"{rel_yml}: event fell into an abort branch"
+    return _norm(rows[0].asDict(recursive=True))
+
+
+def _norm(v):
+    from pyspark.sql.types import VariantVal
+
+    if isinstance(v, VariantVal):
+        return _norm(json.loads(v.toJson()))
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    return v
+
+
+def _ts_utc(v):
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v
+    return v
+
+
+def _s(v):
+    return str(v).strip('"')
+
+
+def test_zeek_ssl_full_transform_verbatim(spark):
+    event = {
+        "ts": 1717200000.0,
+        "uid": "CX1ssl",
+        "id.orig_h": "10.0.0.5",
+        "id.orig_p": 51000,
+        "id.resp_h": "192.0.2.9",
+        "id.resp_p": 443,
+        "version": "TLSv12",
+        "cipher": "TLS_AES_128_GCM_SHA256",
+        "curve": "x25519",
+        "server_name": "svc.example.com",
+        "resumed": False,
+        "established": True,
+        "cert_chain_fuids": ["Fabc1"],
+        "subject": "CN=svc.example.com,O=Example Corp",
+        "issuer": "CN=Example CA,O=Example CA Org,C=IE",
+        "validation_status": "ok",
+        "ja3": "abc123",
+        "ja3s": "def456",
+        "resp_certificate_sha1": "aabbcc",
+    }
+    d = _run(spark, "zeek/tables/ssl.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime.utcfromtimestamp(1717200000)
+    assert d["event"]["kind"] == "event"
+    assert _s(d["event"]["id"]) == "CX1ssl"
+    assert _s(d["source"]["ip"]) == "10.0.0.5"
+    assert d["source"]["port"] == 51000
+    assert _s(d["destination"]["ip"]) == "192.0.2.9"
+    assert d["destination"]["port"] == 443
+    assert _s(d["client"]["address"]) == "10.0.0.5"
+    assert _s(d["server"]["address"]) == "192.0.2.9"
+    tls = d["tls"]
+    assert _s(tls["version"]) == "1.2"  # TLSv12 -> 1.2
+    assert _s(tls["version_protocol"]) == "tls"
+    assert _s(tls["cipher"]) == "TLS_AES_128_GCM_SHA256"
+    assert _s(tls["curve"]) == "x25519"
+    assert tls["established"] is True
+    assert tls["resumed"] is False
+    assert _s(tls["server"]["hash"]["sha1"]) == "AABBCC"  # upcased
+    assert _s(tls["client"]["ja3"]) == "abc123"
+    assert _s(tls["server"]["ja3s"]) == "def456"
+    # DN parse_key_value -> per-field arrays after map_values([v])
+    subj = tls["server"]["x509"]["subject"]
+    assert [_s(x) for x in subj["common_name"]] == ["svc.example.com"]
+    assert [_s(x) for x in subj["organization"]] == ["Example Corp"]
+    iss = tls["server"]["x509"]["issuer"]
+    assert [_s(x) for x in iss["common_name"]] == ["Example CA"]
+    assert [_s(x) for x in iss["country"]] == ["IE"]
+    assert _s(tls["server"]["subject"]) == "CN=svc.example.com,O=Example Corp"
+    zs = d["zeek"]["ssl"]
+    assert _s(zs["server"]["name"]) == "svc.example.com"
+    assert _s(zs["validation"]["status"]) == "ok"
+    assert {_s(i) for i in d["related"]["ip"]} == {"10.0.0.5", "192.0.2.9"}
+    assert {_s(h) for h in d["related"]["hash"] if h is not None} == {
+        "abc123",
+        "def456",
+    }
+
+
+def test_zeek_http_full_transform_verbatim(spark):
+    event = {
+        "ts": 1717200000.0,
+        "uid": "CX2http",
+        "id.orig_h": "10.0.0.6",
+        "id.orig_p": 52000,
+        "id.resp_h": "198.51.100.80",
+        "id.resp_p": 80,
+        "method": "GET",
+        "host": "www.example.com",
+        "uri": "/index.html",
+        "referrer": "https://ref.example.com/",
+        "version": "1.1",
+        "user_agent": "curl/8.0",
+        "username": "webuser",
+        "request_body_len": 0,
+        "response_body_len": 5120,
+        "status_code": 200,
+        "status_msg": "OK",
+    }
+    d = _run(spark, "zeek/tables/http.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime.utcfromtimestamp(1717200000)
+    assert _s(d["event"]["id"]) == "CX2http"
+    assert _s(d["event"]["action"]) == "GET"
+    assert d["event"]["outcome"] == "success"  # 200 < 400
+    assert set(d["event"]["type"]) == {"connection", "protocol", "info"}
+    assert _s(d["source"]["ip"]) == "10.0.0.6"
+    assert d["source"]["port"] == 52000
+    assert _s(d["destination"]["ip"]) == "198.51.100.80"
+    assert d["destination"]["port"] == 80
+    h = d["http"]
+    assert _s(h["request"]["method"]) == "GET"
+    assert _s(h["request"]["referrer"]) == "https://ref.example.com/"
+    assert h["response"]["status_code"] == 200
+    assert _s(h["version"]) == "1.1"
+    assert h["request"]["body"]["bytes"] == 0
+    assert h["response"]["body"]["bytes"] == 5120
+    assert _s(d["url"]["domain"]) == "www.example.com"
+    assert _s(d["url"]["username"]) == "webuser"
+    assert _s(d["user"]["name"]) == "webuser"
+    assert _s(d["user_agent"]["original"]) == "curl/8.0"
+    assert {_s(i) for i in d["related"]["ip"]} == {
+        "10.0.0.6",
+        "198.51.100.80",
+    }
+    assert [_s(u) for u in d["related"]["user"] if u is not None] == [
+        "webuser"
+    ]
+    # uri is dropped (TODO in the reference), id subtree deleted
+    zh = d["zeek"]["http"]
+    assert zh.get("uri") is None
+    assert zh.get("id") in (None, {})
+
+
+def test_zeek_http_error_outcome(spark):
+    event = {
+        "ts": 1717200300.0,
+        "uid": "CX3http",
+        "id.orig_h": "10.0.0.7",
+        "id.orig_p": 52001,
+        "id.resp_h": "198.51.100.80",
+        "id.resp_p": 80,
+        "method": "POST",
+        "status_code": 503,
+    }
+    d = _run(spark, "zeek/tables/http.yml", event)
+    assert d["event"]["outcome"] == "failure"
+    assert "error" in d["event"]["type"]
+    assert "info" not in d["event"]["type"]
+
+
+def test_zeek_notice_full_transform_verbatim(spark):
+    event = {
+        "ts": 1717200000.0,
+        "uid": "CX4not",
+        "id.orig_h": "10.0.0.8",
+        "id.orig_p": 53000,
+        "id.resp_h": "192.0.2.33",
+        "id.resp_p": 22,
+        "src": "10.0.0.8",  # equals orig_h -> deleted from zeek.notice
+        "dst": "192.0.2.33",
+        "p": 22,
+        "proto": "tcp",
+        "note": "Scan::Port_Scan",
+        "msg": "9 ports scanned",
+        "dropped": False,
+        "f.id": "Fnot1",
+        "f.total_bytes": 4096,
+        "f.seen_bytes": 4096,
+        "file_mime_type": "text/plain",
+    }
+    d = _run(spark, "zeek/tables/notice.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime.utcfromtimestamp(1717200000)
+    assert d["event"]["kind"] == "alert"
+    assert d["event"]["category"] == ["intrusion_detection"]
+    assert "allowed" in d["event"]["type"]  # dropped == false
+    assert _s(d["event"]["id"]) == "CX4not"
+    assert _s(d["source"]["ip"]) == "10.0.0.8"
+    assert _s(d["destination"]["ip"]) == "192.0.2.33"
+    assert d["destination"]["port"] == 22
+    assert _s(d["network"]["transport"]) == "tcp"
+    assert _s(d["rule"]["name"]) == "Scan::Port_Scan"
+    assert _s(d["rule"]["description"]) == "9 ports scanned"
+    zn = d["zeek"]["notice"]
+    assert _s(zn["file"]["id"]) == "Fnot1"
+    assert zn["file"]["total_bytes"] == 4096
+    assert _s(zn["file"]["mime_type"]) == "text/plain"
+    assert d["file"]["size"] == 4096
+    assert _s(d["file"]["mime_type"]) == "text/plain"
+    # src equalled source.address -> removed from the custom subtree
+    assert zn.get("src") is None
+    assert {_s(i) for i in d["related"]["ip"]} == {"10.0.0.8", "192.0.2.33"}
+
+
+def test_zeek_smtp_full_transform_verbatim(spark):
+    event = {
+        "ts": 1717200000.0,
+        "uid": "CX5smtp",
+        "id.orig_h": "10.0.0.9",
+        "id.orig_p": 54000,
+        "id.resp_h": "192.0.2.25",
+        "id.resp_p": 25,
+        "trans_depth": 1,
+        "helo": "client.example.com",
+        "mailfrom": "alice@corp.com",
+        "rcptto": ["bob@corp.com"],
+        "date": 1717199900.0,
+        "subject": "Hello",
+        "tls": True,
+        "fuids": [],
+    }
+    d = _run(spark, "zeek/tables/smtp.yml", event)
+    assert _ts_utc(d["ts"]) == dt.datetime.utcfromtimestamp(1717200000)
+    assert _s(d["network"]["protocol"]) == "smtp"
+    assert _s(d["event"]["id"]) == "CX5smtp"
+    assert _s(d["source"]["ip"]) == "10.0.0.9"
+    assert d["source"]["port"] == 54000
+    assert _s(d["destination"]["ip"]) == "192.0.2.25"
+    assert d["destination"]["port"] == 25
+    assert d["tls"]["established"] is True
+    zs = d["zeek"]["smtp"]
+    assert zs["transaction_depth"] == 1
+    assert _s(zs["mail_from"]) == "alice@corp.com"
+    assert [_s(r) for r in zs["rcpt_to"]] == ["bob@corp.com"]
+    assert _s(zs["helo"]) == "client.example.com"
+    date = zs["date"]
+    if not isinstance(date, dt.datetime):
+        date = dt.datetime.fromisoformat(_s(date).replace("Z", "+00:00")).replace(
+            tzinfo=None
+        )
+    assert _ts_utc(date) == dt.datetime.utcfromtimestamp(1717199900)
+    assert {_s(i) for i in d["related"]["ip"]} == {"10.0.0.9", "192.0.2.25"}

@@ -277,7 +277,13 @@ def run_one(spark, rel: str, kind: str, prog_text: str):
             spark.sparkContext.parallelize([json.dumps(event)], 1)
         )
         df = raw.crossJoin(
-            inferred.select(F.struct(*inferred.columns).alias("json")).limit(1)
+            inferred.select(
+                # backtick-quote: teleport synthesizes literal dotted
+                # keys ("addr.local") — bare names parse as nested refs
+                F.struct(*[F.col(f"`{c}`") for c in inferred.columns]).alias(
+                    "json"
+                )
+            ).limit(1)
         )
     else:
         df = raw.select(
