@@ -49,6 +49,28 @@ class TableDef:
     transform_src: str
     pipeline: Callable[[DataFrame], DataFrame]
     ingest: dict[str, Any] = field(default_factory=dict)
+    program: tuple = ()  # parsed steps (for projection-pushdown slicing)
+    _sliced: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def pipeline_for(
+        self, needed: tuple[str, ...] | None
+    ) -> Callable[[DataFrame], DataFrame]:
+        """Projection-pushdown pipeline: compile only the statements
+        observable through the `needed` output paths (backward
+        liveness slice — transform/slice.py). Same surviving row set,
+        same values for every needed path; cached per read-set."""
+        if not needed or not self.program:
+            return self.pipeline
+        key = tuple(needed)
+        hit = self._sliced.get(key)
+        if hit is None:
+            from matano_spark.transform.compiler import compile_pipeline
+            from matano_spark.transform.slice import slice_program
+
+            hit = self._sliced[key] = compile_pipeline(
+                slice_program(self.program, key)
+            )
+        return hit
 
 
 def merge_configs(managed: dict, user: dict) -> dict:
@@ -173,6 +195,7 @@ def build_table(
         transform_src=transform_src,
         pipeline=pipeline,
         ingest=_merged_ingest(source_cfg, table_cfg),
+        program=tuple(program),
     )
 
 

@@ -878,10 +878,14 @@ class Compiler:
             if e.op == "|":
                 # VRL `||` evaluates the rhs lazily: a del() in the
                 # rhs arm must only remove its target when the lhs arm
-                # was null (snyk `del(.CVE) || del(.ALT)` — ALT is
-                # read again by a later move)
+                # fell through (snyk `del(.CVE) || del(.ALT)` — ALT is
+                # read again by a later move). Fall-through happens on
+                # null AND, for boolean-typed lhs, on false.
                 prev_ldg = getattr(self, "_lazy_del_guard", None)
-                g = lc.isNull() if prev_ldg is None else (prev_ldg & lc.isNull())
+                g0 = lc.isNull()
+                if isinstance(lt, T.BooleanType):
+                    g0 = g0 | ~lc
+                g = g0 if prev_ldg is None else (prev_ldg & g0)
                 self._lazy_del_guard = g
                 try:
                     rc, rt = self.expr(e.right)
@@ -963,6 +967,15 @@ class Compiler:
             # numeric side as string — matching numeric text still
             # compares equal, garbage text compares unequal instead of
             # crashing the task.
+            # KNOWN SEMANTIC TRADE (documented, deliberate): VRL
+            # equality is type-strict — string "0" == int 0 is FALSE
+            # there, TRUE here; and "1.0" == 1 is false here (string
+            # render) where a numeric compare would match. The engine's
+            # static string type often comes from a VARIANT degrade
+            # (line above) where the VRL runtime value may genuinely be
+            # a number, so type-strict constant-folding would diverge
+            # MORE often than this cast does; corpus guards (`!= 0 &&
+            # != "0"`) reach the reference outcome either way.
             _num = (
                 T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                 T.FloatType, T.DoubleType, T.DecimalType,
@@ -1739,16 +1752,43 @@ class Compiler:
             self._cur_guard = prev_guard
         # flush expression-position del()s queued by __del_read: the
         # removal happens after the statement that read the value,
-        # under the statement guard AND any lazy-arm (`||`/`??`) guard
-        pending = getattr(self, "_pending_dels", None)
-        if pending:
-            self._pending_dels = []
-            for dstep, extra in pending:
-                c2 = cond
-                if extra is not None:
-                    c2 = extra if c2 is None else (c2 & extra)
-                self._step(dstep, c2)
+        # under the statement guard AND any lazy-arm (`||`/`??`) guard.
+        # Mirror Move's `dst != src` rule: when the del target overlaps
+        # the statement's own write destination, VRL dels FIRST and the
+        # assign re-creates the path — flushing after the write would
+        # clobber the just-written value (`.a = upcase!(del(.a))`)
+        tgt = None
+        if isinstance(step, ast.Assign):
+            tgt = (False, ast.split_path(step.path))
+        elif isinstance(step, ast.LetVar):
+            tgt = (True, ast.split_path(step.path))
+        elif isinstance(step, ast.Move):
+            tgt = (False, ast.split_path(step.dst))
+        elif isinstance(step, ast.LetErr) and step.val_path:
+            tgt = (not step.val_row, ast.split_path(step.val_path))
+        self._flush_pending(cond, tgt)
         return r
+
+    def _flush_pending(
+        self,
+        cond: Column | None,
+        skip_tgt: tuple[bool, tuple] | None = None,
+    ) -> None:
+        pending = getattr(self, "_pending_dels", None)
+        if not pending:
+            return
+        self._pending_dels = []
+        for dstep, extra in pending:
+            if skip_tgt is not None and dstep.var == skip_tgt[0]:
+                dparts = ast.split_path(dstep.path)
+                tparts = skip_tgt[1]
+                n = min(len(dparts), len(tparts))
+                if n and tuple(dparts[:n]) == tuple(tparts[:n]):
+                    continue
+            c2 = cond
+            if extra is not None:
+                c2 = extra if c2 is None else (c2 & extra)
+            self._step(dstep, c2)
 
     def _step(self, step: ast.Step, cond: Column | None) -> None:
         s = self.state
@@ -1828,7 +1868,22 @@ class Compiler:
                 s.delete(src)
         elif isinstance(step, ast.Delete):
             if step.var:
-                self.vars.delete(ast.split_path(step.path))
+                vparts = ast.split_path(step.path)
+                if cond is not None:
+                    # expression-position del(local) inside a guard:
+                    # only matching rows lose the value — blend with
+                    # the old (same rule as the row-path branch below)
+                    if self.vars._node(vparts) is not None:
+                        old = self.vars.get(vparts)
+                        t = self.vars.get_type(vparts) or T.StringType()
+                        self.vars.set(
+                            vparts,
+                            F.when(cond, F.lit(None).cast(t)).otherwise(old),
+                            t,
+                            guarded=True,
+                        )
+                    return
+                self.vars.delete(vparts)
                 return
             parts = ast.split_path(step.path)
             if cond is not None:
@@ -1852,11 +1907,19 @@ class Compiler:
             s.delete(parts)
         elif isinstance(step, ast.AbortIf):
             c, _ = self.expr(step.cond)
+            # a del() inside the condition expression fires for every
+            # row the condition was evaluated on — flush it under the
+            # ENCLOSING guard, not under the abort outcome
+            self._flush_pending(cond)
             if cond is not None:
                 c = cond & c
             s.filters.append(~F.coalesce(c, F.lit(False)))
         elif isinstance(step, ast.When):
             c, _ = self.expr(step.cond)
+            # same: condition-expression dels are unconditional w.r.t.
+            # the branch outcome — flush before entering the bodies so
+            # they don't inherit the first branch statement's guard
+            self._flush_pending(cond)
             c = F.coalesce(c, F.lit(False))
             inner = c if cond is None else (cond & c)
             self.run(step.steps, inner)

@@ -984,7 +984,14 @@ def _compact(args, kw):
         raw = _cv(args[0])
         vm = F.try_variant_get(raw, "$", "map<string,variant>")
         va = F.try_variant_get(raw, "$", "array<variant>")
-        keep = lambda v: v.isNotNull() & (v.cast("string") != "")  # noqa: E731
+        # VRL compact defaults (recursive:true, object:true,
+        # array:true) also drop EMPTY objects/arrays; to_json keeps a
+        # string value "{}" distinct from an actual empty object
+        keep = lambda v: (  # noqa: E731
+            v.isNotNull()
+            & (v.cast("string") != "")
+            & ~F.to_json(v).isin("{}", "[]")
+        )
         return (
             F.coalesce(
                 F.to_variant_object(

@@ -88,7 +88,7 @@ def _table_def(pack: str, table: str):
     raise KeyError(f"{pack}/{table}")
 
 
-def _through_pipeline(td, raw: DataFrame) -> DataFrame:
+def _through_pipeline(td, raw: DataFrame, needed: tuple[str, ...] | None = None) -> DataFrame:
     """Run a synthesized raw frame through the pack pipeline, mirroring
     pipeline._read_raw's parse step for json-with-input_fields packs.
 
@@ -104,7 +104,9 @@ def _through_pipeline(td, raw: DataFrame) -> DataFrame:
     if td.ingest.get("input_fields") and "json" in raw.columns:
         schema = fields_to_structtype(td.ingest["input_fields"])
         raw = raw.select(F.from_json("json", schema).alias("r")).select("r.*")
-    return td.pipeline(raw)
+    # needed: the consumer's read set — projection pushdown THROUGH the
+    # transform (backward liveness slice, transform/slice.py)
+    return td.pipeline_for(needed)(raw) if needed else td.pipeline(raw)
 
 
 @query(
@@ -149,7 +151,7 @@ def okta_failed_auth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=("event.outcome", "user.name", "ts"))
     return (
         ecs.filter(F.col("event.outcome") == "failure")
         .groupBy(
@@ -204,7 +206,7 @@ def msft_signin_verbatim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = td.pipeline(raw)
+    ecs = td.pipeline_for(("event.outcome", "user.name", "ts"))(raw)
     return ecs.groupBy(
         F.col("event.outcome").alias("outcome"),
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -257,7 +259,7 @@ def cloudtrail_verbatim_action_rollup(
             )
         ).alias("json")
     )
-    ecs = td.pipeline(raw)
+    ecs = td.pipeline_for(("event.action", "event.outcome", "ts"))(raw)
     return ecs.groupBy(
         # event.action is a variant passthrough of .json.eventName —
         # concretize for grouping
@@ -310,7 +312,7 @@ def suricata_severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.severity', 'source.ip', 'ts'))
     return (
         ecs.groupBy(F.col("event.severity").alias("severity"))
         .agg(
@@ -386,7 +388,7 @@ def panw_bytes_by_app(spark: SparkSession, sf_dir: str) -> DataFrame:
             rest,
         ).alias("message")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('destination.bytes', 'network.application', 'source.bytes', 'ts'))
     return (
         ecs.groupBy(F.col("network.application").alias("application"))
         .agg(
@@ -517,7 +519,7 @@ def zeek_conn_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('network.bytes', 'network.direction', 'network.transport', 'ts'))
     return ecs.groupBy(
         F.col("network.transport").alias("transport"),
         F.col("network.direction").alias("direction"),
@@ -576,7 +578,7 @@ def msft_signin_risk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('azure.aad_signinlogs.risk_level_during_signin', 'event.outcome', 'ts', 'user.name'))
     return ecs.groupBy(
         F.col("event.outcome").alias("event_outcome"),
         F.col("azure.aad_signinlogs.risk_level_during_signin").alias("risk_level"),
@@ -627,7 +629,7 @@ def crowdstrike_fdr_category_rollup(spark: SparkSession, sf_dir: str) -> DataFra
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.category', 'event.kind', 'host.hostname', 'ts'))
     return ecs.groupBy(
         F.element_at(F.col("event.category"), 1).alias("category"),
         F.col("event.kind").alias("kind"),
@@ -674,7 +676,7 @@ def github_audit_team_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.action', 'group.name', 'ts', 'user.name'))
     return ecs.groupBy(
         F.col("event.action").alias("action"),
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -724,7 +726,7 @@ def teleport_auth_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.action', 'event.outcome', 'source.user.name', 'teleport.cluster_name', 'ts'))
     return (
         ecs.filter(F.col("event.action") == "user.login")
         .groupBy(
@@ -805,7 +807,7 @@ def gcp_audit_method_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.action', 'event.outcome', 'ts', 'user.email'))
     return ecs.groupBy(
         F.col("event.action").alias("action"),
         F.col("event.outcome").alias("outcome"),
@@ -854,7 +856,7 @@ def cloudflare_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('cloudflare.http_request.client.request.bytes', 'http.response.status_code', 'source.ip', 'ts'))
     return ecs.groupBy(
         F.col("http.response.status_code").alias("status_code")
     ).agg(
@@ -910,7 +912,7 @@ def duo_auth_factor_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('duo.auth.factor', 'event.outcome', 'ts', 'user.name'))
     return ecs.groupBy(
         F.col("duo.auth.factor").alias("factor"),
         F.col("event.outcome").alias("outcome"),
@@ -958,7 +960,7 @@ def o365_workload_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.action', 'event.provider', 'ts'))
     return ecs.groupBy(
         F.col("event.provider").alias("provider"),
         F.col("event.action").alias("action"),
@@ -1009,7 +1011,7 @@ def vpcflow_action_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("OK"),
     )
     raw = ev.select(line.alias("message"))
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('aws.vpcflow.action', 'network.bytes', 'source.ip', 'ts'))
     return ecs.groupBy(F.col("aws.vpcflow.action").alias("action")).agg(
         F.count(F.lit(1)).alias("n_flows"),
         F.sum("network.bytes").cast("bigint").alias("total_bytes"),
@@ -1064,7 +1066,7 @@ def elb_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(' "forward" "-" "-"'),
     )
     raw = ev.select(line.alias("message"))
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('http.response.status_code', 'source.ip', 'ts'))
     return ecs.groupBy(
         F.col("http.response.status_code").alias("status_code")
     ).agg(
@@ -1126,7 +1128,7 @@ def onepassword_signin_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.action', 'event.outcome', 'ts', 'user.email'))
     return ecs.groupBy(
         F.col("event.action").alias("action"),
         F.col("event.outcome").alias("outcome"),
@@ -1167,7 +1169,7 @@ def snyk_audit_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.action', 'ts', 'user.id'))
     return ecs.groupBy(F.col("event.action").alias("action")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct(F.col("user.id")).alias("n_users"),
@@ -1214,7 +1216,7 @@ def waf_action_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.action', 'source.ip', 'ts'))
     return ecs.groupBy(F.col("event.action").alias("action")).agg(
         F.count(F.lit(1)).alias("n_requests"),
         F.countDistinct(F.col("source.ip")).alias("n_clients"),
@@ -1267,7 +1269,7 @@ def route53_qtype_rcode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('dns.question.name', 'dns.question.type', 'dns.response_code', 'ts'))
     return ecs.groupBy(
         F.col("dns.question.type").alias("qtype"),
         F.col("dns.response_code").alias("rcode"),
@@ -1328,7 +1330,7 @@ def gworkspace_login_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('event.action', 'ts', 'user.name'))
     return ecs.groupBy(F.col("event.action").alias("action")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct(F.col("user.name")).alias("n_users"),
@@ -1370,7 +1372,7 @@ def cloudtrail_api_action_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('aws.cloudtrail.user_identity.arn', 'event.action', 'ts'))
     return ecs.groupBy(F.col("event.action").alias("action")).agg(
         F.count(F.lit(1)).alias("n_calls"),
         F.countDistinct(
@@ -1441,7 +1443,7 @@ def s3access_operation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("TLSV1.2"),
     )
     raw = ev.select(line.alias("message"))
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('aws.s3access.operation', 'client.ip', 'http.response.status_code', 'ts'))
     return ecs.groupBy(
         F.col("aws.s3access.operation").alias("operation"),
         F.col("http.response.status_code").alias("status_code"),
@@ -1491,7 +1493,7 @@ def config_history_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('aws.config_history.item.status', 'aws.config_history.resource.id', 'aws.config_history.resource.type', 'ts'))
     return ecs.groupBy(
         F.col("aws.config_history.resource.type").alias("resource_type"),
         F.col("aws.config_history.item.status").alias("status"),
@@ -1539,7 +1541,7 @@ def inspector_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('aws.inspector.severity', 'cloud.account.id', 'ts'))
     return ecs.groupBy(
         F.col("aws.inspector.severity").alias("severity")
     ).agg(
@@ -1593,7 +1595,7 @@ def falcon_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
-    ecs = _through_pipeline(td, raw)
+    ecs = _through_pipeline(td, raw, needed=('crowdstrike.event.SeverityName', 'ts', 'user.name'))
     return ecs.groupBy(
         F.col("crowdstrike.event.SeverityName").alias("severity_name")
     ).agg(

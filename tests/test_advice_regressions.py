@@ -366,3 +366,103 @@ def test_delete_then_nested_write_does_not_resurrect(spark):
     assert d.get("a") == {"b": "new"}, d
     # non-deleted keys still resolve through the root remainder
     assert norm(d.get("k2")) == 1
+
+
+# ---- round-9 ADVICE fixes -------------------------------------------
+
+
+def test_del_read_assign_same_path_keeps_written_value(spark):
+    """`.a = upcase!(del(.a))` — VRL dels FIRST, then the assign
+    re-creates the path; the deferred del flush must not clobber the
+    just-written value (round-8 ADVICE, compiler deferred-__del_read)."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program('.a = upcase!(del(.a))')
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame([("foo",)], ["a"])
+    assert pipe(df).collect()[0].a == "FOO"
+
+
+def test_del_read_assign_other_path_still_deletes(spark):
+    """The overlap skip must not weaken the normal case: reading into
+    a DIFFERENT target still removes the del'd source."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program('.b = upcase!(del(.a))')
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame([("foo",)], ["a"])
+    r = pipe(df).collect()[0]
+    assert r.b == "FOO"
+    assert "a" not in r.asDict() or r.asDict().get("a") is None
+
+
+def test_guarded_del_local_keeps_value_for_nonmatching_rows(spark):
+    """del(local) inside an `if` branch must erase the local ONLY for
+    rows matching the guard (round-8 ADVICE, Delete var branch)."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        'x = .val\nif .flag == true { del(x) }\n.out = x'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [(True, "gone"), (False, "kept")], ["flag", "val"]
+    )
+    rows = {r.flag: r for r in pipe(df).collect()}
+    assert rows[True].out is None
+    assert rows[False].out == "kept"
+
+
+def test_lazy_or_del_fires_on_false_lhs(spark):
+    """VRL `||` also evaluates the rhs when the lhs is FALSE (not just
+    null): `exists(.a) || del(.b)` must delete .b on rows where .a is
+    absent (round-8 ADVICE, lazy-arm del guard)."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program('.got = exists(.a) || del(.b)\n.keep = .b')
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [("x", "b1"), (None, "b2")], ["a", "b"]
+    )
+    rows = {r.b is not None and "present" or "absent": r for r in []}
+    out = pipe(df).collect()
+    by_a = {("x" if r.a == "x" else None): r for r in out}
+    assert by_a["x"].keep == "b1"      # lhs true: rhs never ran
+    assert by_a[None].keep is None     # lhs false: del fired
+
+
+def test_when_condition_del_flushes_unconditionally(spark):
+    """A del() inside an `if` CONDITION is evaluated for every row —
+    it must not inherit the branch guard (round-8 ADVICE)."""
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program(
+        'if del(.flag) == "y" { .out = "hit" }\n.keep = .flag'
+    )
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame([("y",), ("n",)], ["flag"])
+    out = pipe(df).collect()
+    assert all(r.keep is None for r in out), out
+    by_out = sorted((r.out for r in out), key=lambda v: (v is None, v))
+    assert by_out == ["hit", None]
+
+
+def test_variant_compact_drops_empty_objects_and_arrays(spark):
+    """VRL compact defaults also drop empty objects/arrays; a STRING
+    value "{}" must survive (round-8 ADVICE, functions compact)."""
+    import json as _json
+    from matano_spark.transform.parser import parse_program
+    from matano_spark.transform.compiler import compile_pipeline
+
+    prog = parse_program('.out = encode_json(compact!(parse_json(.s)))')
+    pipe = compile_pipeline(prog)
+    df = spark.createDataFrame(
+        [('{"x":{},"y":[],"z":"v","w":"","c":"{}"}',)], ["s"]
+    )
+    got = _json.loads(pipe(df).collect()[0].out)
+    assert got == {"z": "v", "c": "{}"}, got

@@ -86,7 +86,7 @@ def _collect_unknown(node, out: Counter) -> None:
     from matano_spark.transform import ast as A
     from matano_spark.transform.functions import REGISTRY
 
-    internal = {"__stmt_block", "__abort_block"}  # compiler-special forms
+    internal = {"__stmt_block", "__abort_block", "__del_read", "__field"}  # compiler-special forms
 
     def walk(e):
         if isinstance(e, A.Fn):
