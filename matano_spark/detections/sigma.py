@@ -406,3 +406,33 @@ def sigma_filter(df: DataFrame, rule: dict[str, Any]) -> DataFrame:
     """Rows matching the rule (the detection pre-filter / full
     detection when the rule is pure predicate)."""
     return df.filter(compile_sigma(df, rule))
+
+
+def sigma_fields(rule: dict[str, Any]) -> tuple[str, ...]:
+    """The rule's field READ SET — every selection key before `|`,
+    plus `|fieldref` comparand fields. This is the projection-pushdown
+    contract a detection declares: feed it to
+    `TableDef.pipeline_for(sigma_fields(rule) + extras)` and the
+    upstream transform compiles only the statements the detection can
+    observe (transform/slice.py). Keyword (full-text) selections read
+    no named field and contribute nothing here."""
+    out: list[str] = []
+
+    def walk(sel: Any) -> None:
+        if isinstance(sel, dict):
+            for k, v in sel.items():
+                field = k.split("|", 1)[0]
+                if field:
+                    out.append(field)
+                mods = k.split("|")[1:]
+                if "fieldref" in mods and isinstance(v, str):
+                    out.append(v)
+        elif isinstance(sel, list):
+            for x in sel:
+                walk(x)
+
+    for name, sel in (rule.get("detection") or {}).items():
+        if name in ("condition", "timeframe"):
+            continue
+        walk(sel)
+    return tuple(dict.fromkeys(out))

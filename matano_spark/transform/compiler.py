@@ -1987,6 +1987,37 @@ def _is_root_assign(s) -> bool:
     return False
 
 
+def _self_rebuild_root(s) -> tuple | None:
+    """2-segment root key when the statement rebuilds a row-path value
+    IN PLACE — a dynamic `set!` whose expression reads its own write
+    target, or a nested (≥3-segment) del. On a variant-map node each
+    such statement nests the previous value EXPRESSION (map_concat /
+    map_filter over the old map, referenced 2-3×), so a run of them in
+    one chunk grows the Column tree multiplicatively: zeek smb_cmd's
+    14 `set(.zeek.smb_cmd, split("referenced_file.x","."), …)` + del
+    pairs cost 370 s of analysis in one 12-step chunk vs ~20 s with
+    boundaries. The chunker caps same-root rebuilds per chunk."""
+    if isinstance(s, ast.Delete) and not s.var:
+        parts = ast.split_path(s.path)
+        return tuple(parts[:2]) if len(parts) >= 3 else None
+    target = expr = None
+    if isinstance(s, ast.Assign):
+        target, expr = ast.split_path(s.path), s.expr
+    elif isinstance(s, ast.LetErr) and s.val_path and s.val_row:
+        target, expr = ast.split_path(s.val_path), s.expr
+    if not target or expr is None:
+        return None
+    from matano_spark.transform.slice import _Effects, _expr as _slice_expr
+
+    fx = _Effects()
+    _slice_expr(expr, fx)
+    for rp in fx.row_reads:
+        n = min(len(rp), len(target))
+        if n and tuple(rp[:n]) == tuple(target[:n]):
+            return tuple(target[:2])
+    return None
+
+
 def _ast_weight(o) -> int:
     """Rough AST node count — the static 'this chunk could explode at
     analysis' signal for the chunk-growth probe. Plain literal values
@@ -2234,10 +2265,21 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             # OOMs a 24g driver at analysis. A boundary before AND
             # after materializes x once and every fold reads a plain
             # column.
+            rebuilds: dict = {}
             for j, s in enumerate(chunk_l):
                 if _is_root_assign(s):
                     chunk_l = chunk_l[:j] if j else chunk_l[:1]
                     break
+                # cap same-root IN-PLACE rebuilds per chunk: each one
+                # nests the previous value expression, so >K in one
+                # chunk grows the tree ~2^K (zeek smb_cmd — see
+                # _self_rebuild_root)
+                rr = _self_rebuild_root(s)
+                if rr is not None:
+                    rebuilds[rr] = rebuilds.get(rr, 0) + 1
+                    if rebuilds[rr] > 4 and j:
+                        chunk_l = chunk_l[:j]
+                        break
             chunk = tuple(chunk_l)
             remaining = remaining[len(chunk) :]
             is_last = not remaining

@@ -1658,12 +1658,16 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _keep_status(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """dedup_keep_list core; `words` shares one tokenization pass with
-    the other shingle stages in a composite pipeline."""
+    the other shingle stages in a composite pipeline. A precomputed
+    content-hash column `__h` (curation composite's one-scan base
+    relation) is used when present so the fat text column never
+    re-scans."""
     from matano_spark.operators.graph import connected_components
 
     # keeper is a window column on docs directly — no corpus-corpus
     # self-join for the exact stage (one shuffle on the content hash)
-    w = W.partitionBy(F.md5(F.col("text")))
+    h = F.col("__h") if "__h" in docs.columns else F.md5(F.col("text"))
+    w = W.partitionBy(h)
     exact = docs.select(
         "doc_id", F.min("doc_id").over(w).alias("keeper")
     )
@@ -1752,34 +1756,78 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     by stratum. Both sides compose the SAME verified building blocks,
     so the composite checks stage WIRING, not just stages.
     """
-    from matano_spark.workloads import REGISTRY
-
     docs = t(spark, sf_dir, "documents")
-    # ONE tokenization pass feeds both shingle stages (decon n=8,
-    # minhash n=3); localCheckpoint materializes it so neither stage
-    # re-splits the corpus text (bench: ~6 s → ~4 s at sf0.1). The
-    # stage SEMANTICS are the verified registry building blocks —
-    # _decon_flags/_keep_status are the same code paths the standalone
-    # queries run, just fed the shared words relation.
+    # ONE scan of documents feeds EVERY stage: the raw text is read
+    # once and projected into (words, content hash, quality points,
+    # ws_tokens, lang) in a single map, then localCheckpoint'ed — the
+    # shingle stages (decon n=8, minhash n=3), the exact-dup window,
+    # the quality gate and the token totals all run off this slim
+    # relation, so the fat text column never re-scans (r7/r8 residual:
+    # quality + token stages re-read the parquet). Stage SEMANTICS are
+    # the same verified expressions the standalone queries compile
+    # (identical quality/ws_tokens formulas — oracle composes their
+    # stage SQL unchanged).
     # spread_partitions: a one-split parquet input would otherwise pin
     # every downstream shingle/signature map to a single core.
-    words = D.spread_partitions(_words_of(docs)).localCheckpoint()
-    decon = _decon_flags(docs, words)
-    keep = _keep_status(docs, words)
-    quality = REGISTRY["text_quality_score"].fn(spark, sf_dir)
-    tokens = REGISTRY["text_token_stats"].fn(spark, sf_dir)
+    base = D.spread_partitions(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.split(F.col("text"), " ").alias("__ws"),
+            F.md5(F.col("text")).alias("__h"),
+        )
+    ).localCheckpoint()
+    words = base.select("doc_id", "__ws")
+    # quality/token formulas recomputed EXACTLY from the words array
+    # (text == join(__ws, " ") roundtrip, so every char count below
+    # equals its text-side oracle formula integer-for-integer): keeps
+    # the checkpoint slim — only (__ws, __h, lang) ride along.
+    ws = F.col("__ws")
+    n_words = F.size(ws).cast("bigint")
+    chars_no_space = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    text_len = chars_no_space + F.size(ws).cast("bigint") - 1
+    punct = F.aggregate(
+        ws,
+        F.lit(0).cast("bigint"),
+        lambda a, w: a + F.length(F.regexp_replace(w, "[^.,;:!?]", "")),
+    )
+    stop = F.array(
+        *[F.lit(w) for w in ("the", "and", "of", "a", "is", "in", "to", "it")]
+    )
+    q_points = (
+        F.when(n_words.between(10, 100000), 4).otherwise(0)
+        + F.when(
+            (
+                F.size(F.filter(ws, lambda w: F.array_contains(stop, w))).cast(
+                    "double"
+                )
+                / F.size(ws)
+            ).between(0.01, 0.6),
+            3,
+        ).otherwise(0)
+        + F.when(punct.cast("double") / text_len < 0.2, 2).otherwise(0)
+        + F.when(
+            (chars_no_space.cast("double") / F.size(ws)).between(2.0, 12.0), 1
+        ).otherwise(0)
+    )
+    base = base.withColumn(
+        "quality_score", q_points.cast("double") / F.lit(10.0)
+    ).withColumn("ws_tokens", n_words)
+    decon = _decon_flags(base, words)
+    keep = _keep_status(base, words)
     survivors = (
         decon.filter(~F.col("contaminated"))
         .select("doc_id")
         .join(keep.filter(F.col("status") == "kept").select("doc_id"), "doc_id")
         .join(
-            quality.filter(F.col("quality_score") >= 0.5).select("doc_id"),
+            base.filter(F.col("quality_score") >= 0.5).select("doc_id"),
             "doc_id",
         )
     )
     return (
-        survivors.join(docs.select("doc_id", "lang"), "doc_id")
-        .join(tokens.select("doc_id", "ws_tokens"), "doc_id")
+        survivors.join(base.select("doc_id", "lang", "ws_tokens"), "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -109,25 +109,10 @@ def _through_pipeline(td, raw: DataFrame, needed: tuple[str, ...] | None = None)
     return td.pipeline_for(needed)(raw) if needed else td.pipeline(raw)
 
 
-@query(
-    "okta_failed_auth_rollup",
-    oracle="""
-    SELECT concat('user-', CAST(user_id AS VARCHAR), '@example.com') AS user_name,
-           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           COUNT(*) AS n_failures
-    FROM events
-    WHERE event_type = 'error'
-    GROUP BY 1, 2
-    """,
-)
-def okta_failed_auth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Failed-authentication rollup through the ported okta pack:
-    events → okta System Log JSON → okta/system compiled transform
-    (outcome.result → event.outcome, actor.alternateId → user.name) →
-    failures per user per day."""
-    td = _table_def("okta", "system")
-    ev = t(spark, sf_dir, "events")
-    raw = ev.select(
+def _okta_raw(ev: DataFrame) -> DataFrame:
+    """events → okta System Log JSON lines (shared by the okta rollup
+    and the sliced-sigma detection query)."""
+    return ev.select(
         F.to_json(
             F.struct(
                 F.col("ts").cast("string").alias("published"),
@@ -151,6 +136,26 @@ def okta_failed_auth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json")
     )
+
+
+@query(
+    "okta_failed_auth_rollup",
+    oracle="""
+    SELECT concat('user-', CAST(user_id AS VARCHAR), '@example.com') AS user_name,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_failures
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+    """,
+)
+def okta_failed_auth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-authentication rollup through the ported okta pack:
+    events → okta System Log JSON → okta/system compiled transform
+    (outcome.result → event.outcome, actor.alternateId → user.name) →
+    failures per user per day."""
+    td = _table_def("okta", "system")
+    raw = _okta_raw(t(spark, sf_dir, "events"))
     ecs = _through_pipeline(td, raw, needed=("event.outcome", "user.name", "ts"))
     return (
         ecs.filter(F.col("event.outcome") == "failure")
@@ -159,6 +164,46 @@ def okta_failed_auth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", F.col("ts")).alias("day"),
         )
         .agg(F.count(F.lit(1)).alias("n_failures"))
+    )
+
+
+@query(
+    "sigma_sliced_okta_detection",
+    oracle="""
+    SELECT concat('user-', CAST(user_id AS VARCHAR), '@example.com')
+             AS user_name,
+           COUNT(*) AS n_hits
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def sigma_sliced_okta_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Sigma rule over the okta pack pipeline with AUTOMATIC
+    transform slicing: the rule declares its field read set
+    (detections.sigma.sigma_fields), which feeds
+    TableDef.pipeline_for — the detection pays only for the transform
+    statements it can observe (plus row-membership effects). The
+    projection-pushdown-through-transforms contract as a driver-gated
+    query: sliced pipeline + compiled Sigma predicate must match the
+    plain-SQL oracle."""
+    from matano_spark.detections.sigma import sigma_fields, sigma_filter
+
+    rule = {
+        "title": "okta failed logins",
+        "detection": {
+            "failed": {"event.outcome": "failure", "event.kind": "event"},
+            "condition": "failed",
+        },
+    }
+    td = _table_def("okta", "system")
+    raw = _okta_raw(t(spark, sf_dir, "events"))
+    needed = sigma_fields(rule) + ("user.name", "ts")
+    ecs = _through_pipeline(td, raw, needed=needed)
+    return (
+        sigma_filter(ecs, rule)
+        .groupBy(F.col("user.name").alias("user_name"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
 
 

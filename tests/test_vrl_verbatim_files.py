@@ -245,7 +245,9 @@ def test_google_workspace_login_full_transform_verbatim(spark):
     # the dynamic-key parameter loop: login_ prefix stripped, values
     # landed in the login object (map representation)
     login = d["google_workspace"]["login"]
-    assert login["type"] == "google_password"
+    # dynamic-object values keep their runtime kinds (r8 variant
+    # semantics) — normalize for the string compare
+    assert str(login["type"]).strip('"') == "google_password"
     assert "challenge_method" in login
     # authentication + session categories, success/start type tagging
     assert d["event"]["category"] == ["authentication", "session"]

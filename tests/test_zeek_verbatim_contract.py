@@ -83,13 +83,17 @@ def test_zeek_table_verbatim_contract(spark, table):
         f"zeek/tables/{table}.yml", {}
     ))
     event = synth_event(reads, ov.get("json"))
-    # force the sentinel identity fields wherever the program reads them
+    # Always feed the zeek identity fields plus a rider key: most
+    # programs move the WHOLE payload into .zeek.<proto> first and
+    # read fields off that subtree (`.zeek.rdp."id.orig_h"`), so the
+    # json.* read set alone under-populates the event. `fed` records
+    # which sentinels the program actually consumes (a read of the
+    # field under ANY path prefix), keying the assertions below.
+    event.setdefault("zz_rider", "kept")  # keeps the subtree non-empty
     fed = {}
     for key, val in SENTINELS.items():
-        if ("json", key) in reads or any(
-            r[:2] == ("json", key) for r in reads
-        ):
-            event[key] = val
+        event[key] = val
+        if any(r and r[-1] == key for r in reads):
             fed[key] = val
     if "ts" not in event:
         event["ts"] = 1612461115.0
