@@ -1301,6 +1301,15 @@ class Compiler:
                     and not isinstance(vt.elementType, T.VariantType)
                 ):
                     v = v.cast("array<variant>")
+                elif vt is not None and not isinstance(
+                    vt, (T.ArrayType, T.NullType)
+                ):
+                    # scalar-claimed value: a VRL type-error arm
+                    # (append requires arrays) reachable only behind
+                    # an is_array guard that is false for this static
+                    # shape (teleport audit's participants inferred as
+                    # string) — contributes nothing
+                    v = F.lit(None).cast(out_t)
                 tail = F.coalesce(v, F.array().cast(out_t))
             empty = F.array().cast(out_t)
             # When the guard is FALSE the assignment never ran in
@@ -1414,6 +1423,22 @@ class Compiler:
                 # the old value field-by-field in the NEW shape so the
                 # off-guard arm keeps every pre-merge field
                 old = _reshape_struct(old, oldt, vtype)
+            elif isinstance(vtype, T.ArrayType) and (
+                not _complex(oldt) or isinstance(oldt, T.ArrayType)
+            ):
+                # scalar → array and array → differently-shaped array
+                # rebinds (o365's `x = if x == null {[]} else if
+                # is_array(x) {x} else {[x]}` chain): later branches
+                # RE-READ the original value, so nulling the off-guard
+                # arm breaks the chain — blend as VARIANT, each arm
+                # keeping its runtime kind
+                value = _lift_variant_object(value, vtype)
+                old = (
+                    _lift_variant_object(old, oldt)
+                    if _complex(oldt)
+                    else old.cast("variant")
+                )
+                vtype = T.VariantType()
             elif _complex(oldt) or _complex(vtype):
                 old = F.lit(None).cast(vtype)
             else:

@@ -175,6 +175,29 @@ def _unify(args: list[Arg]) -> list[Arg]:
             t.elementType, (T.StructType, T.MapType, T.ArrayType)
         )
 
+    # `x` vs `[x]` rebinding arms (o365's `if is_array(x) {x} else
+    # {[x]}` over a statically-array x): the arm types differ by ONE
+    # nesting level and only one executes per row — unify on
+    # array<variant> so each arm keeps its runtime kind instead of
+    # force-casting the flat arm into a nested array
+    if all(isinstance(t, T.ArrayType) for t in typed) and any(
+        isinstance(b.elementType, T.ArrayType)
+        and any(
+            b.elementType.simpleString() == a.simpleString() for a in typed
+        )
+        for b in typed
+    ):
+        at = T.ArrayType(T.VariantType())
+        return [
+            (
+                a[0]
+                if _t(a) is not None
+                and _t(a).simpleString() == at.simpleString()
+                else _cv(a).cast(at.simpleString()),
+                at,
+            )
+            for a in args
+        ]
     cplx = {
         t.elementType.simpleString(): t
         for t in typed
@@ -744,10 +767,15 @@ def _append(args, kw):
         out_t = T.ArrayType(T.VariantType())
 
     def _side(c, t):
-        if (
-            isinstance(t, T.ArrayType)
-            and t.elementType.simpleString() != out_t.elementType.simpleString()
-        ):
+        if not isinstance(t, T.ArrayType):
+            # scalar-claimed side: a VRL type-error arm (append
+            # requires arrays), reachable only behind an is_array
+            # guard that is false for this static shape (teleport
+            # audit's `if is_array(.teleport.participants)` over a
+            # string-inferred field) — contribute nothing, and keep
+            # the coalesce type-consistent
+            return F.lit(None).cast(out_t)
+        if t.elementType.simpleString() != out_t.elementType.simpleString():
             c = c.cast(out_t.simpleString())
         return c
 

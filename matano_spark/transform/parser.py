@@ -557,9 +557,12 @@ class Parser:
             return ast.Fn("__array", *elems)
         if t.kind == "name":
             name = t.text
-            # VRL regex literal r'...' / r"..." → marked pattern string
+            # VRL regex literal r'...' / r"..." → marked pattern string.
+            # RAW semantics: no escape processing — r'\\,' is the
+            # 3-char regex source `\\,` (match literal backslash then
+            # comma, zeek ssl's escaped-DN-comma strip), NOT `\,`
             if name == "r" and self.peek().kind == "string":
-                return ast.L(ast.RegexLit(_unquote(self.next().text)))
+                return ast.L(ast.RegexLit(self.next().text[1:-1]))
             if name == "true":
                 return ast.L(True)
             if name == "false":

@@ -104,8 +104,18 @@ def test_zeek_x509_full_transform_verbatim(spark):
     assert _s(fx["version_number"]) == "3"
     zx = d["zeek"]["x509"]
     assert _s(zx["certificate"]["common_name"]) == "svc.example.com"
-    assert _s(zx["certificate"]["sub"]) == "CN=svc.example.com,O=Example Corp"
-    assert _s(zx["certificate"]["iss"]) == "CN=Example CA,O=Example CA Org"
+    # sub/iss are TEMPS the reference deletes after parse_key_value
+    # (x509.yml `del(.zeek.x509.certificate.sub)`); the parsed DN
+    # fields land under file.x509.subject/issuer as per-field arrays
+    cert = zx["certificate"]
+    assert "sub" not in cert or cert.get("sub") is None
+    assert "iss" not in cert or cert.get("iss") is None
+    subj = d["file"]["x509"]["subject"]
+    assert [_s(x) for x in subj["common_name"]] == ["svc.example.com"]
+    assert [_s(x) for x in subj["organization"]] == ["Example Corp"]
+    iss = d["file"]["x509"]["issuer"]
+    assert [_s(x) for x in iss["common_name"]] == ["Example CA"]
+    assert [_s(x) for x in iss["organization"]] == ["Example CA Org"]
     assert zx["basic_constraints"]["path_length"] == 0
 
 
