@@ -2012,6 +2012,96 @@ def _is_root_assign(s) -> bool:
     return False
 
 
+# Function families whose COMPILED Column form is expensive per
+# evaluation (regex engines, JSON round-trips, multi-group extraction,
+# closure folds). Their AST is compact (weight ~5-10, indistinguishable
+# from a rename), but any later statement in the same chunk that reads
+# the written value re-inlines the whole tree — and Catalyst's
+# subexpression elimination cannot deduplicate them because the copies
+# sit under conditional branches (the When/otherwise guard blends), so
+# EVERY copy re-executes per row (measured: msft aad_signinlogs'
+# recursive map_keys re-parsed its JSON 126× per row, 279 s for a
+# 6k-row input; isolated, 3.6 s). The chunker gives each such
+# statement its own chunk, so the boundary projection names its value
+# once and every later read is a column reference.
+_EXPENSIVE_FNS = frozenset(
+    {
+        "parse_grok",
+        "parse_groks",
+        "grok",
+        "parse_regex",
+        "parse_regex_all",
+        "parse_key_value",
+        "parse_csv",
+        "parse_xml",
+        "parse_cef",
+        "parse_syslog",
+        "parse_aws_vpc_flow_log",
+        "parse_json",
+        "parse_user_agent",
+        "parse_url",
+        "map_keys",
+        "map_values",
+    }
+)
+
+
+def _contains_expensive(o) -> bool:
+    if isinstance(o, (tuple, list)):
+        return any(_contains_expensive(x) for x in o)
+    if isinstance(o, ast.Fn):
+        if o.name in _EXPENSIVE_FNS:
+            return True
+        return _contains_expensive(o.args) or _contains_expensive(
+            tuple(o.kwargs.values())
+        )
+    if isinstance(o, ast.BinOp):
+        return _contains_expensive(o.left) or _contains_expensive(o.right)
+    if isinstance(o, ast.UnaryOp):
+        return _contains_expensive(o.operand)
+    if isinstance(o, ast.Lambda):
+        return _contains_expensive(o.body) or _contains_expensive(o.steps)
+    if isinstance(o, ast.ForEach):
+        return True  # loop folds embed their body per iteration
+    if isinstance(o, ast.Assign):
+        return _contains_expensive(o.expr)
+    if isinstance(o, ast.LetVar):
+        return _contains_expensive(o.expr)
+    if isinstance(o, ast.LetErr):
+        return _contains_expensive(o.expr)
+    if isinstance(o, ast.When):
+        return (
+            _contains_expensive(o.cond)
+            or _contains_expensive(o.steps)
+            or _contains_expensive(o.orelse)
+        )
+    if isinstance(o, ast.Multi):
+        return _contains_expensive(o.steps)
+    if isinstance(o, ast.ExprStmt):
+        return _contains_expensive(o.expr)
+    return False
+
+
+def _writes_value(s) -> bool:
+    """True when the statement stores a value later statements can
+    read (isolation is pointless for pure filters/deletes)."""
+    if isinstance(s, (ast.Assign, ast.LetVar, ast.Move, ast.Enrich)):
+        return True
+    if isinstance(s, ast.LetErr):
+        return bool(s.val_path or s.err_path)
+    if isinstance(s, ast.When):
+        return any(_writes_value(x) for x in s.steps) or any(
+            _writes_value(x) for x in s.orelse
+        )
+    if isinstance(s, (ast.Multi, ast.ForEach)):
+        return any(_writes_value(x) for x in s.steps)
+    return False
+
+
+def _is_expensive(s) -> bool:
+    return _writes_value(s) and _contains_expensive(s)
+
+
 def _self_rebuild_root(s) -> tuple | None:
     """2-segment root key when the statement rebuilds a row-path value
     IN PLACE — a dynamic `set!` whose expression reads its own write
@@ -2274,8 +2364,6 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         prev_tombstones: set = set()
         cur_n = chunk_n
         trial: dict | str | None = None
-        grown_from: int | None = None
-        no_grow = False
         ci = 0
         while True:
             t0 = time.monotonic()
@@ -2293,6 +2381,14 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             rebuilds: dict = {}
             for j, s in enumerate(chunk_l):
                 if _is_root_assign(s):
+                    chunk_l = chunk_l[:j] if j else chunk_l[:1]
+                    break
+                # isolate statements with expensive compiled forms
+                # (grok/regex/JSON round-trips — see _EXPENSIVE_FNS):
+                # a boundary before AND after names their value as a
+                # real column, so later reads never re-inline (and
+                # therefore re-EXECUTE) the expensive tree
+                if _is_expensive(s):
                     chunk_l = chunk_l[:j] if j else chunk_l[:1]
                     break
                 # cap same-root IN-PLACE rebuilds per chunk: each one
@@ -2426,18 +2522,20 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                     f"dt={dt:.2f}s",
                     flush=True,
                 )
-            # Self-tuning, both directions.
-            #
-            # GROWTH: most boundary cost is per-boundary reanalysis of
-            # the accumulated plan, so a program whose chunks compile
-            # FAST (okta: ~0.25 s at 12) wants FEWER boundaries —
-            # double the size while the previous full chunk stayed
-            # under the grow threshold. Growth is safe to probe
-            # because the blowup programs are superlinear ~4× per
-            # doubling: a chunk fast enough to pass the gate can cost
-            # at most a few seconds at 2×, and a grown chunk that
-            # comes in slow is rolled back (snapshot) and growth is
-            # banned for the rest of the program.
+            # Self-tuning: SHRINK only. A growth direction (double the
+            # chunk while compiles stay fast) was tried in r8 and
+            # REMOVED this round: it gated on driver-side compile
+            # time, which says nothing about execution-side tree
+            # duplication, and grown 24-48-step chunks made the okta
+            # pipeline's EXECUTION ~100× slower (duplicated grok/when
+            # trees under conditional branches defeat Catalyst's
+            # subexpression elimination). Worse, wall-clock gating
+            # made the chosen plan depend on driver load — the same
+            # query could get a fast or a catastrophic plan run to
+            # run. Chunk shape is now deterministic: fixed size 12,
+            # expensive-statement isolation, rebuild caps, and a
+            # shrink trial that only fires on measured slow compiles
+            # (shrinking is always execution-safe).
             #
             # SHRINK guard. Per-chunk driver cost has two parts:
             # (a) per-boundary reanalysis of the whole accumulated
@@ -2455,16 +2553,6 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             # eve 195 s → ~38 s (trial accepted), fdr stays within
             # ~1.2× of its fixed-12 time (trial rejected).
             if fixed_chunk is None:
-                if grown_from is not None and dt > slow_chunk_s:
-                    # growth probe backfired: roll back the grown
-                    # chunk, restore the proven size, stop probing
-                    out, carry, const_carry, prev_tombstones = snapshot
-                    remaining = list(chunk) + remaining
-                    cur_n = grown_from
-                    grown_from = None
-                    no_grow = True
-                    continue
-                grown_from = None
                 if (
                     trial is None
                     and cur_n > 6
@@ -2476,26 +2564,6 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                     out, carry, const_carry, prev_tombstones = snapshot
                     remaining = list(chunk) + remaining
                     continue
-                if (
-                    trial is None
-                    and not no_grow
-                    and cur_n < 48
-                    and len(chunk) == cur_n
-                    and len(remaining) > cur_n
-                    and dt < 0.25 * slow_chunk_s
-                    # STATIC guard: growth's rollback can bound the
-                    # cost of a slow grown chunk only AFTER its
-                    # analysis returns — a doubled chunk holding a
-                    # heavy step (fdr's 2k-node event dispatch, eve's
-                    # shared-DAG region) can take minutes in ONE
-                    # uninterruptible JVM analysis call. Probe only
-                    # windows that are light by AST weight (okta ~185
-                    # per 24 steps; fdr's dispatch window ~2400).
-                    and sum(_ast_weight(s) for s in remaining[: cur_n * 2])
-                    <= int(os.environ.get("MATANO_VRL_GROW_WEIGHT", "300"))
-                ):
-                    grown_from = cur_n
-                    cur_n = min(cur_n * 2, 48)
                 if isinstance(trial, dict):
                     trial["cost"] += dt
                     trial["left"] -= len(chunk)
