@@ -2102,6 +2102,37 @@ def _is_expensive(s) -> bool:
     return _writes_value(s) and _contains_expensive(s)
 
 
+def _stmt_rw(s):
+    """(touched_rows, touched_vars, row_writes, var_writes) of one
+    statement — the chunker's read-after-expensive-write test.
+    `touched` includes writes and dels: a nested write or del on an
+    expensively-written map REBUILDS it (map_concat/map_filter over
+    the old value), i.e. reads it."""
+    from matano_spark.transform.slice import _Effects, _stmt_effects
+
+    fx = _Effects()
+    _stmt_effects(s, fx)
+    row_writes = set(fx.row_writes) | set(fx.row_dels)
+    if fx.writes_all:
+        row_writes.add(())
+    var_writes = fx.var_writes | fx.var_dels
+    return (
+        fx.row_reads | row_writes,
+        fx.var_reads | var_writes,
+        row_writes,
+        var_writes,
+    )
+
+
+def _paths_overlap(a: set, b: set) -> bool:
+    for p in a:
+        for q in b:
+            n = min(len(p), len(q))
+            if p[:n] == q[:n]:
+                return True
+    return False
+
+
 def _self_rebuild_root(s) -> tuple | None:
     """2-segment root key when the statement rebuilds a row-path value
     IN PLACE — a dynamic `set!` whose expression reads its own write
@@ -2338,8 +2369,17 @@ def compile_pipeline(steps: Iterable[ast.Step]):
     fixed_chunk = os.environ.get("MATANO_VRL_STAGE_CHUNK")
     chunk_n = int(fixed_chunk) if fixed_chunk else 12
     slow_chunk_s = float(os.environ.get("MATANO_VRL_CHUNK_SLOW_S", "1.5"))
+    # Per-stage replay cache: the first apply() records the EMITTED
+    # chunk lengths (after all cut rules and any shrink trial); later
+    # applies of the same compiled program replay them verbatim. A
+    # bench/streaming caller re-applies the same pipeline per
+    # repeat/micro-batch — without the cache every apply re-ran the
+    # shrink trial, paying the rolled-back slow chunk AGAIN (measured
+    # ~2.4 s wasted per apply on the verbatim cloudtrail program) and
+    # letting wall-clock jitter change the plan shape run to run.
+    chunk_plan: dict[int, list[int]] = {}
 
-    def apply_steps(df: DataFrame, stage_steps) -> DataFrame:
+    def apply_steps(df: DataFrame, stage_steps, stage_idx: int = -1) -> DataFrame:
         # compile in CHUNKS of top-level steps with a projection
         # boundary between them: expressions that python shares as a
         # DAG expand to a TREE at Column→Catalyst conversion, so one
@@ -2364,11 +2404,16 @@ def compile_pipeline(steps: Iterable[ast.Step]):
         prev_tombstones: set = set()
         cur_n = chunk_n
         trial: dict | str | None = None
+        replay = chunk_plan.get(stage_idx)
+        rec: list[int] = []
         ci = 0
         while True:
             t0 = time.monotonic()
             snapshot = (out, carry, const_carry, set(prev_tombstones))
-            chunk_l = list(remaining[:cur_n])
+            if replay is not None:
+                chunk_l = list(remaining[: replay[ci]])
+            else:
+                chunk_l = list(remaining[:cur_n])
             # Isolate root-spread assigns (`. = merge(., x, deep:
             # true)`) into single-step chunks: the merge folds x's
             # value expression into the row ONCE PER TOP-LEVEL FIELD,
@@ -2379,18 +2424,30 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             # after materializes x once and every fold reads a plain
             # column.
             rebuilds: dict = {}
-            for j, s in enumerate(chunk_l):
+            exp_rows: set = set()
+            exp_vars: set = set()
+            for j, s in enumerate(chunk_l if replay is None else ()):
                 if _is_root_assign(s):
                     chunk_l = chunk_l[:j] if j else chunk_l[:1]
                     break
-                # isolate statements with expensive compiled forms
-                # (grok/regex/JSON round-trips — see _EXPENSIVE_FNS):
-                # a boundary before AND after names their value as a
-                # real column, so later reads never re-inline (and
-                # therefore re-EXECUTE) the expensive tree
-                if _is_expensive(s):
-                    chunk_l = chunk_l[:j] if j else chunk_l[:1]
+                # Expensive compiled forms (grok/regex/JSON round-trips
+                # — see _EXPENSIVE_FNS): re-inlining one at a later
+                # READ site re-EXECUTES it per row, so a boundary must
+                # fall between an expensive statement's write and the
+                # first same-chunk statement that reads it. Statements
+                # that don't touch an expensive value written in this
+                # chunk (including further independent parses) keep
+                # sharing the chunk — boundaries cost driver-side
+                # reanalysis, so we only pay where a re-read exists.
+                rr_, vr_, rw_, vw_ = _stmt_rw(s)
+                if (
+                    _paths_overlap(rr_, exp_rows) or (vr_ & exp_vars)
+                ) and j:
+                    chunk_l = chunk_l[:j]
                     break
+                if _is_expensive(s):
+                    exp_rows |= rw_
+                    exp_vars |= vw_
                 # cap same-root IN-PLACE rebuilds per chunk: each one
                 # nests the previous value expression, so >K in one
                 # chunk grows the tree ~2^K (zeek smb_cmd — see
@@ -2552,7 +2609,7 @@ def compile_pipeline(steps: Iterable[ast.Step]):
             # if the trial actually beat the slow chunk. Measured:
             # eve 195 s → ~38 s (trial accepted), fdr stays within
             # ~1.2× of its fixed-12 time (trial rejected).
-            if fixed_chunk is None:
+            if fixed_chunk is None and replay is None:
                 if (
                     trial is None
                     and cur_n > 6
@@ -2571,9 +2628,12 @@ def compile_pipeline(steps: Iterable[ast.Step]):
                         if trial["cost"] > 0.6 * trial["base"]:
                             cur_n = chunk_n  # shrink didn't pay
                         trial = "done"
+            rec.append(len(chunk))
             if is_last:
                 break
             ci += 1
+        if replay is None and stage_idx >= 0:
+            chunk_plan[stage_idx] = rec
         return out
 
     def apply_enrich(df: DataFrame, step: ast.Enrich) -> DataFrame:
@@ -2600,10 +2660,10 @@ def compile_pipeline(steps: Iterable[ast.Step]):
 
     def apply(df: DataFrame) -> DataFrame:
         out = df
-        for kind, payload in stages:
+        for si, (kind, payload) in enumerate(stages):
             if kind == "steps":
                 if payload:
-                    out = apply_steps(out, payload)
+                    out = apply_steps(out, payload, si)
             else:
                 out = apply_enrich(out, payload)
         return out
