@@ -299,23 +299,41 @@ def minhash_near_dups(
     cands = lsh_candidate_pairs(
         sigs, id_col, bucket_cap=bucket_cap
     ).localCheckpoint()
-    # Shingles explode ONLY for candidate docs: at 100 TB the
-    # candidate set is a sliver of the corpus, so the words→shingle
-    # generate (and the verification shuffle it feeds) touches that
-    # sliver, not O(corpus) — the semi-join runs on the compact words
-    # relation, before the row blowup (AQE broadcasts the id list when
-    # it is small). Results are identical: every shingle of every
-    # candidate doc survives, so sizes and intersections are unchanged.
+    # Exact-Jaccard verification on per-doc shingle ARRAYS, restricted
+    # to candidate docs: at 100 TB the candidate set is a sliver of
+    # the corpus, so the semi-join keeps the relation tiny before any
+    # shingle materialization (AQE broadcasts the id list when small).
+    # The array form (size/array_intersect over the per-doc DISTINCT
+    # shingle set) replaces the previous exploded-shingle formulation
+    # — cands ⋈ shingles ⋈ shingles → groupBy(pair) → ⋈ sizes ⋈ sizes
+    # — with two plain joins and ZERO aggregations: 4 joins + 2
+    # groupBy shuffles become 2 joins (plan: 4 SortMergeJoin + 2
+    # HashAggregate exchanges removed). array_intersect hashes one
+    # side (O(|A|+|B|) per pair), and |A∩B| over distinct sets equals
+    # the exploded COUNT(*) match, so jaccard values are identical.
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_shingles = shingles_from_words(
-        words_df.join(cand_ids, id_col, "left_semi"), id_col
+    arrs = words_df.join(cand_ids, id_col, "left_semi").select(
+        id_col, shingle_array(3).alias("__sh")
     )
-    return jaccard_for_pairs(cand_shingles, cands, id_col).filter(
-        F.col("jaccard") >= threshold
+    a = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    b = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    n_common = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    jac = n_common.cast("double") / (
+        F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - n_common
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

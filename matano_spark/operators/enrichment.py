@@ -199,6 +199,12 @@ def lpm_join(
         dim.withColumn("__rn", F.row_number().over(wd))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # pin the deduped dim once: each per-length branch below builds
+        # its own broadcast, and without this every branch (plus the
+        # lengths collect) re-executes the full dim plan — scan, union,
+        # dedup window — once per distinct prefix length (measured
+        # ~0.5 s per re-execution at sf0.1). Dim is small by contract.
+        .localCheckpoint(eager=True)
     )
     # control-plane: the distinct-length list (≤33 rows for v4)
     lengths = sorted(
@@ -211,8 +217,12 @@ def lpm_join(
             empty = empty.withColumn(fld.name, F.lit(None).cast(fld.dataType))
         return empty
 
-    ev_ip = ip4_long(F.col(ip_col))
-    out = events
+    # materialize the dotted-quad parse ONCE as a hidden column: the
+    # per-length join keys below each mask it, so without this the
+    # split/cast chain re-evaluates once per distinct prefix length
+    # per row (same hoist lpm_join6 applies to its word parse)
+    out = events.withColumn("__lpm_ip", ip4_long(F.col(ip_col)))
+    ev_ip = F.col("__lpm_ip")
     probes = []
     for ln in lengths:
         block = 1 << (32 - ln)
