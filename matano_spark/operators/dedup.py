@@ -466,6 +466,10 @@ def simhash_near_dups(
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
-        .distinct()
+        # hamming is a pure function of the pair's chunk columns, so
+        # filtering BEFORE the dedup shuffle is value-identical and the
+        # distinct only shuffles surviving pairs (far fewer than raw
+        # band collisions)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

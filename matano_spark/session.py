@@ -28,6 +28,12 @@ def get_spark(app_name: str = "matano_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions fit (guide §3.1/§9): the near-dup verify and
+        # rollup joins never need sorted output, and the planner still
+        # falls back to sort-merge when the build side is too big —
+        # scale-safe, not a local[32] tune
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # VRL object semantics are last-wins on duplicate keys; the
         # default EXCEPTION policy makes any map_from_entries /
         # map_concat over real-world data (repeated URL query params)

@@ -94,8 +94,14 @@ def dedup_batch_against_store(
     probe is an equi-join; `bucket_cap` drops degenerate buckets
     (drop_hot_keys) exactly as in the batch path.
     """
-    sigs = D.minhash_signatures(
-        D.word_shingles(batch_df, id_col, text_col), id_col
+    # map-side signature fold (same builder as the batch path since
+    # r8): per-doc shingle set + k permutation minima computed in-row,
+    # so the per-micro-batch signature pass has ZERO shuffles — the
+    # previous explode→groupBy formulation shuffled every shingle row
+    # per batch. Bit-identical output (min over distinct shingles).
+    sigs = D.minhash_signatures_from_words(
+        batch_df.select(id_col, F.split(F.col(text_col), " ").alias("__ws")),
+        id_col,
     ).localCheckpoint()
 
     # Candidate generation: new docs vs (store ∪ earlier-in-batch).
