@@ -289,27 +289,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal that bounds the worst key at cap² pairs on real web text.
     """
     docs = t(spark, sf_dir, "documents")
-    # Materialize the words array once per row — element_at over a bound
-    # array column is O(1); putting split() inside the lambda re-splits
-    # the text per shingle (O(words²) per doc, measured 7.6× slower).
+    # Tokenize once per row; per-doc shingle DISTINCTNESS is map-side
+    # (array_distinct before the explode, via shingles_from_words) —
+    # the previous formulation exploded raw shingles and ran a global
+    # .distinct(), which shuffled the ENTIRE shingle stream once just
+    # to dedup within each doc (guide §2.4: a distinct on data already
+    # unique per group). (doc_id, shingle) pairs out of the per-doc
+    # array_distinct are identical rows, zero shuffles.
     with_ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    ws = F.col("ws")
-    idx = F.sequence(F.lit(0), F.size(ws) - 3)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2), F.element_at(ws, i + 3)
-    )
     # Materialized once: this relation feeds 4 plan branches (pair join
     # a/b + sizes a/b). localCheckpoint truncates the lineage so each
     # branch scans the materialized rows (measured ~6× faster than
     # .cache() here). At 100 TB the equivalent is a checkpointed
     # intermediate table — same plan shape.
     shingles = D.drop_hot_keys(
-        with_ws.filter(F.size(ws) >= 3)  # sequence() runs descending below n words
-        .select(
-            "doc_id",
-            F.explode(F.transform(idx, shingle)).alias("shingle"),
-        )
-        .distinct(),
+        D.shingles_from_words(with_ws, "doc_id", 3, words_col="ws"),
         ["shingle"],
         cap=1000,
     ).localCheckpoint()
