@@ -1809,20 +1809,38 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.withColumn(
         "quality_score", q_points.cast("double") / F.lit(10.0)
     ).withColumn("ws_tokens", n_words)
-    decon = _decon_flags(base, words)
-    keep = _keep_status(base, words)
-    survivors = (
-        decon.filter(~F.col("contaminated"))
+    # Decon stage, survivor-set form: the composite needs only the
+    # UNcontaminated doc ids, so skip _decon_flags' full left-join +
+    # two-count aggregation over the whole exploded shingle stream
+    # (guide §2.3 aggregate-less when existence suffices): inner
+    # broadcast probe emits ONLY hit rows (contamination is rare by
+    # construction), distinct over that sliver, anti-join it away.
+    # Same semantics: a doc is contaminated iff ≥1 of its 8-shingles
+    # is in the eval set; docs with <8 words have no shingles, hence
+    # no hits, hence survive — exactly coalesce(n_hits,0)=0.
+    sh8 = D.shingles_from_words(words, "doc_id", 8)
+    is_eval = F.col("doc_id") % 29 == 0
+    eval_sh = sh8.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh8.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
         .select("doc_id")
+        .distinct()
+    )
+    keep = _keep_status(base, words)
+    # quality gate + (lang, ws_tokens) attach share ONE join: the
+    # filtered base row already carries the columns the final rollup
+    # needs, so the old fourth join (survivors ⋈ base for lang/tokens)
+    # is gone (guide §2.4 — same key, same rows, one exchange fewer).
+    survivors = (
+        base.filter(~is_eval)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "ws_tokens")
+        .join(contaminated, "doc_id", "left_anti")
         .join(keep.filter(F.col("status") == "kept").select("doc_id"), "doc_id")
-        .join(
-            base.filter(F.col("quality_score") >= 0.5).select("doc_id"),
-            "doc_id",
-        )
     )
     return (
-        survivors.join(base.select("doc_id", "lang", "ws_tokens"), "doc_id")
-        .groupBy("lang")
+        survivors.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),

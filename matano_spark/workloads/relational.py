@@ -85,8 +85,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analog: broadcast dim filter + fact-fact join + top-k.
 
-    customer (filtered) is broadcast to the orders scan; orders⋈lineitem
-    shuffles on orderkey. Top-k is a total-order LIMIT — Spark computes
+    The broadcast customer join applies BELOW the fact-fact shuffle:
+    orders is pruned to the BUILDING segment (~1/5 of rows) map-side
+    before its orderkey exchange, so the orders⋈lineitem shuffle moves
+    only matching orders (guide §2.3 "project before the exchange" +
+    §3.2's reduce-the-big-side idea, with the broadcast itself as the
+    filter). Both fact sides project to just the join/agg columns
+    before shuffling. Top-k is a total-order LIMIT — Spark computes
     it with per-partition partial top-k (TakeOrderedAndProject), no full
     sort at scale. Ties broken by (o_orderdate, l_orderkey) so the
     result set is deterministic.
@@ -97,10 +102,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
-    )
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    ord_b = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(ord_b, li.l_orderkey == ord_b.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
