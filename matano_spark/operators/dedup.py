@@ -17,7 +17,7 @@ hash/shingle/band value with near-uniform distribution.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from matano_spark.operators import hashing
@@ -212,28 +212,44 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b), deduplicated.
 
-    Bands explode to (band_id, band_key) rows; the self-join key is
-    (band_id, band_key) — high cardinality, uniform → a well-behaved
-    shuffle at any scale. Degenerate buckets with more than
-    `bucket_cap` members (boilerplate/empty docs all hashing alike)
-    are dropped via `drop_hot_keys` before the self-join, bounding the
-    worst bucket at cap² pairs.
+    ONE exchange of the banded stream: the bucket-size guard is a
+    window count over (band_id, band_key), and the per-bucket id list
+    (collect_list) REUSES that window's partitioning (guide §2.4 —
+    same key, no second shuffle); pairs are generated in-row from the
+    sorted id array. The previous formulation — drop_hot_keys groupBy
+    + banded self-join — shuffled the banded stream three times
+    (count, join left, join right). Identical pair set: sorted ids
+    with i<j is exactly the a.id < b.id self-join per bucket.
+
+    Degenerate buckets (boilerplate/empty docs all hashing alike) with
+    more than `bucket_cap` members are dropped by the window count
+    BEFORE collect_list runs, so no task ever materializes a hot
+    bucket's id array — the window row buffer spills gracefully,
+    bounding the worst bucket at cap² in-row pairs.
     """
     banded = band_keys(sig_df, id_col, num_hashes, band_size)
     if bucket_cap is not None:
-        banded = drop_hot_keys(banded, ["band_id", "band_key"], bucket_cap)
-    a = banded.alias("a")
-    b = banded.alias("b")
+        w = Window.partitionBy("band_id", "band_key")
+        banded = banded.withColumn("__bc", F.count(F.lit(1)).over(w)).filter(
+            F.col("__bc") <= bucket_cap
+        )
+    grouped = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
