@@ -290,34 +290,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     # Tokenize once per row; per-doc shingle DISTINCTNESS is map-side
-    # (array_distinct before the explode, via shingles_from_words) —
-    # the previous formulation exploded raw shingles and ran a global
-    # .distinct(), which shuffled the ENTIRE shingle stream once just
-    # to dedup within each doc (guide §2.4: a distinct on data already
-    # unique per group). (doc_id, shingle) pairs out of the per-doc
-    # array_distinct are identical rows, zero shuffles.
+    # (array_distinct before the explode, via shingles_from_words).
     with_ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    # Materialized once: this relation feeds 4 plan branches (pair join
-    # a/b + sizes a/b). localCheckpoint truncates the lineage so each
-    # branch scans the materialized rows (measured ~6× faster than
-    # .cache() here). At 100 TB the equivalent is a checkpointed
-    # intermediate table — same plan shape.
-    shingles = D.drop_hot_keys(
-        D.shingles_from_words(with_ws, "doc_id", 3, words_col="ws"),
-        ["shingle"],
-        cap=1000,
+    # ONE exchange of the shingle stream: the hot-shingle cap is a
+    # window count over the shingle, and the per-shingle posting list
+    # (collect_list) reuses that window's partitioning (guide §2.4) —
+    # the previous formulation shuffled the stream for the cap count,
+    # then again on BOTH sides of the inverted-index self-join.
+    # Checkpointed once; it feeds both the pair branch and sizes.
+    w_sh = W.partitionBy("shingle")
+    buckets = (
+        D.shingles_from_words(with_ws, "doc_id", 3, words_col="ws")
+        .withColumn("__df", F.count(F.lit(1)).over(w_sh))
+        .filter(F.col("__df") <= 1000)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     ).localCheckpoint()
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # sizes = per-doc capped-shingle count — singleton buckets still
+    # count (a doc's size includes shingles shared with nobody), so
+    # the explode runs over ALL buckets; shuffle bytes are doc_id-only
+    # partial counts.
+    sizes = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Pairs sharing a shingle, generated in-row from the sorted
+    # posting list (i<j == the old a.doc_id < b.doc_id self-join);
+    # n_common = pair multiplicity across buckets. The cap bounds the
+    # worst bucket at cap² in-row pairs, exactly the old join bound.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
+    )
+    common = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
