@@ -444,8 +444,18 @@ def simhash_near_dups(
     agrees on at least one full chunk, so the candidate join is an
     equi-join on (band_id, chunk) — never a cross join. Degenerate
     buckets (boilerplate corpora collapsing to one fingerprint) are
-    dropped via drop_hot_keys before the self-join, bounding the worst
-    bucket at cap² pairs; Σ bit_count(chunk xor) verifies survivors.
+    dropped by a window count over the band key before the self-join
+    (one pass per join side, replacing drop_hot_keys' count-groupBy +
+    broadcast anti-join; the window's exchange doubles as the join
+    side's required partitioning), bounding the worst bucket at cap²
+    pairs; Σ bit_count(chunk xor) verifies survivors.
+
+    NOTE (measured, sf0.1): the posting-list in-row pair expansion
+    that won for minhash/ngram LOSES here (1.8 s → 3.0 s) — this
+    corpus yields 261k candidate pairs, and per-pair work inside
+    higher-order-function lambdas is interpreted, while the self-join
+    + filter path is whole-stage-codegen'd. Pair volume decides; keep
+    the join.
     """
     fps = simhash_fingerprint(df, id_col, text_col).localCheckpoint()
     chunk_names = [f"c{k}" for k in range(SIMHASH_CHUNKS)]
@@ -462,7 +472,12 @@ def simhash_near_dups(
         F.col("b.chunk").alias("chunk"),
     )
     if bucket_cap is not None:
-        banded = drop_hot_keys(banded, ["band_id", "chunk"], bucket_cap)
+        w = Window.partitionBy("band_id", "chunk")
+        banded = (
+            banded.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bc") <= bucket_cap)
+            .drop("__bc")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     ham: Column = F.lit(0)
