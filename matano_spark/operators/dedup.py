@@ -306,10 +306,11 @@ def minhash_near_dups(
         ).localCheckpoint()
     # Signatures are computed MAP-SIDE from the words array (per-doc
     # shingle set + k permutation minima fold in-row): the corpus-wide
-    # exploded shingle relation is never built or shuffled here.
-    # sigs feeds band_keys on BOTH sides of the candidate self-join;
-    # materializing avoids re-running the in-row fold per branch.
-    sigs = minhash_signatures_from_words(words_df, id_col).localCheckpoint()
+    # exploded shingle relation is never built or shuffled here. Since
+    # candidate generation became a single-pass window+collect over the
+    # banded stream (no self-join), sigs has exactly ONE consumer — no
+    # checkpoint needed (it would be a wasted materialization job).
+    sigs = minhash_signatures_from_words(words_df, id_col)
     # cands feeds the id-set semi-join AND both sides of the verify
     # join — materialize, or the banded self-join re-runs per branch.
     cands = lsh_candidate_pairs(

@@ -341,13 +341,23 @@ def embedding_near_dups(
         norm(F.col(vec_col)).alias("vnorm"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
-    # One materialization feeds the hot-key scan and BOTH sides of the
-    # self-join — without it the n_planes×d bucket fold is recomputed
-    # per branch (measured ~30% off the query). The 100 TB analog is a
-    # persisted bucket column on the embedding table.
+    # One materialization feeds BOTH sides of the self-join — without
+    # it the n_planes×d bucket fold is recomputed per branch (measured
+    # ~30% off the query). The 100 TB analog is a persisted bucket
+    # column on the embedding table.
     b = b.localCheckpoint()
     if bucket_cap is not None:
-        b = drop_hot_keys(b, ["bucket"], bucket_cap)
+        # Degenerate-bucket cap as a window count over the bucket
+        # (same move as simhash/minhash): the window's exchange IS the
+        # partitioning the bucket self-join needs, so the stream
+        # crosses the network once — drop_hot_keys' count-groupBy +
+        # broadcast anti-join cost two extra jobs for the same filter.
+        wb = W.partitionBy("bucket")
+        b = (
+            b.withColumn("__bc", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bc") <= bucket_cap)
+            .drop("__bc")
+        )
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(
