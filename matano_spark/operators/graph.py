@@ -67,43 +67,49 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
-        propagated = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.col("component").alias("prev_component"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
+        propagated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.col("component").alias("prev_component"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nmin"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
         )
+        # Convergence test on PROPAGATION alone — its fixpoint (every
+        # label = min over the closed neighborhood) already implies
+        # every label is the component minimum, so the confirming
+        # round skips the pointer-doubling join entirely. Typical
+        # near-dup graphs converge at init (pairs/triples rooted at
+        # their min id), making round 1 the confirmation pass: this
+        # cuts one join + one materialization off the common case.
+        changed = propagated.filter(
+            F.col("component") != F.col("prev_component")
+        ).count()
+        if changed == 0:
+            return propagated.select("node", "component")
         # pointer doubling: jump each node's label to its label's
-        # label. Components are themselves nodes, so the self-join
-        # always resolves; left-join keeps self-labeled roots. The
-        # convergence flag rides along as a column (old label carried
-        # through the plan) — no separate join-and-count job per
-        # round; the post-checkpoint scan is driver-cheap.
+        # label — the label graph halves in depth, so deep chains
+        # converge in O(log diameter) rounds. Components are
+        # themselves nodes, so the self-join always resolves;
+        # left-join keeps self-labeled roots.
         jump = propagated.select(
             F.col("node").alias("jnode"), F.col("component").alias("jcomp")
         )
-        updated = (
+        labels = (
             propagated.join(jump, propagated.component == jump.jnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("jcomp"), F.col("component")),
                 ).alias("component"),
-                (
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("jcomp"), F.col("component")),
-                    )
-                    != F.col("prev_component")
-                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("chg")).count()
-        labels = updated.select("node", "component")
-        if changed == 0:
-            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )

@@ -269,7 +269,14 @@ def ivf_topk(
     a per-row fold over the broadcast codebook — no shuffle, no row
     blowup; n_centroids grows ~sqrt(N) so the fold stays cheap.
     """
-    cents = _codebook(corpus, id_col, vec_col, n_centroids)
+    # Pin the one-row codebook: its plan (TakeOrdered over the corpus +
+    # aggregation) is referenced by BOTH the corpus-assignment and the
+    # query-probe branches, and appeared 4x in the physical plan — four
+    # corpus passes at scale. One eager checkpoint = one pass, and the
+    # per-branch broadcasts then ship a cached single row.
+    cents = _codebook(corpus, id_col, vec_col, n_centroids).localCheckpoint(
+        eager=True
+    )
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
