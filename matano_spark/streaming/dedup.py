@@ -156,9 +156,7 @@ def dedup_batch_against_store(
     # Docs too short to shingle have no signature — they can't match
     # anything and are kept (left join leaves their m* null; the store
     # append filters those out).
-    batch_ids = batch_df.select(F.col(id_col).alias("id"))
-    dup_ids = scored.select("id").distinct()
-    kept_ids = batch_ids.join(dup_ids, "id", "left_anti")
+    dup_ids = scored.select(F.col("id").alias(id_col)).distinct()
     dupes = (
         scored.groupBy("id")
         .agg(
@@ -167,9 +165,12 @@ def dedup_batch_against_store(
         )
         .withColumnRenamed("id", id_col)
     )
-    kept = batch_df.join(
-        kept_ids.withColumnRenamed("id", id_col), id_col
-    ).join(sigs, id_col, "left")
+    # batch ∖ dupes directly: the old batch_ids ∖ dup_ids intermediate
+    # re-joined the batch against itself (inner) — one join more than
+    # the anti-join needs; row set identical.
+    kept = batch_df.join(dup_ids, id_col, "left_anti").join(
+        sigs, id_col, "left"
+    )
     return kept, dupes
 
 
