@@ -1842,17 +1842,38 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    keep = _keep_status(base, words)
-    # quality gate + (lang, ws_tokens) attach share ONE join: the
-    # filtered base row already carries the columns the final rollup
-    # needs, so the old fourth join (survivors ⋈ base for lang/tokens)
-    # is gone (guide §2.4 — same key, same rows, one exchange fewer).
+    # Keep-status INLINE on base instead of joining the corpus-sized
+    # keep list back onto the corpus-sized survivor set (guide §2.4 —
+    # establish the partitioning once): the exact-dup keeper is a
+    # window over the content hash computed directly on the slim base
+    # projection (__ws dropped first, so the window exchange carries
+    # ~40 B/row), and the near-dup clusters attach with the same small
+    # left join _keep_status used. One corpus×corpus equi-join (two
+    # exchanges + shuffled-hash join) disappears; the window must run
+    # BEFORE the eval/quality filters because the keeper is the min
+    # over ALL copies, filtered or not (oracle: keep list over the
+    # full corpus, filters applied after).
+    from matano_spark.operators.graph import connected_components
+
+    pairs = D.minhash_near_dups(
+        base, "doc_id", "text", threshold=0.35, words_df=words
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    wk = W.partitionBy("__h")
+    kept_row = (F.col("keeper") == F.col("doc_id")) & (
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
     survivors = (
-        base.filter(~is_eval)
+        base.select("doc_id", "lang", "ws_tokens", "quality_score", "__h")
+        .withColumn("keeper", F.min("doc_id").over(wk))
+        .join(clusters, "doc_id", "left")
+        .filter(~is_eval)
         .filter(F.col("quality_score") >= 0.5)
+        .filter(kept_row)
         .select("doc_id", "lang", "ws_tokens")
         .join(contaminated, "doc_id", "left_anti")
-        .join(keep.filter(F.col("status") == "kept").select("doc_id"), "doc_id")
     )
     return (
         survivors.groupBy("lang")
