@@ -64,6 +64,21 @@ HEADLINE = [
 ]
 
 
+def _cpu_sample() -> tuple[int, int, int] | None:
+    """(steal_ticks, busy_ticks, total_ticks) from /proc/stat, or None
+    on non-Linux hosts. Used only for the additive `host` block."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+        steal = vals[7] if len(vals) > 7 else 0
+        total = sum(vals)
+        return steal, total - idle, total
+    except Exception:  # noqa: BLE001 — diagnostics must never fail the bench
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -76,7 +91,9 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     queries = entry_mod.queries()
+    cpu0 = _cpu_sample()
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in queries:
@@ -92,6 +109,7 @@ def main() -> None:
             runs.append(time.time() - t0)
         if runs:
             timings[name] = round(statistics.median(runs), 3)
+            minima[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -102,6 +120,23 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Additive diagnostics (round-10 verdict item 3): per-query MIN
+    # (noise floor — host-contention windows inflate medians but rarely
+    # all repeats), the q1 canary (pure scan+agg, untouched since r1 —
+    # a high value flags a slow host window, not a code change), and
+    # /proc/stat steal/busy over the run. The timed values, the median
+    # semantics, and the `value`/`queries` contract are unchanged.
+    out["queries_min"] = minima
+    out["value_min"] = round(sum(minima.values()), 3)
+    if "q1_pricing_summary" in timings:
+        out["canary"] = timings["q1_pricing_summary"]
+    cpu1 = _cpu_sample()
+    if cpu0 and cpu1 and cpu1[2] > cpu0[2]:
+        dtot = cpu1[2] - cpu0[2]
+        out["host"] = {
+            "steal_pct": round(100.0 * (cpu1[0] - cpu0[0]) / dtot, 2),
+            "busy_pct": round(100.0 * (cpu1[1] - cpu0[1]) / dtot, 2),
+        }
     print(json.dumps(out))
 
 

@@ -204,12 +204,18 @@ def lpm_join(
         # lengths collect) re-executes the full dim plan — scan, union,
         # dedup window — once per distinct prefix length (measured
         # ~0.5 s per re-execution at sf0.1). Dim is small by contract.
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: the lengths collect below is the first
+        # action, so materialization and the control-plane read fuse
+        # into ONE job (the old eager form paid a separate
+        # materialization job first — pure scheduling overhead).
+        .localCheckpoint(eager=False)
     )
-    # control-plane: the distinct-length list (≤33 rows for v4)
+    # control-plane: the distinct-length list (≤33 values for v4) —
+    # collected WITHOUT a distinct (that was a second exchange over the
+    # already-materialized dim; the dim is tiny by contract, so the
+    # set() dedup is driver-side free)
     lengths = sorted(
-        (r["__len"] for r in dim.select("__len").distinct().collect()),
-        reverse=True,
+        {r["__len"] for r in dim.select("__len").collect()}, reverse=True
     )
     if not lengths:
         empty = events.limit(0)
@@ -336,11 +342,12 @@ def lpm_join6(
         dim.withColumn("__rn", F.row_number().over(wd))
         .filter(F.col("__rn") == 1)
         .select("__len", *[f"__n{k}" for k in range(4)], *payload)
-        .localCheckpoint(eager=True)  # dim is small by contract
+        # dim is small by contract; lazy so the lengths collect below
+        # materializes it in the same job (see lpm_join)
+        .localCheckpoint(eager=False)
     )
     lengths = sorted(
-        (r["__len"] for r in dim.select("__len").distinct().collect()),
-        reverse=True,
+        {r["__len"] for r in dim.select("__len").collect()}, reverse=True
     )
     if not lengths:
         empty = events.limit(0)

@@ -44,11 +44,25 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = the
     minimum node id reachable through the pair relation."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    # Symmetrize with ONE pass over the edge list: each edge explodes
+    # in-row into both directions. The previous union-of-two-selects
+    # scanned (and, when `edges` is an unmaterialized plan, COMPUTED)
+    # the edge subtree twice, and its `.distinct()` added a full
+    # exchange — duplicate edges don't change any min() below, so the
+    # dedup bought nothing. All checkpoints in this loop are LAZY: the
+    # convergence count is the first action each round, so
+    # materialization and the convergence test fuse into one job
+    # (eager checkpoints paid a separate materialization job each —
+    # pure scheduling overhead, 3 jobs/round → 1).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").localCheckpoint(eager=False)
 
     # Init fuses round-0 propagation: label := min(self, neighbors)
     # straight out of the groupBy (sym is symmetric, so every node
@@ -59,7 +73,7 @@ def connected_components(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("nmin"))
         .select("node", F.least("node", "nmin").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_rounds):
         neighbor_min = (
@@ -77,7 +91,7 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Convergence test on PROPAGATION alone — its fixpoint (every
         # label = min over the closed neighborhood) already implies
@@ -108,7 +122,8 @@ def connected_components(
                     F.coalesce(F.col("jcomp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the NEXT round's convergence count materializes it
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"

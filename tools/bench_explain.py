@@ -22,7 +22,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        "r10",
     )
     os.makedirs(out_dir, exist_ok=True)
 
