@@ -328,10 +328,12 @@ def minhash_near_dups(
     # HashAggregate exchanges removed). array_intersect hashes one
     # side (O(|A|+|B|) per pair), and |A∩B| over distinct sets equals
     # the exploded COUNT(*) match, so jaccard values are identical.
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # One scan of cands (explode, not union-of-two-selects) and NO
+    # distinct: the left_semi join below deduplicates by construction,
+    # so the distinct was a full exchange + aggregation over the id
+    # stream that bought nothing (AQE broadcasts the list either way).
+    cand_ids = cands.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     )
     arrs = words_df.join(cand_ids, id_col, "left_semi").select(
         id_col, shingle_array(3).alias("__sh")

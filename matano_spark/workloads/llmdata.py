@@ -765,6 +765,15 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = lambda i: F.struct(  # noqa: E731
         F.element_at(ws, i + 1).alias("w1"), F.element_at(ws, i + 2).alias("w2")
     )
+    # NOTE (r10, measured): pre-aggregating this stream to
+    # (doc_id, w1, w2, k) before the joins — so every exchange ships
+    # distinct within-doc bigrams — was A/B'd per the r9 verdict and
+    # REJECTED: 0.86 → 1.71 s min on the real corpus and 2.00 → 2.32 s
+    # even on a 5×-within-doc-duplication fixture. cnt2/cnt1 already
+    # collapse repeats in their map-side partial aggregation, so the
+    # extra (doc,w1,w2) exchange is pure added cost; only the scoring
+    # join ships occurrences, and re-weighting doesn't pay for the
+    # extra shuffle.
     big = (
         with_ws.filter(F.size(ws) >= 2)
         .select("doc_id", F.explode(F.transform(idx, pair)).alias("p"))
@@ -1835,12 +1844,16 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no hits, hence survive — exactly coalesce(n_hits,0)=0.
     sh8 = D.shingles_from_words(words, "doc_id", 8)
     is_eval = F.col("doc_id") % 29 == 0
-    eval_sh = sh8.filter(is_eval).select("shingle").distinct()
+    # No distinct on either side: `contaminated` feeds ONLY a left_anti
+    # join, which ignores right-side duplicates, and the broadcast hash
+    # relation tolerates duplicate eval shingles (shingles are already
+    # distinct PER DOC, so cross-doc duplication is the only residue).
+    # Each dropped distinct was a full exchange + aggregation.
+    eval_sh = sh8.filter(is_eval).select("shingle")
     contaminated = (
         sh8.filter(~is_eval)
         .join(F.broadcast(eval_sh), "shingle")
         .select("doc_id")
-        .distinct()
     )
     # Keep-status INLINE on base instead of joining the corpus-sized
     # keep list back onto the corpus-sized survivor set (guide §2.4 —

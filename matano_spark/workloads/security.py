@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from matano_spark.operators.hashing import P, sql_poly_hash
 from matano_spark.workloads import query
-from matano_spark.workloads.util import dsum, sql_dsum, t
+from matano_spark.workloads.util import dsum, literal_rows, sql_dsum, t
 
 ALERT_THRESHOLD = 5
 
@@ -1122,7 +1122,7 @@ def lpm_geo_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("region"),
     )
     dim = dim16.unionByName(
-        spark.createDataFrame([("10.0.0.0/8", "global")], ["cidr", "region"])
+        literal_rows(spark, [("10.0.0.0/8", "global")], ["cidr", "region"])
     )
     enriched = lpm_join(ev, dim, ip_col="ip")
     return enriched.groupBy("region").agg(
@@ -1185,7 +1185,8 @@ def lpm_v6_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            spark.createDataFrame(
+            literal_rows(
+                spark,
                 [("2001:db8::/32", "global6"), ("10.0.0.0/8", "global4")],
                 ["cidr", "region"],
             )

@@ -72,3 +72,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return tables.table(spark, sf_dir, name)
+
+
+def literal_rows(
+    spark: SparkSession, rows: list[tuple], cols: list[str]
+) -> DataFrame:
+    """A handful of constant rows as a pure-JVM relation.
+
+    `spark.createDataFrame(rows)` pickles the rows into a Python RDD
+    whose scan launches a Python worker at execution (measured
+    ~0.15–0.3 s per query at bench scale — pure overhead for 1–2 row
+    catch-all dims). explode(array(struct…)) over range(1) stays
+    whole-stage-codegen'd JVM literals: same rows, same column names,
+    no Python boundary."""
+    structs = [
+        F.struct(*[F.lit(v).alias(c) for v, c in zip(r, cols)]) for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("__r"))
+        .select("__r.*")
+    )

@@ -21,9 +21,12 @@ from matano_spark.transform.parser import compile_vrl
 
 REF_MANAGED = "/root/reference/data/managed/log_sources"
 
-pytestmark = pytest.mark.skipif(
+# Full-reference verbatim compiles take 30-90s EACH; tiered out of the
+# default selection (pytest.ini deselects -m slow) so the suite fits
+# the driver's window. Run them with: pytest -m slow tests/
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(REF_MANAGED), reason="reference tree not present"
-)
+)]
 
 
 def _load_transform(rel_yml: str) -> str:
