@@ -147,7 +147,14 @@ def test_aggregate_alerts_sql_prototype_equivalence(spark):
         ).alias("ts"),
         F.col("id").alias("match_id"),
     )
-    a = sorted(tuple(r) for r in aggregate_alerts(df, 3, 3600).collect())
+    # rule_config (same values as the global default for every rule)
+    # pins aggregate_alerts to the mapInPandas fold — with no config it
+    # now ROUTES to aggregate_alerts_sql (r10), and this test exists to
+    # compare the two implementations, not sql with itself.
+    cfg = {f"rule{i}": (3, 3600) for i in range(3)}
+    a = sorted(
+        tuple(r) for r in aggregate_alerts(df, 3, 3600, rule_config=cfg).collect()
+    )
     b = sorted(tuple(r) for r in aggregate_alerts_sql(df, 3, 3600).collect())
     assert a == b
     counts = {r[5] for r in a}  # match_count column
