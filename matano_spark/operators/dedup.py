@@ -310,7 +310,12 @@ def minhash_near_dups(
     # candidate generation became a single-pass window+collect over the
     # banded stream (no self-join), sigs has exactly ONE consumer — no
     # checkpoint needed (it would be a wasted materialization job).
-    sigs = minhash_signatures_from_words(words_df, id_col)
+    # The per-shingle char folds run as an Arrow+NumPy batch kernel
+    # (bit-identical, r10 A/B 1.54 → 0.58 s min at sf0.1); the JVM
+    # expression form above stays for the streaming per-batch probe.
+    from matano_spark.operators.nptext import np_minhash_signatures_from_words
+
+    sigs = np_minhash_signatures_from_words(words_df, id_col)
     # cands feeds the id-set semi-join AND both sides of the verify
     # join — materialize, or the banded self-join re-runs per branch.
     cands = lsh_candidate_pairs(
@@ -460,7 +465,16 @@ def simhash_near_dups(
     + filter path is whole-stage-codegen'd. Pair volume decides; keep
     the join.
     """
-    fps = simhash_fingerprint(df, id_col, text_col).localCheckpoint()
+    # Fingerprints via the Arrow+NumPy batch kernel (bit-identical to
+    # simhash_fingerprint — same tokens, arithmetic and bit-majority;
+    # r10 A/B 2.65 → 0.64 s min at sf0.1: the per-char JVM fold is
+    # interpreted per element, the kernel hashes the whole batch as
+    # one segmented-sum pass).
+    from matano_spark.operators.nptext import np_simhash_fingerprint
+
+    fps = np_simhash_fingerprint(
+        df, id_col, text_col, SIMHASH_A, SIMHASH_B, SIMHASH_CHUNK_BITS
+    ).localCheckpoint()
     chunk_names = [f"c{k}" for k in range(SIMHASH_CHUNKS)]
     bands = F.array(
         *[
