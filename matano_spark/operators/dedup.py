@@ -301,9 +301,13 @@ def minhash_near_dups(
     (an already-checkpointed (id, __ws words[]) relation).
     """
     if words_df is None:
+        # LAZY: the first action (the candidate materialization below)
+        # computes+caches the tokenized relation in the same job — an
+        # eager checkpoint paid a dedicated materialization job first
+        # (pure scheduling overhead; same pattern as lpm_join/CC).
         words_df = spread_partitions(
             df.select(id_col, F.split(F.col(text_col), " ").alias("__ws"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     # Signatures are computed MAP-SIDE from the words array (per-doc
     # shingle set + k permutation minima fold in-row): the corpus-wide
     # exploded shingle relation is never built or shuffled here. Since
@@ -317,7 +321,13 @@ def minhash_near_dups(
 
     sigs = np_minhash_signatures_from_words(words_df, id_col)
     # cands feeds the id-set semi-join AND both sides of the verify
-    # join — materialize, or the banded self-join re-runs per branch.
+    # join — checkpoint, or the banded pass re-runs per branch. EAGER
+    # deliberately (r10 A/B): the three consumer stages (cand_ids
+    # broadcast + both verify sides) materialize concurrently under
+    # AQE, and a lazy checkpoint lets them race on the uncached RDD —
+    # re-running the kernel+banding pass; the eager job guarantees the
+    # expensive candidate pass computes exactly once. (The words
+    # checkpoint above stays lazy: this job is its first action.)
     cands = lsh_candidate_pairs(
         sigs, id_col, bucket_cap=bucket_cap
     ).localCheckpoint()
@@ -472,9 +482,12 @@ def simhash_near_dups(
     # one segmented-sum pass).
     from matano_spark.operators.nptext import np_simhash_fingerprint
 
+    # LAZY checkpoint: both self-join sides read the windowed banding's
+    # reused exchange, so the final count is the first (and only)
+    # materialization — eager paid a dedicated kernel job first.
     fps = np_simhash_fingerprint(
         df, id_col, text_col, SIMHASH_A, SIMHASH_B, SIMHASH_CHUNK_BITS
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     chunk_names = [f"c{k}" for k in range(SIMHASH_CHUNKS)]
     bands = F.array(
         *[

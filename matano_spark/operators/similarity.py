@@ -317,8 +317,10 @@ def lsh_topk(
     )
     # Materialize the bucket/norm projection once: it feeds both the
     # hot-key scan and the probe join. At 100 TB this is the persisted
-    # bucket column the docstring describes.
-    c = c.localCheckpoint()
+    # bucket column the docstring describes. LAZY: the hot-key
+    # broadcast build inside the final action materializes it — eager
+    # paid a dedicated kernel job first.
+    c = c.localCheckpoint(eager=False)
     if bucket_cap is not None:
         c = drop_hot_keys(c, ["bucket"], bucket_cap)
     scored = (
@@ -506,10 +508,12 @@ def ivf_topk(
     # Pin the one-row codebook: its plan (TakeOrdered over the corpus +
     # aggregation) is referenced by BOTH the corpus-assignment and the
     # query-probe branches, and appeared 4x in the physical plan — four
-    # corpus passes at scale. One eager checkpoint = one pass, and the
-    # per-branch broadcasts then ship a cached single row.
+    # corpus passes at scale. One checkpoint = one pass, and the
+    # per-branch broadcasts then ship a cached single row. LAZY: the
+    # codebook collect just below is the first action, so
+    # materialization and the control-plane read fuse into one job.
     cents = _codebook(corpus, id_col, vec_col, n_centroids).localCheckpoint(
-        eager=True
+        eager=False
     )
     # Corpus-side assignment: the n_centroids×d affinity fold per row
     # was the dominant interpreted-HOF cost (guide §4.2) — when the
@@ -660,7 +664,9 @@ def embedding_near_dups(
     # One materialization feeds BOTH sides of the self-join — without
     # it the bucket/norm batch kernel is recomputed per branch. The
     # 100 TB analog is a persisted bucket column on the embedding table.
-    b = np_vec_profile(df, id_col, vec_col, n_planes).localCheckpoint()
+    # LAZY: both join sides read the cap window's reused exchange, so
+    # the final action is the first (and only) materialization.
+    b = np_vec_profile(df, id_col, vec_col, n_planes).localCheckpoint(eager=False)
     if bucket_cap is not None:
         # Degenerate-bucket cap as a window count over the bucket
         # (same move as simhash/minhash): the window's exchange IS the

@@ -122,12 +122,18 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(words, lambda w: F.array_contains(stop, w))).cast("double")
         / F.size(words)
     )
+    # punct count as a length difference over translate (chars deleted
+    # one table lookup each) instead of a regex scan — identical count:
+    # regexp_replace kept exactly the chars translate deletes, and both
+    # operate per codepoint.
     punct_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", "")).cast("double")
+        (
+            F.length("text") - F.length(F.translate(F.col("text"), ".,;:!?", ""))
+        ).cast("double")
         / F.length("text")
     )
     mean_word_len = (
-        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+        F.length(F.translate(F.col("text"), " ", "")).cast("double")
         / F.size(words)
     )
     base = docs.select(
@@ -305,7 +311,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__df") <= 1000)
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-    ).localCheckpoint()
+        # LAZY: the final action's first consumer materializes it in
+        # the same job (eager paid a dedicated posting-list job first)
+    ).localCheckpoint(eager=False)
     # sizes = per-doc capped-shingle count — singleton buckets still
     # count (a doc's size includes shingles shared with nobody), so
     # the explode runs over ALL buckets; shuffle bytes are doc_id-only
@@ -778,7 +786,10 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_ws.filter(F.size(ws) >= 2)
         .select("doc_id", F.explode(F.transform(idx, pair)).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .localCheckpoint()  # feeds cnt2, cnt1, and the scoring join
+        # feeds cnt2, cnt1, and the scoring join; LAZY so the final
+        # action's first consumer materializes it in the same job
+        # (eager paid a dedicated bigram-stream job first)
+        .localCheckpoint(eager=False)
     )
     cnt2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     cnt1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -1787,6 +1798,9 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage SQL unchanged).
     # spread_partitions: a one-split parquet input would otherwise pin
     # every downstream shingle/signature map to a single core.
+    # LAZY: the minhash candidate pass is the first consumer and
+    # materializes the checkpoint in its own job (eager paid a
+    # dedicated corpus-tokenization job first).
     base = D.spread_partitions(
         docs.select(
             "doc_id",
@@ -1794,7 +1808,7 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("text"), " ").alias("__ws"),
             F.md5(F.col("text")).alias("__h"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     words = base.select("doc_id", "__ws")
     # quality/token formulas recomputed EXACTLY from the words array
     # (text == join(__ws, " ") roundtrip, so every char count below
@@ -1806,10 +1820,12 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
     )
     text_len = chars_no_space + F.size(ws).cast("bigint") - 1
+    # punct count per word via translate (table lookup per char)
+    # instead of a regex scan — identical count, see text_quality_score
     punct = F.aggregate(
         ws,
         F.lit(0).cast("bigint"),
-        lambda a, w: a + F.length(F.regexp_replace(w, "[^.,;:!?]", "")),
+        lambda a, w: a + (F.length(w) - F.length(F.translate(w, ".,;:!?", ""))),
     )
     stop = F.array(
         *[F.lit(w) for w in ("the", "and", "of", "a", "is", "in", "to", "it")]
