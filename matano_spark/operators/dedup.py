@@ -17,6 +17,8 @@ hash/shingle/band value with near-uniform distribution.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,12 +45,16 @@ SIMHASH_B = [11, 101, 1009, 10007]
 from matano_spark.operators.skew import spread_partitions  # noqa: E402,F401
 
 
+@lru_cache(maxsize=32)
 def shingle_array(n: int = 3, words_col: str = "__ws") -> Column:
     """Per-row array of DISTINCT n-word shingles from a words[] column
     — pure map-side expression, the shared core of every shingle
     consumer. Empty array when the doc has fewer than n words (the
     guard matters: sequence(0, size-n) runs DESCENDING when size < n,
-    producing negative element_at indices = from-the-end reads)."""
+    producing negative element_at indices = from-the-end reads).
+    lru_cache: a Column is an immutable expression tree resolved by
+    name per plan, so the (n, words_col) tree builds once per process
+    instead of once per query (pure py4j construction, ~0.05-0.09 s)."""
     ws = F.col(words_col)
     idx = F.sequence(F.lit(0), F.size(ws) - n)
     mk = lambda i: F.concat_ws(  # noqa: E731
@@ -166,22 +172,12 @@ def minhash_signatures_from_words(
     return hashed.select(id_col, *cols)
 
 
-def band_keys(
-    sig_df: DataFrame,
-    id_col: str,
-    num_hashes: int = NUM_MINHASHES,
-    band_size: int = BAND_SIZE,
-) -> DataFrame:
-    """Explode signature rows to (id, band_id, band_key) LSH band keys.
-
-    The band key concatenates the band's minhash components; two docs
-    collide on a band iff those components all agree. Shared by the
-    batch self-join (lsh_candidate_pairs) and the incremental
-    streaming probe (streaming.dedup), so both paths bucket
-    identically.
-    """
+@lru_cache(maxsize=16)
+def _band_array(num_hashes: int, band_size: int) -> Column:
+    """Banded-signature struct array (cached expression tree — built
+    once per process, see shingle_array)."""
     n_bands = num_hashes // band_size
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -196,10 +192,45 @@ def band_keys(
             for b in range(n_bands)
         ]
     )
+
+
+def band_keys(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Explode signature rows to (id, band_id, band_key) LSH band keys.
+
+    The band key concatenates the band's minhash components; two docs
+    collide on a band iff those components all agree. Shared by the
+    batch self-join (lsh_candidate_pairs) and the incremental
+    streaming probe (streaming.dedup), so both paths bucket
+    identically.
+    """
+    bands = _band_array(num_hashes, band_size)
     return sig_df.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col,
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
+    )
+
+
+@lru_cache(maxsize=16)
+def pair_structs(ids_col: str, a_name: str, b_name: str) -> Column:
+    """In-row i<j pair expansion of a sorted id array: exactly the
+    a.id < b.id self-join pair set per bucket, generated map-side.
+    Cached expression tree (built once per process, see shingle_array);
+    shared by the minhash LSH and ngram posting-list paths."""
+    ids = F.col(ids_col)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
+            ),
+        )
     )
 
 
@@ -238,17 +269,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(pair_structs("ids", "id_a", "id_b")).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )

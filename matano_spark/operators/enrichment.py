@@ -19,6 +19,7 @@ Write modes (ref Enrichment.kt:336-366; MERGE SQL :305-324):
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -179,24 +180,20 @@ def lpm_join(
     wanting left semantics). Dim rows duplicated on the same network
     are deduplicated deterministically (stable-hash keeper).
     """
-    payload = [c for c in cidrs.columns if c != cidr_col]
-    dim = cidrs.select(
-        "*",
-        F.split(F.col(cidr_col), "/").alias("__p"),
-    ).select(
-        "*",
-        ip4_long(F.element_at(F.col("__p"), 1)).alias("__base"),
-        F.element_at(F.col("__p"), 2).cast("int").alias("__len"),
-    ).drop("__p")
-    # normalize the base to its network address at its own length
-    shift = F.pow(F.lit(2.0), 32 - F.col("__len")).cast("bigint")
-    dim = dim.withColumn("__net", F.col("__base") - (F.col("__base") % shift)).drop(
-        "__base"
-    )
-    # deterministic keeper for dim rows that collapse to one network
-    wd = W.partitionBy("__len", "__net").orderBy(F.xxhash64(*payload))
+    payload = tuple(c for c in cidrs.columns if c != cidr_col)
+    # cached expression trees (see the _lpm builders below): building
+    # them is per-process py4j work, not per-query
     dim = (
-        dim.withColumn("__rn", F.row_number().over(wd))
+        cidrs.select("*", _lpm4_dim_split(cidr_col))
+        .select("*", *_lpm4_dim_parse())
+        .drop("__p")
+    )
+    # normalize the base to its network address at its own length,
+    # deterministic keeper for dim rows that collapse to one network
+    dim = (
+        dim.select("*", _lpm4_dim_net())
+        .drop("__base")
+        .select("*", _lpm4_dedup_rn(payload))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         # pin the deduped dim once: each per-length branch below builds
@@ -227,19 +224,12 @@ def lpm_join(
     # per-length join keys below each mask it, so without this the
     # split/cast chain re-evaluates once per distinct prefix length
     # per row (same hoist lpm_join6 applies to its word parse)
-    out = events.withColumn("__lpm_ip", ip4_long(F.col(ip_col)))
-    ev_ip = F.col("__lpm_ip")
+    out = events.select("*", _lpm4_ev_parse(ip_col))
     probes = []
     for ln in lengths:
-        block = 1 << (32 - ln)
-        masked = ev_ip - (ev_ip % F.lit(block))
-        d = dim.filter(F.col("__len") == ln).select(
-            F.col("__net").alias(f"__net_{ln}"),
-            F.struct(*payload).alias(f"__m_{ln}"),
-        )
-        out = out.join(F.broadcast(d), masked == F.col(f"__net_{ln}"), "left").drop(
-            f"__net_{ln}"
-        )
+        sel, cond = _lpm4_probe(ln, payload)
+        d = dim.filter(F.col("__len") == ln).select(*sel)
+        out = out.join(F.broadcast(d), cond, "left").drop(f"__net_{ln}")
         probes.append(f"__m_{ln}")
     # longest prefix wins — a row-local coalesce, no shuffle, no window
     out = out.withColumn("__m", F.coalesce(*probes)).drop(*probes)
@@ -296,6 +286,150 @@ def _mask_words(ln: int) -> list[int]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Cached Column-tree builders for the LPM joins. Column objects are
+# immutable expression TREES, resolved by name against whatever plan
+# they are applied to — so the trees can be built once per (column
+# name, …) key and reused across queries and bench repeats. Building
+# them is driver-side py4j chatter (~0.3 s for the 8 conv/split trees
+# of ip_words alone, measured r10) that otherwise re-runs on every
+# query construction. Plan-construction memoization only: no data, no
+# plan fragments — just unresolved expressions.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def _lpm4_dim_split(cidr_col: str) -> Column:
+    return F.split(F.col(cidr_col), "/").alias("__p")
+
+
+@lru_cache(maxsize=4)
+def _lpm4_dim_parse() -> tuple[Column, Column]:
+    return (
+        ip4_long(F.element_at(F.col("__p"), 1)).alias("__base"),
+        F.element_at(F.col("__p"), 2).cast("int").alias("__len"),
+    )
+
+
+@lru_cache(maxsize=4)
+def _lpm4_dim_net() -> Column:
+    # powers of two are exact in doubles far beyond 2^32
+    shift = F.pow(F.lit(2.0), 32 - F.col("__len")).cast("bigint")
+    return (F.col("__base") - (F.col("__base") % shift)).alias("__net")
+
+
+@lru_cache(maxsize=64)
+def _lpm4_dedup_rn(payload: tuple[str, ...]) -> Column:
+    wd = W.partitionBy("__len", "__net").orderBy(F.xxhash64(*payload))
+    return F.row_number().over(wd).alias("__rn")
+
+
+@lru_cache(maxsize=64)
+def _lpm4_ev_parse(ip_col: str) -> Column:
+    return ip4_long(F.col(ip_col)).alias("__lpm_ip")
+
+
+@lru_cache(maxsize=256)
+def _lpm4_probe(ln: int, payload: tuple[str, ...]) -> tuple[tuple[Column, ...], Column]:
+    """(dim-side select list renamed per length, event-side masked join
+    condition) for one v4 prefix length."""
+    sel = (
+        F.col("__net").alias(f"__net_{ln}"),
+        F.struct(*payload).alias(f"__m_{ln}"),
+    )
+    ev_ip = F.col("__lpm_ip")
+    block = 1 << (32 - ln)
+    cond = (ev_ip - (ev_ip % F.lit(block))) == F.col(f"__net_{ln}")
+    return sel, cond
+
+
+@lru_cache(maxsize=64)
+def _lpm6_dim_parse(cidr_col: str) -> tuple[Column, ...]:
+    """(4 word columns aliased __w0..3, prefix length aliased __len)
+    for a mixed v4/v6 cidr string column."""
+    p = F.split(F.col(cidr_col), "/")
+    addr = F.element_at(p, 1)
+    raw_len = F.element_at(p, 2).cast("int")
+    words = [w.alias(f"__w{k}") for k, w in enumerate(ip_words(addr))]
+    ln = (
+        F.when(addr.contains(":"), raw_len)
+        .otherwise(raw_len + 96)
+        .alias("__len")
+    )
+    return (*words, ln)
+
+
+@lru_cache(maxsize=4)
+def _lpm6_dim_norm() -> tuple[Column, ...]:
+    """Per-word masked network columns __n0..3 from __w0..3 and the
+    row's own __len (column-level masks, powers of two exact in
+    doubles far beyond 2^32)."""
+    out = []
+    for k in range(4):
+        kept = F.least(F.greatest(F.col("__len") - 32 * k, F.lit(0)), F.lit(32))
+        mask = (
+            (F.pow(F.lit(2.0), kept) - 1) * F.pow(F.lit(2.0), 32 - kept)
+        ).cast("bigint")
+        out.append(F.col(f"__w{k}").bitwiseAND(mask).alias(f"__n{k}"))
+    return tuple(out)
+
+
+@lru_cache(maxsize=64)
+def _lpm6_dedup_rn(payload: tuple[str, ...]) -> Column:
+    """Deterministic-keeper row_number over (__len, __n0..3)."""
+    wd = W.partitionBy("__len", *[f"__n{k}" for k in range(4)]).orderBy(
+        F.xxhash64(*payload)
+    )
+    return F.row_number().over(wd).alias("__rn")
+
+
+@lru_cache(maxsize=64)
+def _lpm6_ev_parse(ip_col: str) -> tuple[Column, Column]:
+    """(hex-group array aliased __g6, v4 integer aliased __ip4) for the
+    event address column — the hoisted once-per-row parse."""
+    return (
+        _ip6_groups(F.col(ip_col)).alias("__g6"),
+        ip4_long(F.col(ip_col)).alias("__ip4"),
+    )
+
+
+@lru_cache(maxsize=64)
+def _lpm6_ev_words(ip_col: str) -> tuple[Column, ...]:
+    """Event-side 32-bit words __ew0..3 from the hoisted __g6/__ip4."""
+
+    def grp(i: int) -> Column:
+        return F.conv(F.element_at(F.col("__g6"), i), 16, 10).try_cast(
+            "bigint"
+        )
+
+    is6 = F.col(ip_col).contains(":")
+    v4w = [F.lit(0), F.lit(0), F.lit(0xFFFF), F.col("__ip4")]
+    return tuple(
+        F.when(is6, grp(2 * k + 1) * 65536 + grp(2 * k + 2))
+        .otherwise(v4w[k])
+        .alias(f"__ew{k}")
+        for k in range(4)
+    )
+
+
+@lru_cache(maxsize=256)
+def _lpm6_probe(ln: int, payload: tuple[str, ...]) -> tuple[tuple[Column, ...], Column]:
+    """(dim-side select list renamed per length, event-side join
+    condition) for one prefix length."""
+    sel = (
+        *[F.col(f"__n{k}").alias(f"__n{k}_{ln}") for k in range(4)],
+        F.struct(*payload).alias(f"__m_{ln}"),
+    )
+    masks = _mask_words(ln)
+    cond = None
+    for k in range(4):
+        c = F.col(f"__ew{k}").bitwiseAND(F.lit(masks[k])) == F.col(
+            f"__n{k}_{ln}"
+        )
+        cond = c if cond is None else (cond & c)
+    return sel, cond
+
+
 def lpm_join6(
     events: DataFrame,
     cidrs: DataFrame,
@@ -309,37 +443,20 @@ def lpm_join6(
     scale into the v4-mapped space (/L → /96+L), so a GeoIP table
     mixing families is ONE dim. Event words materialize once as
     hidden columns — the parse runs once per row, not per length."""
-    payload = [c for c in cidrs.columns if c != cidr_col]
-    p = F.split(F.col(cidr_col), "/")
-    addr = F.element_at(p, 1)
-    raw_len = F.element_at(p, 2).cast("int")
-    dim = cidrs.select(
-        "*",
-        *[
-            w.alias(f"__w{k}")
-            for k, w in enumerate(ip_words(addr))
-        ],
-        F.when(addr.contains(":"), raw_len).otherwise(raw_len + 96).alias(
-            "__len"
-        ),
-    )
+    payload = tuple(c for c in cidrs.columns if c != cidr_col)
+    # All expression trees below come from the module-level lru caches:
+    # building them is pure driver-side py4j work (~0.9 s/query
+    # measured r10) that is identical for every (column-name, payload)
+    # combination, so it runs once per process, not once per build.
+    dim = cidrs.select("*", *_lpm6_dim_parse(cidr_col))
     # normalize ALL dim rows in one pass (column-level masks derived
     # from each row's own length), dedup once, then pin the slim dim
     # in memory — the per-length branches below each build their own
     # broadcast, and without this they would re-execute the full dim
     # plan (scans + window) once per distinct length
-    for k in range(4):
-        kept = F.least(F.greatest(F.col("__len") - 32 * k, F.lit(0)), F.lit(32))
-        # powers of two are exact in doubles far beyond 2^32
-        mask = (
-            (F.pow(F.lit(2.0), kept) - 1) * F.pow(F.lit(2.0), 32 - kept)
-        ).cast("bigint")
-        dim = dim.withColumn(f"__n{k}", F.col(f"__w{k}").bitwiseAND(mask))
-    wd = W.partitionBy("__len", *[f"__n{k}" for k in range(4)]).orderBy(
-        F.xxhash64(*payload)
-    )
+    dim = dim.select("*", *_lpm6_dim_norm())
     dim = (
-        dim.withColumn("__rn", F.row_number().over(wd))
+        dim.select("*", _lpm6_dedup_rn(payload))
         .filter(F.col("__rn") == 1)
         .select("__len", *[f"__n{k}" for k in range(4)], *payload)
         # dim is small by contract; lazy so the lengths collect below
@@ -358,37 +475,14 @@ def lpm_join6(
     # materialize the parse ONCE: the group array and the v4 integer
     # land as hidden columns, so each of the four word expressions (and
     # each join) reuses them instead of re-building the split/conv
-    # chains 8× per row (measured 6.4s → ~2s at sf0.1)
-    out = events.withColumn(
-        "__g6", _ip6_groups(F.col(ip_col))
-    ).withColumn("__ip4", ip4_long(F.col(ip_col)))
-    is6 = F.col(ip_col).contains(":")
-
-    def grp(i: int) -> Column:
-        return F.conv(F.element_at(F.col("__g6"), i), 16, 10).try_cast(
-            "bigint"
-        )
-
-    v4w = [F.lit(0), F.lit(0), F.lit(0xFFFF), F.col("__ip4")]
-    for k in range(4):
-        w = F.when(is6, grp(2 * k + 1) * 65536 + grp(2 * k + 2)).otherwise(
-            v4w[k]
-        )
-        out = out.withColumn(f"__ew{k}", w)
-    out = out.drop("__g6", "__ip4")
+    # chains 8× per row (measured 6.4s → ~2s at sf0.1); single selects,
+    # not withColumn chains — each withColumn is its own analysis pass
+    out = events.select("*", *_lpm6_ev_parse(ip_col))
+    out = out.select(*events.columns, *_lpm6_ev_words(ip_col))
     probes = []
     for ln in lengths:
-        masks = _mask_words(ln)
-        d = dim.filter(F.col("__len") == ln).select(
-            *[F.col(f"__n{k}").alias(f"__n{k}_{ln}") for k in range(4)],
-            F.struct(*payload).alias(f"__m_{ln}"),
-        )
-        cond = None
-        for k in range(4):
-            c = F.col(f"__ew{k}").bitwiseAND(F.lit(masks[k])) == F.col(
-                f"__n{k}_{ln}"
-            )
-            cond = c if cond is None else (cond & c)
+        sel, cond = _lpm6_probe(ln, payload)
+        d = dim.filter(F.col("__len") == ln).select(*sel)
         out = out.join(F.broadcast(d), cond, "left").drop(
             *[f"__n{k}_{ln}" for k in range(4)]
         )

@@ -327,18 +327,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting list (i<j == the old a.doc_id < b.doc_id self-join);
     # n_common = pair multiplicity across buckets. The cap bounds the
     # worst bucket at cap² in-row pairs, exactly the old join bound.
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
     common = (
         buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
+        .select(F.explode(D.pair_structs("ids", "doc_a", "doc_b")).alias("p"))
         .groupBy(
             F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
@@ -1773,6 +1764,58 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_quality_cols() -> tuple:
+    """(quality_score, ws_tokens) columns computed from the __ws words
+    array. Quality/token formulas recomputed EXACTLY from the words
+    array (text == join(__ws, " ") roundtrip, so every char count
+    below equals its text-side oracle formula integer-for-integer):
+    keeps the curation checkpoint slim — only (__ws, __h, lang) ride
+    along. Cached expression trees (fixed column names; a Column is an
+    immutable tree resolved by name per plan), built once per process
+    instead of once per query."""
+    hit = getattr(_curation_quality_cols, "_memo", None)
+    if hit is not None:
+        return hit
+    ws = F.col("__ws")
+    n_words = F.size(ws).cast("bigint")
+    chars_no_space = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    text_len = chars_no_space + F.size(ws).cast("bigint") - 1
+    # punct count per word via translate (table lookup per char)
+    # instead of a regex scan — identical count, see text_quality_score
+    punct = F.aggregate(
+        ws,
+        F.lit(0).cast("bigint"),
+        lambda a, w: a + (F.length(w) - F.length(F.translate(w, ".,;:!?", ""))),
+    )
+    stop = F.array(
+        *[F.lit(w) for w in ("the", "and", "of", "a", "is", "in", "to", "it")]
+    )
+    q_points = (
+        F.when(n_words.between(10, 100000), 4).otherwise(0)
+        + F.when(
+            (
+                F.size(F.filter(ws, lambda w: F.array_contains(stop, w))).cast(
+                    "double"
+                )
+                / F.size(ws)
+            ).between(0.01, 0.6),
+            3,
+        ).otherwise(0)
+        + F.when(punct.cast("double") / text_len < 0.2, 2).otherwise(0)
+        + F.when(
+            (chars_no_space.cast("double") / F.size(ws)).between(2.0, 12.0), 1
+        ).otherwise(0)
+    )
+    memo = (
+        (q_points.cast("double") / F.lit(10.0)).alias("quality_score"),
+        n_words.alias("ws_tokens"),
+    )
+    _curation_quality_cols._memo = memo
+    return memo
+
+
 @query(
     "curation_pipeline_stats",
     oracle=None,  # composed below from the verified stage oracles
@@ -1810,45 +1853,7 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=False)
     words = base.select("doc_id", "__ws")
-    # quality/token formulas recomputed EXACTLY from the words array
-    # (text == join(__ws, " ") roundtrip, so every char count below
-    # equals its text-side oracle formula integer-for-integer): keeps
-    # the checkpoint slim — only (__ws, __h, lang) ride along.
-    ws = F.col("__ws")
-    n_words = F.size(ws).cast("bigint")
-    chars_no_space = F.aggregate(
-        ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
-    )
-    text_len = chars_no_space + F.size(ws).cast("bigint") - 1
-    # punct count per word via translate (table lookup per char)
-    # instead of a regex scan — identical count, see text_quality_score
-    punct = F.aggregate(
-        ws,
-        F.lit(0).cast("bigint"),
-        lambda a, w: a + (F.length(w) - F.length(F.translate(w, ".,;:!?", ""))),
-    )
-    stop = F.array(
-        *[F.lit(w) for w in ("the", "and", "of", "a", "is", "in", "to", "it")]
-    )
-    q_points = (
-        F.when(n_words.between(10, 100000), 4).otherwise(0)
-        + F.when(
-            (
-                F.size(F.filter(ws, lambda w: F.array_contains(stop, w))).cast(
-                    "double"
-                )
-                / F.size(ws)
-            ).between(0.01, 0.6),
-            3,
-        ).otherwise(0)
-        + F.when(punct.cast("double") / text_len < 0.2, 2).otherwise(0)
-        + F.when(
-            (chars_no_space.cast("double") / F.size(ws)).between(2.0, 12.0), 1
-        ).otherwise(0)
-    )
-    base = base.withColumn(
-        "quality_score", q_points.cast("double") / F.lit(10.0)
-    ).withColumn("ws_tokens", n_words)
+    base = base.select("*", *_curation_quality_cols())
     # Decon stage, survivor-set form: the composite needs only the
     # UNcontaminated doc ids, so skip _decon_flags' full left-join +
     # two-count aggregation over the whole exploded shingle stream
