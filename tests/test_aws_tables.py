@@ -174,6 +174,9 @@ def test_aws_inspector(spark, tmpdir):
     assert r.rip == ["10.0.0.9"]
 
 
+# slow tier (~2.5 min compile): crowdstrike coverage stays in the
+# default tier via test_sources_ported.test_crowdstrike_falcon_end_to_end.
+@pytest.mark.slow
 def test_crowdstrike_fdr_process_event(spark, tmpdir):
     rec = {
         "event_simpleName": "ProcessRollup2",
@@ -248,6 +251,9 @@ def test_crowdstrike_fdr_process_event(spark, tmpdir):
     assert set(r.ruser) == {"carol"}
 
 
+# slow tier (~2.5 min compile): crowdstrike coverage stays in the
+# default tier via test_sources_ported.test_crowdstrike_falcon_end_to_end.
+@pytest.mark.slow
 def test_crowdstrike_fdr_network_event(spark, tmpdir):
     rec = {
         "event_simpleName": "NetworkConnectIP4",

@@ -20,6 +20,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+# slow tier (~15 min: compiles+executes all ~103 reference programs in
+# one test): the default tier keeps execution coverage for every pack
+# FAMILY via the per-pack table suites and test_sources_ported; the
+# full per-program sweep runs with `pytest -m slow`.
+@pytest.mark.slow
 def test_every_reference_managed_program_executes(spark):
     from tools.vrl_exec_survey import _load_overrides, run_one
     from tools.vrl_parse_survey import iter_programs
