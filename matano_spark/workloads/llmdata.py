@@ -1676,6 +1676,23 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _keep_status(docs)
 
 
+# The keeper rule shared by dedup_keep_list and the curation
+# composite (single source of truth — a change here changes both, and
+# both are pinned by their oracles): near-dup clusters come from the
+# MinHash pair set at this threshold, a row survives iff it is its own
+# exact keeper AND not claimed by a near-dup cluster rooted elsewhere.
+KEEP_NEAR_DUP_THRESHOLD = 0.35
+
+
+def _kept_predicate() -> Column:
+    """True iff the row survives both dedup stages, evaluated against
+    `keeper` (min doc_id over the content hash) and `cluster_id`
+    (near-dup component, null when unclustered) columns."""
+    return (F.col("keeper") == F.col("doc_id")) & (
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
 def _keep_status(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """dedup_keep_list core; `words` shares one tokenization pass with
     the other shingle stages in a composite pipeline. A precomputed
@@ -1692,19 +1709,19 @@ def _keep_status(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
         "doc_id", F.min("doc_id").over(w).alias("keeper")
     )
     pairs = D.minhash_near_dups(
-        docs, "doc_id", "text", threshold=0.35, words_df=words
+        docs, "doc_id", "text", threshold=KEEP_NEAR_DUP_THRESHOLD, words_df=words
     ).select("id_a", "id_b")
     clusters = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+    # kept-first is value-identical to the exact_dup/near_dup/kept
+    # cascade: when _kept_predicate holds, neither of the other two
+    # conditions can (keeper==doc_id excludes exact_dup; a null-or-self
+    # cluster excludes near_dup).
     status = (
-        F.when(F.col("keeper") != F.col("doc_id"), "exact_dup")
-        .when(
-            F.col("cluster_id").isNotNull()
-            & (F.col("cluster_id") != F.col("doc_id")),
-            "near_dup",
-        )
-        .otherwise("kept")
+        F.when(_kept_predicate(), "kept")
+        .when(F.col("keeper") != F.col("doc_id"), "exact_dup")
+        .otherwise("near_dup")
     )
     return exact.join(clusters, "doc_id", "left").select(
         "doc_id", status.alias("status")
@@ -1890,15 +1907,15 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matano_spark.operators.graph import connected_components
 
     pairs = D.minhash_near_dups(
-        base, "doc_id", "text", threshold=0.35, words_df=words
+        base, "doc_id", "text", threshold=KEEP_NEAR_DUP_THRESHOLD, words_df=words
     ).select("id_a", "id_b")
     clusters = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     wk = W.partitionBy("__h")
-    kept_row = (F.col("keeper") == F.col("doc_id")) & (
-        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
-    )
+    # the keeper rule is the SHARED predicate _keep_status evaluates
+    # (single source of truth — see KEEP_NEAR_DUP_THRESHOLD)
+    kept_row = _kept_predicate()
     survivors = (
         base.select("doc_id", "lang", "ws_tokens", "quality_score", "__h")
         .withColumn("keeper", F.min("doc_id").over(wk))

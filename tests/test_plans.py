@@ -219,3 +219,28 @@ def test_lpm_and_fuzzy_never_theta_join(plans):
         assert "BroadcastNestedLoopJoin" not in p, q
     assert "BroadcastHashJoin" in plans("lpm_geo_enrichment")
     assert "BroadcastHashJoin" in plans("lpm_v6_enrichment")
+
+
+def test_window_cap_reuses_bucket_exchange(spark):
+    """The degenerate-bucket caps in the embedding/simhash self-join
+    paths are window counts whose exchange doubles as BOTH self-join
+    sides' required partitioning (r9/r10 optimization) — if a planner
+    change stops the exchange reuse, the corpus shuffles an extra
+    time. The reuse is an AQE RUNTIME property (the initial plan shows
+    two textually-distinct exchanges; the stage cache dedupes them on
+    canonical equality), so pin the FINAL adaptive plan: the second
+    join side must be a ReusedExchange of the window's shuffle
+    (advice item, r10)."""
+    import contextlib
+    import io
+
+    reg = load_registry()
+    for q in ("dedup_embedding_near", "dedup_simhash"):
+        df = reg[q].fn(spark, SF_SMALL)
+        df.collect()  # executes THIS df's own query execution (final AQE plan)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "isFinalPlan=true" in p, q
+        assert "ReusedExchange" in p, f"{q}: bucket exchange no longer reused"
